@@ -1,0 +1,86 @@
+"""End-to-end replay vs the sequential oracle — per-row token-array equality
+(the judged invariant, BASELINE.json input_hint)."""
+
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from tiflow_ray import oracle
+from tiflow_ray.config import ReplayConfig
+from tiflow_ray.pipelines import replay as rp
+
+
+def run(root, **overrides):
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       validate=True, **overrides)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    res = rp.run_replay(cfg)
+    return cfg, res
+
+
+@pytest.mark.parametrize("fixture_name", ["t1_fixture", "t1_noddl_fixture"])
+def test_full_replay_matches_oracle(fixture_name, request, tmp_path):
+    root, reg, metas, info = request.getfixturevalue(fixture_name)
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"), lake_dir=lake,
+                       num_partitions=8, max_segments_per_epoch=2, validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    res = rp.run_replay(cfg)
+    assert res.epochs, "no epochs ran"
+
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.num_rows == exp.num_rows
+    assert got.schema == exp.schema
+    assert got.equals(exp)  # per-row tokens equality included
+    # n_tok invariant on the final table
+    assert pc.all(pc.equal(pc.list_value_length(got["tokens"]),
+                           got["n_tok"])).as_py()
+
+
+def test_partial_replay_matches_oracle_at_watermark(t1_fixture, tmp_path):
+    """Stop at a mid-stream watermark: state must equal the oracle replayed
+    to exactly that ts (resolved-ts contract §2.9)."""
+    root, reg, metas, info = t1_fixture
+    w = metas[1]["watermark_ts"]
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake"),
+                       num_partitions=8, max_segments_per_epoch=2, validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg, upto_ts=w)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg, max_watermark=w)
+    assert got.equals(exp)
+
+
+def test_precompact_off_same_result(t1_noddl_fixture, tmp_path):
+    root, reg, *_ = t1_noddl_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake"),
+                       num_partitions=8, precompact=False, validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp)
+
+
+def test_partition_count_invariance(tmp_path):
+    """Final state must not depend on P. P is a LAYOUT property: the base
+    lake and the engine must agree on it (co-partitioning), but any P gives
+    the same logical table."""
+    from tiflow_ray import fixtures
+    tables = []
+    for p in (4, 16):
+        root = str(tmp_path / f"fx{p}")
+        fixtures.generate_tier(root, "t1_noddl", num_partitions=p)
+        cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                           lake_dir=str(tmp_path / f"lake{p}"),
+                           num_partitions=p)
+        rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+        rp.run_replay(cfg)
+        tables.append(rp.lake_to_table(cfg.lake_dir, cfg.wal_dir))
+    assert tables[0].equals(tables[1])

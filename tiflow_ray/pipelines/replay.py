@@ -1,0 +1,238 @@
+"""The epoch-loop replay engine: WAL change files → lake table state.
+
+One Ray Data pipeline per epoch (SURVEY.md §7 design one-liner):
+
+    read_parquet(segments ∩ (lo, hi], columns pruned to the epoch schema,
+                 commit_ts row-filter pushdown)
+      → map_batches Normalize            (mounter analog, stateless, Arrow)
+      → map_batches split_updates        (identity-change D+I split, pre-shuffle)
+      → map_batches compact_batch        (per-batch LWW combiner — hot-key pre-reduce)
+      → map_batches assign_partition     (part = hash(doc_id) % P)
+      → groupby("part").map_groups(MergeApply)   (THE one shuffle: deltas only,
+                                                  base stays put, co-partitioned)
+      → tiny stats table → driver commits manifest + checkpoint atomically
+
+The driver (the "owner", cdc/owner/changefeed.go analog) only ever touches
+O(P) metadata per epoch: per-partition stats, watermarks, the manifest. All
+row data moves task-to-task through the object store.
+
+Fault tolerance: any crash before the manifest rename loses nothing — the
+next run re-plans from the last committed manifest and re-executes the epoch
+onto the same deterministic file names (redo-applier semantics,
+pkg/applier/redo.go; safe-mode §2.9: re-applying an applied prefix is a
+no-op because merge is REPLACE-natured).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import ReplayConfig
+from ..model import hash_partition, image_columns
+from ..sources.wal import Epoch, list_segments, load_registry, plan_epochs
+from ..stages.compact import assign_partition, compact_batch
+from ..stages.merge import MergeApply
+from ..stages.normalize import Normalize, epoch_event_columns
+from ..stages.update_split import split_updates
+from ..stages.schema_evo import SchemaRegistry
+from ..state.checkpoint import LakeState, Manifest
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    lo: int
+    hi: int
+    schema_ver: int
+    events: int
+    parts_touched: int
+    rows_total: int
+
+
+@dataclass
+class ReplayResult:
+    epochs: list[EpochResult] = field(default_factory=list)
+
+    @property
+    def events(self) -> int:
+        return sum(e.events for e in self.epochs)
+
+
+def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
+    """Epoch 0: register the existing base lake files (hash-partitioned
+    part={p} dirs) in the first manifest. No data movement — the initial
+    full-load (Dumpling/Lightning, S5) is just metadata here."""
+    lake = LakeState(cfg.lake_dir)
+    existing = lake.latest()
+    if existing is not None:
+        if existing.num_partitions and existing.num_partitions != cfg.num_partitions:
+            raise ValueError(
+                f"lake is laid out with P={existing.num_partitions}, "
+                f"config says P={cfg.num_partitions}")
+        return existing
+    parts: dict[str, dict] = {}
+    if base_dir:
+        found = sorted(glob.glob(os.path.join(base_dir, "part=*")))
+        for d in found:
+            p = int(os.path.basename(d).split("=", 1)[1])
+            if not 0 <= p < cfg.num_partitions:
+                raise ValueError(f"base dir has {d} but P={cfg.num_partitions}")
+        for p in range(cfg.num_partitions):
+            files = sorted(glob.glob(os.path.join(base_dir, f"part={p}", "*.parquet")))
+            if not files:
+                continue
+            assert len(files) == 1, f"expected one bootstrap file per part: {files}"
+            # co-partitioning guard: a base laid out with a DIFFERENT P would
+            # silently duplicate rows at merge time — sample and verify
+            sample = pq.read_table(files[0], columns=["doc_id"]).column("doc_id")
+            sample = sample.slice(0, 256)
+            if len(sample) and not (hash_partition(sample, cfg.num_partitions) == p).all():
+                raise ValueError(
+                    f"{files[0]} is not hash(doc_id)%{cfg.num_partitions}"
+                    f"-partitioned (found part={p} rows hashing elsewhere); "
+                    "base layout P must equal ReplayConfig.num_partitions")
+            md = pq.read_metadata(files[0])
+            parts[str(p)] = {"path": files[0], "schema_ver": 1,
+                             "rows": md.num_rows, "watermark_ts": 0,
+                             "bytes": 0}
+    m = Manifest(epoch=0, watermark_ts=0, schema_ver=1,
+                 num_partitions=cfg.num_partitions, parts=parts,
+                 segments_applied=[], stats={"bootstrap": True})
+    lake.commit(m)
+    return m
+
+
+def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
+              prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
+    image_cols = image_columns([f.name for f in registry.schema(ep.schema_ver)])
+    cols = epoch_event_columns(image_cols)
+    flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
+
+    ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt)
+    ds = ds.map_batches(Normalize(image_cols, ep.lo, ep.hi,
+                                  cfg.ignore_sources, cfg.validate),
+                        batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(split_updates, batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    if cfg.precompact:
+        ds = ds.map_batches(compact_batch, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+    ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
+                        batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    n_events = 0  # counted below from per-part delta stats
+
+    merge = MergeApply(registry_json=registry.to_json(),
+                       prev_parts=prev.parts, epoch=epoch_no,
+                       epoch_ver=ep.schema_ver, watermark_ts=ep.hi,
+                       lake_data_dir=os.path.join(cfg.lake_dir, "data"))
+    def merge_apply(t: pa.Table) -> pa.Table:  # map_groups needs a __name__
+        return merge(t)
+
+    gb = ds.groupby("part")
+    kwargs = {}
+    if cfg.merge_concurrency:
+        kwargs["concurrency"] = cfg.merge_concurrency
+    stats_rows = gb.map_groups(merge_apply, batch_format="pyarrow", **kwargs).take_all()
+
+    # build the next manifest: touched parts get new files; untouched carry over
+    parts = dict(prev.parts)
+    rows_total = 0
+    for r in stats_rows:
+        parts[str(r["part"])] = {"path": r["path"], "schema_ver": r["schema_ver"],
+                                 "rows": r["rows"], "watermark_ts": r["watermark_ts"],
+                                 "bytes": r["bytes"]}
+        n_events += r["delta_events"]
+    for meta in parts.values():
+        rows_total += meta["rows"]
+
+    m = Manifest(epoch=epoch_no, watermark_ts=ep.hi, schema_ver=ep.schema_ver,
+                 num_partitions=prev.num_partitions, parts=parts,
+                 segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
+                 stats={"events": n_events, "parts_touched": len(stats_rows),
+                        "lo": ep.lo, "hi": ep.hi})
+    lake.commit(m)  # THE commit point: epoch becomes durable exactly here
+    return m, EpochResult(epoch_no, ep.lo, ep.hi, ep.schema_ver, n_events,
+                          len(stats_rows), rows_total)
+
+
+def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
+               max_epochs: int | None = None) -> ReplayResult:
+    """Replay all WAL segments beyond the last checkpoint into the lake.
+    Safe to call repeatedly / after a crash: resumes from the latest
+    committed manifest (resume ≡ next epoch, SURVEY.md §3.2)."""
+    lake = LakeState(cfg.lake_dir)
+    registry = load_registry(cfg.wal_dir)
+    prev = lake.latest()
+    assert prev is not None, "call bootstrap() first"
+    if prev.num_partitions and prev.num_partitions != cfg.num_partitions:
+        raise ValueError(f"lake P={prev.num_partitions} != config "
+                         f"P={cfg.num_partitions}; repartitioning the lake "
+                         "requires an explicit re-bootstrap")
+
+    segments = list_segments(cfg.wal_dir)
+    epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
+                         max_segments_per_epoch=cfg.max_segments_per_epoch,
+                         upto_ts=upto_ts)
+    result = ReplayResult()
+    next_no = prev.epoch + 1
+    for ep in epochs:
+        if max_epochs is not None and len(result.epochs) >= max_epochs:
+            break
+        prev, er = run_epoch(cfg, lake, registry, prev, ep, next_no)
+        result.epochs.append(er)
+        next_no += 1
+    return result
+
+
+def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
+    """Current lake table as a Dataset; parts whose files are behind on
+    schema (untouched since a barrier) are cast on read — merge-on-read for
+    schema only, one sub-dataset per stale version, unioned."""
+    lake = LakeState(lake_dir)
+    m = lake.latest()
+    assert m is not None
+    registry = load_registry(wal_dir) if wal_dir else SchemaRegistry([])
+    reg_json = registry.to_json()
+    cur_ver = m.schema_ver
+
+    by_ver: dict[int, list[str]] = {}
+    for meta in m.parts.values():
+        by_ver.setdefault(meta["schema_ver"], []).append(meta["path"])
+    if not by_ver:
+        return ray.data.from_arrow(registry.schema(cur_ver).empty_table())
+
+    pieces = []
+    for ver, paths in sorted(by_ver.items()):
+        # partitioning=None: part={p} is OUR layout, not a hive column
+        ds = ray.data.read_parquet(sorted(paths), partitioning=None)
+        if ver != cur_ver:
+            def cast(t: pa.Table, _v=ver) -> pa.Table:
+                return SchemaRegistry.from_json(reg_json).cast_table(t, _v, cur_ver)
+            ds = ds.map_batches(cast, batch_format="pyarrow")
+        pieces.append(ds)
+    out = pieces[0]
+    for ds in pieces[1:]:
+        out = out.union(ds)
+    return out
+
+
+def lake_to_table(lake_dir: str, wal_dir: str | None = None) -> pa.Table:
+    """Materialize the lake (tests/small outputs only), sorted by doc_id."""
+    tbls = [pa.Table.from_pandas(b.to_pandas()) if not isinstance(b, pa.Table) else b
+            for b in read_lake(lake_dir, wal_dir).iter_batches(
+                batch_size=1 << 18, batch_format="pyarrow")]
+    if not tbls:
+        raise ValueError("empty lake")
+    t = pa.concat_tables([x if isinstance(x, pa.Table) else pa.Table.from_batches([x])
+                          for x in tbls])
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

@@ -1,0 +1,94 @@
+"""WAL (synthetic binlog) source: segment discovery + epoch planning.
+
+The WAL is a directory of resolved-ts-delimited Parquet segments
+(`seq={s}.parquet` + `seq={s}.meta.json` carrying watermark/min/max commit_ts).
+This is the columnar analog of the puller + frontier chain
+(cdc/puller/multiplexing_puller.go:50-170, cdc/puller/frontier/frontier.go:30-112):
+a segment's watermark says "all events with commit_ts <= watermark are in
+segments <= s", so processing whole segments in order never sees late data —
+the same contract the reference's sorter relies on (cdc/model/kv.go:59-66).
+
+Epoch planning cuts the stream at (a) segment watermarks, coalescing up to
+`max_segments_per_epoch`, and (b) every DDL barrier_ts (epochs never span a
+barrier; events AT barrier_ts fall in the OLD-schema epoch —
+cdc/owner/ddl_manager.go:395-425 + cdc/entry/mounter.go:158-160).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+
+from ..stages.schema_evo import SchemaRegistry
+
+
+@dataclass(frozen=True)
+class Segment:
+    seq: int
+    path: str
+    watermark_ts: int
+    min_ts: int
+    max_ts: int
+    rows: int
+
+
+@dataclass(frozen=True)
+class Epoch:
+    index: int            # epoch number (dense, deterministic)
+    lo: int               # exclusive lower commit_ts bound
+    hi: int               # inclusive upper bound (a watermark or barrier ts)
+    schema_ver: int       # the ONE schema version of every event in (lo, hi]
+    files: tuple[str, ...]  # WAL segment files overlapping (lo, hi]
+
+
+def list_segments(wal_dir: str) -> list[Segment]:
+    segs = []
+    for meta_path in sorted(glob.glob(os.path.join(wal_dir, "seq=*.meta.json"))):
+        with open(meta_path) as f:
+            m = json.load(f)
+        path = meta_path.replace(".meta.json", ".parquet")
+        segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
+                            m["max_ts"], m["rows"]))
+    return sorted(segs, key=lambda s: s.seq)
+
+
+def load_registry(wal_dir: str) -> SchemaRegistry:
+    p = os.path.join(wal_dir, "ddl.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return SchemaRegistry.from_json(f.read())
+    return SchemaRegistry([])
+
+
+def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
+                from_ts: int = 0, max_segments_per_epoch: int = 8,
+                upto_ts: int | None = None) -> list[Epoch]:
+    """Deterministic epoch plan for events in (from_ts, upto_ts].
+
+    Resume safety: the plan is a pure function of (segment metas, DDL
+    schedule, from_ts) — a restarted driver with the same checkpoint
+    reproduces exactly the remaining epochs (redo-applier analog,
+    pkg/applier/redo.go:162-230).
+    """
+    if not segments:
+        return []
+    max_w = segments[-1].watermark_ts if upto_ts is None else upto_ts
+    barriers = [b for b in registry.barriers() if from_ts < b <= max_w]
+
+    # candidate boundaries: coalesced segment watermarks + all barriers
+    wm = [s.watermark_ts for s in segments if from_ts < s.watermark_ts <= max_w]
+    coalesced = wm[min(max_segments_per_epoch, len(wm)) - 1::max_segments_per_epoch]
+    if wm and (not coalesced or coalesced[-1] != wm[-1]):
+        coalesced.append(wm[-1])
+    bounds = sorted(set(coalesced) | set(barriers))
+
+    epochs = []
+    lo = from_ts
+    for i, hi in enumerate(bounds):
+        files = tuple(s.path for s in segments if s.max_ts > lo and s.min_ts <= hi)
+        ver = registry.version_at(hi)  # events at hi use the old schema ⇒ this ver
+        epochs.append(Epoch(i, lo, hi, ver, files))
+        lo = hi
+    return epochs

@@ -1,0 +1,151 @@
+"""Schema evolution: DDL barrier schedule + versioned Arrow schemas + casts.
+
+Reference semantics reproduced here:
+
+- every DDL produces a new schema version keyed by its barrier (commit) ts;
+  DML decode picks the snapshot "as of CRTs-1": an event whose commit_ts
+  EQUALS a DDL's barrier_ts uses the schema BEFORE the DDL
+  (cdc/entry/mounter.go:158-160).
+- the owner executes the DDL only when the checkpoint reaches exactly
+  barrier_ts (cdc/owner/ddl_manager.go:395-425) → in the epoch engine,
+  epochs are cut at every barrier ts, each epoch carries exactly one schema
+  version, and the base-table cast is applied when crossing the barrier.
+- supported DDLs match the target lake: add_column (with default backfill)
+  and drop_column — the storage sink's versioned schema files
+  (pkg/sink/cloudstorage/table_definition.go:39-102) become
+  (version → pyarrow.Schema) entries in the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+_TYPES = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
+          "float64": pa.float64(), "list<int32>": pa.list_(pa.int32())}
+_TYPE_NAMES = {v: k for k, v in _TYPES.items()}
+
+
+@dataclass(frozen=True)
+class DDL:
+    barrier_ts: int
+    ddl_type: str            # "add_column" | "drop_column"
+    column: str              # "name:type" for add, "name" for drop
+    default: str | None      # default value (string-encoded) backfilled on add
+    schema_ver: int          # version AFTER this DDL
+
+    @property
+    def col_name(self) -> str:
+        return self.column.split(":", 1)[0]
+
+    @property
+    def col_type(self) -> pa.DataType:
+        return _TYPES[self.column.split(":", 1)[1]] if ":" in self.column else pa.string()
+
+    def typed_default(self):
+        if self.default is None:
+            return None
+        t = self.col_type
+        if pa.types.is_integer(t):
+            return int(self.default)
+        if pa.types.is_floating(t):
+            return float(self.default)
+        return self.default
+
+
+@dataclass
+class SchemaRegistry:
+    """Ordered (barrier_ts → schema) registry; the broadcastable analog of
+    SchemaStorage.GetSnapshot(ts) (cdc/entry/schema_storage.go:40-151).
+
+    Version 1 is the pristine base schema; version k+1 is produced by the
+    k-th DDL in barrier_ts order.
+    """
+
+    ddls: list[DDL] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.ddls = sorted(self.ddls, key=lambda d: d.barrier_ts)
+        for i, d in enumerate(self.ddls):
+            assert d.schema_ver == i + 2, f"DDL versions must be 2,3,...: {d}"
+        self._schemas: dict[int, pa.Schema] = {1: _v1_schema()}
+        self._defaults: dict[int, dict[str, object]] = {1: {}}
+        cur = self._schemas[1]
+        defaults: dict[str, object] = {}
+        for d in self.ddls:
+            if d.ddl_type == "add_column":
+                cur = cur.append(pa.field(d.col_name, d.col_type))
+                defaults = dict(defaults)
+                defaults[d.col_name] = d.typed_default()
+            elif d.ddl_type == "drop_column":
+                cur = pa.schema([f for f in cur if f.name != d.col_name])
+                defaults = {k: v for k, v in defaults.items() if k != d.col_name}
+            else:
+                raise ValueError(f"unknown ddl_type {d.ddl_type}")
+            self._schemas[d.schema_ver] = cur
+            self._defaults[d.schema_ver] = defaults
+
+    @property
+    def max_ver(self) -> int:
+        return 1 + len(self.ddls)
+
+    def schema(self, ver: int) -> pa.Schema:
+        return self._schemas[ver]
+
+    def defaults(self, ver: int) -> dict[str, object]:
+        """Backfill defaults for columns added up to `ver`."""
+        return self._defaults[ver]
+
+    def version_at(self, commit_ts: int) -> int:
+        """Schema version used to decode an event at commit_ts.
+
+        Strictly-less: an event AT a barrier_ts uses the OLD schema
+        (cdc/entry/mounter.go:158-160).
+        """
+        return 1 + sum(1 for d in self.ddls if d.barrier_ts < commit_ts)
+
+    def barriers(self) -> list[int]:
+        return [d.barrier_ts for d in self.ddls]
+
+    # ---- table casts -----------------------------------------------------
+
+    def cast_table(self, t: pa.Table, from_ver: int, to_ver: int) -> pa.Table:
+        """Cast a lake-table (or image) pa.Table between schema versions:
+        drop removed columns, append added columns filled with their default.
+        Column order follows the target schema."""
+        if from_ver == to_ver:
+            return t
+        target = self.schema(to_ver)
+        defaults = self.defaults(to_ver)
+        n = t.num_rows
+        cols = []
+        for f in target:
+            if f.name in t.column_names:
+                col = t.column(f.name)
+                if col.type != f.type:
+                    col = col.cast(f.type)
+            else:
+                d = defaults.get(f.name)
+                col = pa.nulls(n, f.type) if d is None else pa.array([d] * n, f.type)
+            cols.append(col)
+        return pa.Table.from_arrays(cols, schema=target)
+
+    # ---- (de)serialization for the lake manifest -------------------------
+
+    def to_json(self) -> str:
+        return json.dumps([d.__dict__ for d in self.ddls])
+
+    @classmethod
+    def from_json(cls, s: str) -> "SchemaRegistry":
+        return cls([DDL(**d) for d in json.loads(s)])
+
+
+def _v1_schema() -> pa.Schema:
+    return pa.schema([
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+    ])

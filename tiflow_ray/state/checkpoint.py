@@ -1,0 +1,100 @@
+"""Lake manifest + checkpoint: the exactly-once / resume machinery.
+
+Design (SURVEY.md §2.2/§2.9), mirroring the reference's recovery story:
+
+- data files have DETERMINISTIC names `data/part={p}/epoch-{n:06d}.parquet`
+  and are written tmp-then-rename, so a retried/replayed task overwrites an
+  identical file instead of duplicating — the two-phase "index file before
+  data file" trick of the storage sink
+  (pkg/sink/cloudstorage .../dml_worker.go:209-231).
+- the driver commits an epoch by atomically renaming
+  `_manifest/epoch-{n}.json.tmp` → `.json`; the manifest maps every
+  partition to its CURRENT data file + schema version (O(P), not O(rows)) —
+  the `meta/CDC.index` + schema-file analog (pkg/sink/cloudstorage/path.go).
+- the checkpoint is just "the largest committed epoch" plus its watermark;
+  resume = re-plan epochs from that watermark and continue — identical code
+  path to normal operation, like `cdc redo apply` (pkg/applier/redo.go:162-230)
+  and the storage consumer's file-index diff (cmd/storage-consumer/main.go:229-248).
+- per-partition applied watermarks + row/byte counters ride in each manifest
+  (the redo-meta / lineage record, cdc/redo/meta_manager.go:42-116).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Manifest:
+    epoch: int
+    watermark_ts: int
+    schema_ver: int                       # current table schema version
+    num_partitions: int = 0               # P the lake is laid out with
+    parts: dict[str, dict] = field(default_factory=dict)
+    # parts[str(p)] = {"path": ..., "schema_ver": v, "rows": n,
+    #                  "watermark_ts": w, "bytes": b}
+    segments_applied: list[str] = field(default_factory=list)
+    stats: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        return cls(**json.loads(s))
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeState:
+    """Driver-side view of `lake_dir/_manifest`. Commit is the ONLY side
+    effect trusted for progress; task-written data files are inert until a
+    manifest references them (SURVEY.md §7 known-hard #3)."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.manifest_dir = os.path.join(lake_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(os.path.join(lake_dir, "data"), exist_ok=True)
+
+    # -- read side ---------------------------------------------------------
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for p in glob.glob(os.path.join(self.manifest_dir, "epoch-*.json")):
+            name = os.path.basename(p)
+            out.append(int(name[len("epoch-"):-len(".json")]))
+        return sorted(out)
+
+    def latest(self) -> Manifest | None:
+        es = self.committed_epochs()
+        if not es:
+            return None
+        return self.load(es[-1])
+
+    def load(self, epoch: int) -> Manifest:
+        with open(self._mpath(epoch)) as f:
+            return Manifest.from_json(f.read())
+
+    # -- write side --------------------------------------------------------
+
+    def commit(self, m: Manifest) -> None:
+        _atomic_write(self._mpath(m.epoch), m.to_json())
+
+    def data_path(self, part: int, epoch: int) -> str:
+        d = os.path.join(self.lake_dir, "data", f"part={part}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"epoch-{epoch:06d}.parquet")
+
+    def _mpath(self, epoch: int) -> str:
+        return os.path.join(self.manifest_dir, f"epoch-{epoch:06d}.json")
