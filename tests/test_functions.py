@@ -1,0 +1,66 @@
+"""Training-data function library: dedup recall, knn sanity, text kernels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_recall_of_planted_dups():
+    """Every 10th doc gets a one-word-appended near-dup copy (id+100000);
+    MinHash-LSH + exact-Jaccard verify must recover (almost) all of them."""
+    from tiflow_ray.queries import _planted_docs, q_dedup_minhash
+    pairs = q_dedup_minhash(SF)
+    planted = {(int(d), int(d) + 100000)
+               for d in _planted_docs(SF)["doc_id"] if d < 100000 and d % 10 == 0}
+    found = set(zip(pairs["a"], pairs["b"]))
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.95, f"minhash recall {recall}"
+
+
+def test_exact_jaccard_bounds():
+    from tiflow_ray.functions.dedup import exact_jaccard
+    assert exact_jaccard("a b c d e", "a b c d e") == 1.0
+    assert exact_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_simhash_identical_docs_distance_zero():
+    from tiflow_ray.functions.dedup import simhash64
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy dog")
+    assert a == b
+    c = simhash64("completely different words entirely here now")
+    assert bin(a ^ c).count("1") > 0
+
+
+def test_knn_self_is_top_when_included():
+    import ray.data
+    from tiflow_ray.functions.similarity import knn
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = knn(ds, [0, 1], k=5, exclude_self=False)
+    # with self included, rank 1 of each query is the query itself
+    r1 = out[out["rank"] == 1]
+    assert list(r1["vec_id"]) == list(r1["query_id"])
+
+
+def test_md5_u64_matches_duckdb():
+    import duckdb
+    from tiflow_ray.functions.text import md5_u64
+    for s in ["abc", "", "hello world", "δοκιμή"]:
+        got = md5_u64(s)
+        exp = duckdb.sql("select md5_number_lower(?)", params=[s]).fetchone()[0]
+        assert got == exp, s
+
+
+def test_decode_stub_contract():
+    import pyarrow as pa
+    from tiflow_ray.functions.multimodal import DecodeStub, to_binary_payload
+    t = pa.table({"doc_id": [1, 2], "text": ["ab", "xyz"]})
+    p = to_binary_payload(t)
+    assert p["n_bytes"].to_pylist() == [2, 3]
+    out = DecodeStub()(p)
+    assert out.column_names == ["doc_id", "n_bytes", "content_hash",
+                                "feat_w", "feat_h"]
+    with pytest.raises(NotImplementedError):
+        DecodeStub(real_decode=True)

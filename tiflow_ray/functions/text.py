@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting, chunk checksums.
+
+All are vectorized `map_batches` bodies over the `documents` table. Stateful
+setup (compiled regexes, stopword sets) lives in callable-class `__init__`
+(once per actor), work in `__call__` (per batch) — the actor-pool pattern
+(the reference's mounter-group shape, cdc/entry/mounter_group.go:36-104).
+
+Every formula here is deliberately expressible in ANSI/DuckDB SQL with
+bit-identical results (single float divisions, md5-based integer hashes),
+so the driver's oracle can hash-compare outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+#: language marker words — first match wins, else 'und'
+LANG_MARKERS = (("en", " the "), ("de", " der "), ("fr", " le "),
+                ("es", " el "), ("zh", "的"))
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def md5_u64(s: str) -> int:
+    """Lower 64 bits of md5, little-endian — EXACTLY DuckDB's
+    md5_number_lower(), so checksums cross-verify."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+class TextStats:
+    """token/char/punct/stopword stats + a quality score per doc."""
+
+    def __init__(self):
+        self.punct = re.compile(r"[^A-Za-z0-9 ]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        words = text.str.split(" ")
+        n_words = words.str.len().astype("int64")
+        n_chars = text.str.len().astype("int64")
+        n_punct = text.str.count(self.punct).astype("int64")
+        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS))
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_words": n_words,
+            "n_chars": n_chars,
+            "punct_ratio": n_punct / n_chars,          # single fp division
+            "stop_ratio": stop.astype("int64") / n_words,
+        })
+        return out
+
+
+class BpeTokenCount:
+    """BPE-ish regex token count (letters / digits / single symbols)."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_bpe": text_token_counts(df["text"], self.pat),
+        })
+
+
+def text_token_counts(text: pd.Series, pat: re.Pattern) -> pd.Series:
+    return text.str.findall(pat).str.len().astype("int64")
+
+
+class LangId:
+    """Marker-stopword language ID (first matching marker wins)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        pred = pd.Series("und", index=df.index, dtype=object)
+        undecided = pd.Series(True, index=df.index)
+        for lang, marker in LANG_MARKERS:
+            hit = undecided & df["text"].str.contains(marker, regex=False)
+            pred[hit] = lang
+            undecided &= ~hit
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
+
+
+class Fingerprint:
+    """Order-insensitive 64-bit document fingerprint: XOR of md5_u64 over
+    the DISTINCT space-separated words (set-hash; the per-chunk
+    BIT_XOR(MD5(row)) idea of sync_diff_inspector/utils/utils.go:860-918
+    applied within a document)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def fp(text: str) -> int:
+            acc = 0
+            for w in set(text.split(" ")):
+                acc ^= md5_u64(w)
+            return acc
+        vals = df["text"].map(fp).astype("uint64")
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": vals})
+
+
+def chunk_checksum(df: pd.DataFrame, num_buckets: int = 16) -> pd.DataFrame:
+    """Per-bucket (doc_id % B) partial row-count + XOR-of-md5 checksum —
+    the chunked diff-validator aggregate (sync_diff_inspector A4). Emits one
+    partial row per bucket per batch; a final groupby XORs/sums partials
+    (XOR and + are associative+commutative ⇒ partials merge exactly)."""
+    bucket = (df["doc_id"] % num_buckets).astype("int64")
+    h = df["text"].map(md5_u64).astype("uint64")
+    g = pd.DataFrame({"bucket": bucket, "h": h}).groupby("bucket")
+    out = g.agg(cnt=("h", "size"), checksum=("h", lambda s: np.bitwise_xor.reduce(
+        s.to_numpy(dtype=np.uint64))))
+    out = out.reset_index()
+    out["cnt"] = out["cnt"].astype("int64")
+    out["checksum"] = out["checksum"].astype("uint64")
+    return out

@@ -1,0 +1,804 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2),
+each with a DuckDB oracle-SQL twin where SQL can express it.
+
+The flagship `cdc_replay*` queries DERIVE a deterministic CDC fixture from
+the driver's own `events`/`documents` tables (pure integer/md5 arithmetic,
+reproduced verbatim in the oracle SQL), stage it as WAL segments + a
+hash-partitioned base lake under /tmp, and run the REAL engine
+(bootstrap → run_replay → read_lake). The SQL twin replays the same stream
+with window functions — so the driver's hash-compare exercises the whole
+sorter/compactor/merge/sink chain, not a toy re-implementation.
+
+Column names/types match the SQL exactly (the driver compares by sorted
+column name); float outputs are restricted to single-division ratios or
+avoided (ids/ranks instead of raw similarity scores).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .fixtures import write_base_partitioned, write_wal_segments
+from .model import TOKEN_VOCAB
+from .stages.schema_evo import DDL, SchemaRegistry
+
+CACHE_ROOT = "/tmp/tiflow_ray_queries"
+LANGS = ["en", "de", "fr", "zh", "es"]
+CDC_P = 8          # partitions for the derived CDC lake
+CDC_SEGMENTS = 4
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=columns)
+
+
+def _ds(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _tokens_list(seed: np.ndarray, mult: int, step: int) -> tuple[pa.ListArray, np.ndarray]:
+    """tokens[i][j] = (seed_i*mult + j*step) % VOCAB, len = 8 + seed_i % 57 —
+    the exact formula embedded in the oracle SQL."""
+    lens = (8 + seed % 57).astype(np.int64)
+    offsets = np.zeros(len(seed) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    j = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    vals = ((np.repeat(seed * mult, lens) + j * step) % TOKEN_VOCAB).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)),
+                                    pa.array(vals)), lens.astype(np.int32)
+
+
+def _doc_names(nums: np.ndarray) -> np.ndarray:
+    return np.char.add("doc-", np.char.zfill(nums.astype("U12"), 12))
+
+
+# ---------------------------------------------------------------------------
+# CDC fixture derived from events/documents (shared by cdc_replay* queries)
+# ---------------------------------------------------------------------------
+
+def stage_cdc_fixture(sf_dir: str, with_ddl: bool) -> tuple[str, SchemaRegistry]:
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|ddl={with_ddl}".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"cdc_{key}")
+    done = os.path.join(root, "_staged.json")
+    if os.path.exists(done):
+        with open(done) as f:
+            return root, SchemaRegistry.from_json(json.load(f)["registry"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    n_docs = docs.num_rows
+
+    # base table: doc-{i}, tokens[(i*17 + j*13) % V], source from documents
+    dnum = docs["doc_id"].to_numpy().astype(np.int64)
+    toks, lens = _tokens_list(dnum, 17, 13)
+    base = pa.table({
+        "doc_id": pa.array(_doc_names(dnum)),
+        "tokens": toks,
+        "n_tok": pa.array(lens),
+        "source": docs["source"],
+    })
+    write_base_partitioned(base, root, CDC_P)
+
+    # WAL: one change event per upstream event row
+    eid = events["event_id"].to_numpy().astype(np.int64)
+    etype = np.asarray(events["event_type"].to_numpy(zero_copy_only=False))
+    cts = events["ts"].cast(pa.int64()).to_numpy().astype(np.int64)  # epoch_us
+    op = np.where(etype == "error", 1, np.where(etype == "signup", 3, 2)).astype(np.uint8)
+    docnum = eid % n_docs
+    has_img = op != 1
+    wtoks, wlens = _tokens_list(eid, 31, 7)
+    # null-out delete images
+    wtoks = pa.ListArray.from_arrays(
+        wtoks.offsets, wtoks.values,
+        mask=pa.array(~has_img))
+    cols = {
+        "op": pa.array(op),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(eid.astype(np.uint64)),
+        "doc_id": pa.array(_doc_names(docnum)),
+        "tokens": wtoks,
+        "n_tok": pa.array(wlens, mask=~has_img),
+        "source": pa.array(np.where(has_img, etype, None), pa.string()),
+        "pre_tokens": pa.nulls(len(eid), pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(len(eid), pa.string()),
+    }
+    registry = SchemaRegistry([])
+    if with_ddl:
+        b = int(cts.min() + (cts.max() - cts.min()) // 2)
+        registry = SchemaRegistry([DDL(b, "add_column", "lang:string", "und", 2)])
+        lang = np.asarray(LANGS, dtype=object)[(docnum * 31) % 5]
+        cols["lang"] = pa.array(np.where(has_img & (cts > b), lang, None),
+                                pa.string())
+    bar = np.array(registry.barriers(), dtype=np.int64)
+    sver = (1 + (cts[:, None] > bar[None, :]).sum(axis=1)).astype(np.int32) \
+        if len(bar) else np.ones(len(eid), np.int32)
+    cols["schema_ver"] = pa.array(sver)
+    wal = pa.table(cols)
+    write_wal_segments(wal, os.path.join(root, "wal"), CDC_SEGMENTS, registry)
+
+    with open(done, "w") as f:
+        json.dump({"registry": registry.to_json(), "n_docs": n_docs}, f)
+    return root, registry
+
+
+def _run_cdc(sf_dir: str, with_ddl: bool, lake_name: str,
+             resume_mid: bool = False) -> pa.Table:
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, with_ddl)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, lake_name),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    if resume_mid:
+        segs = list_segments(cfg.wal_dir)
+        rp.run_replay(cfg, upto_ts=segs[len(segs) // 2 - 1].watermark_ts)
+    rp.run_replay(cfg)
+    out = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    return out
+
+
+_WAL_SQL = """
+  SELECT CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 3 ELSE 2 END AS op,
+         epoch_us(ts) AS commit_ts,
+         event_id AS start_ts,
+         'doc-' || lpad(CAST(event_id % (SELECT count(*) FROM documents) AS VARCHAR), 12, '0') AS doc_id,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE [CAST((event_id*31 + i*7) % 50257 AS INTEGER)
+                    for i in range(0, CAST(8 + event_id % 57 AS BIGINT))] END AS tokens,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(8 + event_id % 57 AS INTEGER) END AS n_tok,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source
+  FROM events
+"""
+
+_BASE_SQL = """
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+         [CAST((doc_id*17 + i*13) % 50257 AS INTEGER)
+          for i in range(0, CAST(8 + doc_id % 57 AS BIGINT))] AS tokens,
+         CAST(8 + doc_id % 57 AS INTEGER) AS n_tok,
+         source
+  FROM documents
+"""
+
+_CDC_REPLAY_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS ({_WAL_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT COALESCE(win.doc_id, base.doc_id) AS doc_id,
+       CASE WHEN win.doc_id IS NULL THEN base.tokens ELSE win.tokens END AS tokens,
+       CASE WHEN win.doc_id IS NULL THEN base.n_tok ELSE win.n_tok END AS n_tok,
+       CASE WHEN win.doc_id IS NULL THEN base.source ELSE win.source END AS source
+FROM base FULL OUTER JOIN win ON base.doc_id = win.doc_id
+WHERE win.op IS NULL OR win.op <> 1
+"""
+
+_CDC_REPLAY_DDL_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS ({_WAL_SQL}),
+bar AS (SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS b
+        FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT COALESCE(win.doc_id, base.doc_id) AS doc_id,
+       CASE WHEN win.doc_id IS NULL THEN base.tokens ELSE win.tokens END AS tokens,
+       CASE WHEN win.doc_id IS NULL THEN base.n_tok ELSE win.n_tok END AS n_tok,
+       CASE WHEN win.doc_id IS NULL THEN base.source ELSE win.source END AS source,
+       CASE WHEN win.doc_id IS NOT NULL AND win.commit_ts > (SELECT b FROM bar)
+            THEN (['en','de','fr','zh','es'])[1 + CAST((win.start_ts % (SELECT count(*) FROM documents)) * 31 AS BIGINT) % 5]
+            ELSE 'und' END AS lang
+FROM base FULL OUTER JOIN win ON base.doc_id = win.doc_id
+WHERE win.op IS NULL OR win.op <> 1
+"""
+
+
+def q_cdc_replay(sf_dir: str) -> pa.Table:
+    """Flagship: full engine replay of the derived change stream (LWW merge,
+    co-partitioned lake, two-phase sink)."""
+    return _run_cdc(sf_dir, with_ddl=False, lake_name="lake_plain")
+
+
+def q_cdc_replay_ddl(sf_dir: str) -> pa.Table:
+    """Same, with an add_column(lang, default 'und') DDL barrier mid-stream:
+    schema-evolution epoch cutting + default backfill + post-barrier images."""
+    return _run_cdc(sf_dir, with_ddl=True, lake_name="lake_ddl")
+
+
+def q_cdc_replay_resume(sf_dir: str) -> pa.Table:
+    """Replay stopped at a mid-stream watermark then resumed from checkpoint
+    — must converge to the same table (exactly-once/resumability)."""
+    return _run_cdc(sf_dir, with_ddl=False, lake_name="lake_resume",
+                    resume_mid=True)
+
+
+# ---------------------------------------------------------------------------
+# CDC operator singles (each = one SURVEY §2 row, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_lww_compact(sf_dir: str) -> pd.DataFrame:
+    """T6/O3: per-key last-writer-wins over the events stream — one shuffle
+    on the key, per-group vectorized sort+last (the compactor kernel)."""
+    ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        last = g.iloc[-1]
+        return pd.DataFrame({"user_id": [last["user_id"]],
+                             "last_event_id": [last["event_id"]],
+                             "last_event_type": [last["event_type"]],
+                             "n_events": [len(g)]})
+
+    out = ds.groupby("user_id").map_groups(last_per_user,
+                                           batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_LWW_COMPACT_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       n_events
+FROM (SELECT *, count(*) OVER (PARTITION BY user_id) AS n_events,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_update_split(sf_dir: str) -> pa.Table:
+    """M3/M4: identity-changing-update split through the REAL split kernel:
+    purchases become U(u-key → m-key) and split into D(u-key)+I(m-key)."""
+    from .stages.update_split import split_updates
+
+    def to_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        is_p = np.asarray(t["event_type"].to_numpy(zero_copy_only=False)) == "purchase"
+        return pa.table({
+            "op": pa.array(np.full(n, 2, np.uint8)),
+            "commit_ts": t["ts"].cast(pa.int64()).cast(pa.uint64()),
+            "start_ts": pa.array(eid.astype(np.uint64)),
+            "doc_id": pa.array(np.char.add("u-", uid.astype("U12"))),
+            "new_doc_id": pa.array(
+                np.where(is_p, np.char.add("m-", eid.astype("U12")), None),
+                pa.string()),
+        })
+
+    ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = ds.map_batches(to_events, batch_format="pyarrow") \
+            .map_batches(split_updates, batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["start_ts"].cast(pa.int64()),
+                         "op": t["op"], "key": t["doc_id"]})
+    return pa.concat_tables(list(out.map_batches(project, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_UPDATE_SPLIT_SQL = """
+SELECT event_id, CAST(2 AS UTINYINT) AS op, 'u-' || user_id AS key
+  FROM events WHERE event_type <> 'purchase'
+UNION ALL
+SELECT event_id, CAST(1 AS UTINYINT), 'u-' || user_id
+  FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, CAST(3 AS UTINYINT), 'm-' || event_id
+  FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_event_filter(sf_dir: str) -> pa.Table:
+    """M5/M7: event-type + ts-range filter, vectorized predicate pushed into
+    the read (row-group pruning) — never a per-row Python filter."""
+    import pyarrow.dataset as pads
+    lo, hi = pa.scalar(np.datetime64("2024-01-08", "us")), \
+        pa.scalar(np.datetime64("2024-01-22", "us"))
+    flt = (pads.field("event_type").isin(["click", "view"])
+           & (pads.field("ts") >= lo) & (pads.field("ts") < hi))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "event_type", "value"],
+                               filter=flt)
+    return pa.concat_tables(list(ds.iter_batches(batch_size=1 << 20,
+                                                 batch_format="pyarrow")))
+
+
+_EVENT_FILTER_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type IN ('click', 'view')
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+"""
+
+
+def q_column_router(sf_dir: str) -> pa.Table:
+    """M8/M11: column selector + rename + routed constant shard column."""
+    def route(t: pa.Table) -> pa.Table:
+        shard = np.char.add("s", (t["user_id"].to_numpy() % 4).astype("U1"))
+        return pa.table({
+            "id": t["event_id"],
+            "etype": pc.utf8_upper(t["event_type"]),
+            "shard": pa.array(shard),
+        })
+    ds = _ds(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return pa.concat_tables(list(ds.map_batches(route, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_COLUMN_ROUTER_SQL = """
+SELECT event_id AS id, upper(event_type) AS etype,
+       's' || CAST(user_id % 4 AS VARCHAR) AS shard
+FROM events
+"""
+
+
+def q_frontier_watermark(sf_dir: str) -> pd.DataFrame:
+    """A1/T3: per-partition resolved-ts watermarks (max commit ts per hash
+    partition) — partial max per batch, tiny final groupby."""
+    ds = _ds(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"part": t["user_id"].to_numpy() % 8,
+                           "w": t["ts"].cast(pa.int64()).to_numpy()})
+        g = df.groupby("part")["w"].max().reset_index()
+        return pa.Table.from_pandas(g.rename(columns={"w": "watermark_ts"}),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Max
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("part").aggregate(Max("watermark_ts", alias_name="watermark_ts")) \
+            .to_pandas()
+    return out.sort_values("part").reset_index(drop=True)
+
+
+_FRONTIER_SQL = """
+SELECT user_id % 8 AS part, max(epoch_us(ts)) AS watermark_ts
+FROM events GROUP BY 1
+"""
+
+
+def q_frontier_checkpoint(sf_dir: str) -> pd.DataFrame:
+    """A2: the global checkpoint = min over per-partition watermarks."""
+    parts = q_frontier_watermark(sf_dir)
+    return pd.DataFrame({"checkpoint_ts": [int(parts["watermark_ts"].min())]})
+
+
+_FRONTIER_CKPT_SQL = """
+SELECT min(watermark_ts) AS checkpoint_ts
+FROM (SELECT user_id % 8 AS part, max(epoch_us(ts)) AS watermark_ts
+      FROM events GROUP BY 1)
+"""
+
+
+def q_schema_version_lookup(sf_dir: str) -> pa.Table:
+    """J1: broadcast as-of join of events against a barrier-ts schedule —
+    version = 1 + #{barriers strictly below ts} (mounter snapshot-at-CRTs-1
+    rule), vectorized with searchsorted against the broadcast list."""
+    ev = _read(sf_dir, "events", ["ts"])
+    us = ev["ts"].cast(pa.int64()).to_numpy()
+    lo, hi = int(us.min()), int(us.max())
+    barriers = np.array([lo + (hi - lo) // 4, lo + (hi - lo) // 2,
+                         lo + (3 * (hi - lo)) // 4], dtype=np.int64)
+    bar_ref = ray.put(barriers)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        b = ray.get(bar_ref)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        ver = 1 + np.searchsorted(b, ts, side="left")
+        # side="left" ⇒ ts == barrier counts as NOT past it (old schema)
+        return pa.table({"event_id": t["event_id"],
+                         "schema_ver": pa.array(ver.astype(np.int64))})
+
+    ds = _ds(sf_dir, "events", ["event_id", "ts"])
+    return pa.concat_tables(list(ds.map_batches(lookup, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_SCHEMA_LOOKUP_SQL = """
+WITH r AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events)
+SELECT event_id,
+       1 + CAST(epoch_us(ts) > (SELECT lo + (hi - lo) // 4 FROM r) AS BIGINT)
+         + CAST(epoch_us(ts) > (SELECT lo + (hi - lo) // 2 FROM r) AS BIGINT)
+         + CAST(epoch_us(ts) > (SELECT lo + (3 * (hi - lo)) // 4 FROM r) AS BIGINT)
+       AS schema_ver
+FROM events
+"""
+
+
+def q_window_tumbling(sf_dir: str) -> pd.DataFrame:
+    """§2.9 windows: tumbling 1-day count per event_type (epoch = the only
+    'window' in the reference; here the general tumbling form)."""
+    ds = _ds(sf_dir, "events", ["ts", "event_type"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return pa.table({"day": d, "event_type": t["event_type"]})
+
+    from ray.data.aggregate import Count
+    out = ds.map_batches(day, batch_format="pyarrow") \
+            .groupby(["day", "event_type"]).aggregate(Count(alias_name="n")) \
+            .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+_WINDOW_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_chunk_checksum(sf_dir: str) -> pd.DataFrame:
+    """A4 (sync_diff): per-bucket row count + XOR-of-md5 checksum — partials
+    per batch, exact merge (XOR/+ associative)."""
+    from .functions.text import chunk_checksum
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    partials = ds.map_batches(lambda df: chunk_checksum(df, 16),
+                              batch_format="pandas").to_pandas()
+    g = partials.groupby("bucket", sort=True)
+    out = pd.DataFrame({
+        "bucket": list(g.groups),
+        "cnt": g["cnt"].sum().astype("int64").to_numpy(),
+        "checksum": g["checksum"].agg(
+            lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.uint64))
+        ).astype("uint64").to_numpy(),
+    })
+    return out.reset_index(drop=True)
+
+
+_CHECKSUM_SQL = """
+SELECT doc_id % 16 AS bucket, count(*) AS cnt,
+       bit_xor(md5_number_lower(text)) AS checksum
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(sf_dir: str) -> pd.DataFrame:
+    from .functions.text import TextStats
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextStats, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       length(text) AS n_chars,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> w IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from .functions.text import LangId
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LANG_ID_SQL = """
+SELECT doc_id,
+       CASE WHEN contains(text, ' the ') THEN 'en'
+            WHEN contains(text, ' der ') THEN 'de'
+            WHEN contains(text, ' le ') THEN 'fr'
+            WHEN contains(text, ' el ') THEN 'es'
+            WHEN contains(text, '的') THEN 'zh'
+            ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    from .functions.text import BpeTokenCount
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(BpeTokenCount, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from .functions.text import Fingerprint
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, bit_xor(md5_number_lower(w)) AS fingerprint
+FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup + similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: key = normalized 5-word prefix; hash-partition by key,
+    keep min doc_id per group (deterministic winner)."""
+    from .functions.dedup import exact_dedup_key
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    keyed = ds.map_batches(exact_dedup_key, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dedup_key": [g["dedup_key"].iloc[0]],
+                             "keep_doc_id": [int(g["doc_id"].min())],
+                             "dups": [len(g)]})
+
+    out = keyed.groupby("dedup_key").map_groups(first,
+                                                batch_format="pandas").to_pandas()
+    out["dups"] = out["dups"].astype("int64")
+    return out.sort_values("dedup_key").reset_index(drop=True)
+
+
+_DEDUP_EXACT_SQL = """
+SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS dedup_key,
+       min(doc_id) AS keep_doc_id, count(*) AS dups
+FROM documents GROUP BY 1
+"""
+
+
+def _planted_docs(sf_dir: str) -> pd.DataFrame:
+    """documents ∪ perturbed near-dup copies of every 10th doc (id+100000,
+    one word changed) — deterministic, so near-dup recall is measurable."""
+    df = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    dup = df[df["doc_id"] % 10 == 0].copy()
+    dup["doc_id"] = dup["doc_id"] + 100000
+    dup["text"] = dup["text"] + " zzq"
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup candidates, verified with exact Jaccard ≥ 0.6.
+    Not SQL-expressible (permutation hashing) → rows-only oracle; recall of
+    the planted dups is asserted in pytest."""
+    from .functions.dedup import MinHashStage, bucket_to_pairs, exact_jaccard
+    docs = _planted_docs(sf_dir)
+    ds = ray.data.from_pandas(docs)
+    sig = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=256,
+                         concurrency=2)
+    cand = sig.groupby(["band", "band_hash"]) \
+              .map_groups(bucket_to_pairs, batch_format="pandas").to_pandas()
+    cand = cand.drop_duplicates(["a", "b"])
+    texts = dict(zip(docs["doc_id"], docs["text"]))  # broadcast-size side
+    jac = [exact_jaccard(texts[a], texts[b]) for a, b in zip(cand["a"], cand["b"])]
+    cand = cand.assign(keep=np.array(jac) >= 0.6)
+    out = cand[cand["keep"]][["a", "b"]].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dups: band-collision candidate screen, then exact
+    hamming-distance ≤ 3 verification. Rows-only oracle (bit-voting isn't
+    SQL-expressible). NOTE: the synthetic corpus shares a tiny vocabulary,
+    so simhash distances concentrate (random pairs can hit 0) — the query
+    validates the mechanism; MinHash-Jaccard is the discriminating dedup
+    here (see q_dedup_minhash's planted-pair recall test)."""
+    from .functions.dedup import SimHashStage, bucket_to_pairs
+    docs = _planted_docs(sf_dir)
+    ds = ray.data.from_pandas(docs)
+    sig = ds.map_batches(SimHashStage, batch_format="pandas", batch_size=256,
+                         concurrency=2)
+    sig_pd = sig.select_columns(["doc_id", "simhash"]).to_pandas()
+    pairs = []
+    for b in range(4):
+        p = sig.select_columns(["doc_id", f"band{b}"]) \
+               .groupby(f"band{b}") \
+               .map_groups(bucket_to_pairs, batch_format="pandas").to_pandas()
+        pairs.append(p)
+    cand = pd.concat(pairs, ignore_index=True).drop_duplicates(["a", "b"])
+    lut = dict(zip(sig_pd["doc_id"].astype(int), sig_pd["simhash"].astype(np.uint64)))
+    ha = cand["a"].map(lut).to_numpy(dtype=np.uint64)
+    hb = cand["b"].map(lut).to_numpy(dtype=np.uint64)
+    dist = np.array([bin(int(x)).count("1") for x in ha ^ hb])
+    out = cand[dist <= 3][["a", "b"]].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_dedup_embed(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ 0.45): per-batch matmul vs the
+    broadcast matrix; SQL twin via list_cosine_similarity."""
+    from .functions.similarity import CosinePairs, _stack
+    t = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ref = ray.put((t["vec_id"].to_numpy(), _stack(t["embedding"])))
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ds.map_batches(CosinePairs, fn_constructor_args=(ref, 0.45),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=2).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_DEDUP_EMBED_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def q_knn_search(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for query vectors 0-4 (ids+ranks only —
+    float scores don't cross engines bit-exactly)."""
+    from .functions.similarity import knn
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn(ds, [0, 1, 2, 3, 4], k=10)
+
+
+_KNN_SQL = """
+SELECT query_id, rank, vec_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                      e.vec_id) AS BIGINT) AS rank
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+WHERE rank <= 10
+"""
+
+
+def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """Binary-payload plumbing: text→binary column → actor-pool decode stub
+    (schema/batching real, codec stubbed — no image libs here)."""
+    from .functions.multimodal import DecodeStub, to_binary_payload
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(to_binary_payload, batch_format="pyarrow") \
+            .map_batches(DecodeStub, batch_format="pyarrow", batch_size=512,
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5_number_lower(text) AS content_hash,
+       CAST(md5_number_lower(text) % 1920 AS BIGINT) AS feat_w,
+       CAST((md5_number_lower(text) >> 16) % 1080 AS BIGINT) AS feat_h
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (pre-agg + broadcast join patterns)
+# ---------------------------------------------------------------------------
+
+def q_agg_partial(sf_dir: str) -> pd.DataFrame:
+    """Partial-then-final aggregation: per-batch combine inside map_batches,
+    then a tiny groupby over partials (the at-scale groupby shape)."""
+    ds = _ds(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+              .agg(sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+        return g
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(partial, batch_format="pandas") \
+            .groupby(["l_returnflag", "l_linestatus"]) \
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_AGG_PARTIAL_SQL = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: customer (small side) shipped once via ray.put,
+    dict-lookup per batch — never a shuffle join for dimension tables."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_numpy(),
+                                  cust["c_mktsegment"].to_pylist())))
+
+    class JoinSegment:
+        def __init__(self):
+            self.lut = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            seg = df["o_custkey"].map(self.lut)
+            return pd.DataFrame({"c_mktsegment": seg})
+
+    ds = _ds(sf_dir, "orders", ["o_custkey"])
+    from ray.data.aggregate import Count
+    out = ds.map_batches(JoinSegment, batch_format="pandas", concurrency=2) \
+            .groupby("c_mktsegment").aggregate(Count(alias_name="n_orders")) \
+            .to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_BROADCAST_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+#: name → (ray_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "cdc_replay": (q_cdc_replay, _CDC_REPLAY_SQL),
+    "cdc_replay_ddl": (q_cdc_replay_ddl, _CDC_REPLAY_DDL_SQL),
+    "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
+    "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
+    "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
+    "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
+    "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
+    "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
+    "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),
+    "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
+    "window_tumbling": (q_window_tumbling, _WINDOW_SQL),
+    "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
+    "text_stats": (q_text_stats, _TEXT_STATS_SQL),
+    "lang_id": (q_lang_id, _LANG_ID_SQL),
+    "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
+    "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
+    "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embed": (q_dedup_embed, _DEDUP_EMBED_SQL),
+    "knn_search": (q_knn_search, _KNN_SQL),
+    "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_SQL),
+    "agg_partial": (q_agg_partial, _AGG_PARTIAL_SQL),
+    "broadcast_join": (q_broadcast_join, _BROADCAST_JOIN_SQL),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql}
