@@ -268,7 +268,7 @@ def generate_wal(root: str, spec: WalSpec, registry: SchemaRegistry) -> list[dic
                           prev_ts[idx], new_doc[idx], sver[idx],
                           registry, spec)
         path = os.path.join(root, "wal", f"seq={s:05d}.parquet")
-        pq.write_table(t, path)
+        pq.write_table(t, path, row_group_size=32768)
         meta = {"seq": s, "watermark_ts": int(cts_g[bnd - 1]),
                 "min_ts": int(cts_g[a]), "max_ts": int(cts_g[bnd - 1]),
                 "rows": int(bnd - a)}
@@ -345,7 +345,10 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
     metas = []
     for s, (a, b) in enumerate(zip(starts, ends)):
         seg = t.slice(a, b - a)
-        pq.write_table(seg, os.path.join(wal_dir, f"seq={s:05d}.parquet"))
+        # modest row groups: Ray parallelizes parquet reads at row-group
+        # granularity, so a handful of big segments still fans out wide
+        pq.write_table(seg, os.path.join(wal_dir, f"seq={s:05d}.parquet"),
+                       row_group_size=32768)
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
                 "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),
                 "rows": int(b - a)}

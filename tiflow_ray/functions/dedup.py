@@ -53,8 +53,52 @@ def make_perms(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_G1, _G2, _G3 = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0x85EBCA6B2C2B2AE3),
+                 np.uint64(0xC2B2AE3D27D4EB4F))
+
+
+def batch_gram_hashes(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-k-gram hashing for a whole batch: hash every word
+    once (C-speed pandas hash), combine k consecutive word hashes with
+    wrap-around multiply-adds. Returns (gram_hashes, doc_offsets) where
+    doc_offsets[i]:doc_offsets[i+1] are doc i's grams (>=1 per doc)."""
+    words_per_doc = [t.split(" ") for t in texts]
+    nw = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    flat = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+    wh = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+
+    with np.errstate(over="ignore"):
+        if len(wh) >= k:
+            g = wh[:-2] * _G1 + wh[1:-1] * _G2 + wh[2:] * _G3
+        else:
+            g = np.empty(0, np.uint64)
+    # position i produces a gram iff i .. i+k-1 stay inside one doc
+    doc_of_word = np.repeat(np.arange(len(nw)), nw)
+    valid = doc_of_word[:-2] == doc_of_word[2:] if len(wh) >= k else np.empty(0, bool)
+    grams = g[valid]
+    gdoc = doc_of_word[:-2][valid] if len(wh) >= k else np.empty(0, np.int64)
+
+    # short docs (< k words): fall back to the single whole-doc hash
+    counts = np.bincount(gdoc, minlength=len(nw))
+    if (counts == 0).any():
+        extra_docs = np.flatnonzero(counts == 0)
+        extra = pd.util.hash_array(
+            np.array([texts[i] for i in extra_docs], dtype=object),
+            categorize=False).astype(np.uint64)
+        grams = np.concatenate([grams, extra])
+        gdoc = np.concatenate([gdoc, extra_docs])
+        order = np.argsort(gdoc, kind="stable")
+        grams, gdoc = grams[order], gdoc[order]
+        counts = np.bincount(gdoc, minlength=len(nw))
+    offsets = np.zeros(len(nw) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return grams, offsets
+
+
 class MinHashStage:
-    """map_batches actor: doc → exploded (band, band_hash, doc_id) rows."""
+    """map_batches actor: docs → exploded (band, band_hash, doc_id) rows.
+    Fully vectorized: per permutation one affine transform over all grams of
+    the batch + a minimum.reduceat per doc (no Python loop over shingles)."""
 
     def __init__(self, num_perm: int = 32, bands: int = 8, k: int = 3,
                  seed: int = 7):
@@ -62,32 +106,54 @@ class MinHashStage:
         self.a, self.b = make_perms(num_perm, seed)
         self.bands, self.rows = bands, num_perm // bands
         self.k = k
+        rng = np.random.default_rng(seed + 1)
+        self.row_mix = rng.integers(1, int(_MERSENNE), size=num_perm,
+                                    dtype=np.uint64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            h = _shingle_hashes(text, self.k)
-            sig = minhash_signature(h, self.a, self.b)
+        texts = df["text"].tolist()
+        grams, offsets = batch_gram_hashes(texts, self.k)
+        n_docs = len(texts)
+        sig = np.empty((len(self.a), n_docs), dtype=np.uint64)
+        starts = offsets[:-1]
+        for j in range(len(self.a)):
+            v = (self.a[j] * grams + self.b[j]) % _MERSENNE
+            sig[j] = np.minimum.reduceat(v, starts)
+        # band hash: mix the band's rows with one more affine combine
+        out = []
+        with np.errstate(over="ignore"):
             for bi in range(self.bands):
-                chunk = sig[bi * self.rows:(bi + 1) * self.rows]
-                bh = zlib.crc32(chunk.tobytes())
-                out_doc.append(doc_id)
-                out_band.append(bi)
-                out_hash.append(bh)
-        return pd.DataFrame({"doc_id": out_doc, "band": out_band,
-                             "band_hash": out_hash})
+                rows = sig[bi * self.rows:(bi + 1) * self.rows]
+                mix = self.row_mix[bi * self.rows:(bi + 1) * self.rows]
+                bh = (rows * mix[:, None]).sum(axis=0, dtype=np.uint64)
+                out.append(pd.DataFrame({
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "band": np.full(n_docs, bi, np.int64),
+                    "band_hash": bh.astype(np.int64),
+                }))
+        return pd.concat(out, ignore_index=True)
 
 
-def bucket_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket → candidate pairs (a<b). Buckets are tiny by design;
-    a hot bucket (giant near-dup cluster) should be capped in production —
-    we keep all pairs here and note the cap knob."""
-    ids = sorted(set(g["doc_id"]))
-    if len(ids) < 2:
+def pairs_from_buckets(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
+    """Candidate pairs from one (band, bucket) slice: vectorized group scan
+    over band_hash; buckets larger than `max_bucket` docs are capped (a
+    giant near-dup cluster would otherwise emit O(m^2) pairs — the cap is
+    logged upstream, not silent)."""
+    g = g.sort_values(["band_hash", "doc_id"], kind="mergesort")
+    a_out, b_out = [], []
+    for _, grp in g.groupby("band_hash", sort=False):
+        ids = grp["doc_id"].to_numpy()
+        if len(ids) < 2:
+            continue
+        ids = ids[:max_bucket]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        a_out.append(ids[ia])
+        b_out.append(ids[ib])
+    if not a_out:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"a": list(a), "b": list(b)})
+    return pd.DataFrame({"a": np.concatenate(a_out).astype("int64"),
+                         "b": np.concatenate(b_out).astype("int64")})
 
 
 def exact_jaccard(t1: str, t2: str, k: int = 3) -> float:

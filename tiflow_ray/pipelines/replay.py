@@ -124,10 +124,12 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
     ds = ds.map_batches(split_updates, batch_format="pyarrow",
                         batch_size=cfg.batch_size)
     if cfg.precompact:
-        ds = ds.map_batches(compact_batch, batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
-    ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
-                        batch_format="pyarrow", batch_size=cfg.batch_size)
+        # combiner + partition column in one fused pass (hash computed once)
+        ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions),
+                            batch_format="pyarrow", batch_size=cfg.batch_size)
+    else:
+        ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
+                            batch_format="pyarrow", batch_size=cfg.batch_size)
 
     n_events = 0  # counted below from per-part delta stats
 

@@ -240,22 +240,28 @@ def q_cdc_replay_resume(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def q_lww_compact(sf_dir: str) -> pd.DataFrame:
-    """T6/O3: per-key last-writer-wins over the events stream — one shuffle
-    on the key, per-group vectorized sort+last (the compactor kernel)."""
+    """T6/O3: per-key last-writer-wins over the events stream — per-batch
+    combiner (last event + count per key per batch, the compactor kernel),
+    then a driver-side merge of the O(keys)-sized partials (no wide shuffle
+    for an aggregate whose partials collapse to the key count)."""
     ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        last = g.iloc[-1]
-        return pd.DataFrame({"user_id": [last["user_id"]],
-                             "last_event_id": [last["event_id"]],
-                             "last_event_type": [last["event_type"]],
-                             "n_events": [len(g)]})
+        last = g.groupby("user_id", as_index=False).tail(1)
+        cnt = g.groupby("user_id", as_index=False).size()
+        return last.merge(cnt, on="user_id")
 
-    out = ds.groupby("user_id").map_groups(last_per_user,
-                                           batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["ts", "event_id"], kind="mergesort")
+    last = parts.groupby("user_id", as_index=False).tail(1)
+    cnt = parts.groupby("user_id", as_index=False)["size"].sum()
+    out = last.merge(cnt.rename(columns={"size": "n_events"}), on="user_id")
+    out = out.rename(columns={"event_id": "last_event_id",
+                              "event_type": "last_event_type"})
     out["n_events"] = out["n_events"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
+    return (out[["user_id", "last_event_id", "last_event_type", "n_events"]]
+            .sort_values("user_id").reset_index(drop=True))
 
 
 _LWW_COMPACT_SQL = """
@@ -596,19 +602,25 @@ def _planted_docs(sf_dir: str) -> pd.DataFrame:
 
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard ≥ 0.6.
-    Not SQL-expressible (permutation hashing) → rows-only oracle; recall of
-    the planted dups is asserted in pytest."""
-    from .functions.dedup import MinHashStage, bucket_to_pairs, exact_jaccard
+    Shape at scale: signatures vectorized per batch → explode to
+    (band, bucket=band_hash%64, doc_id) → groupby the 512 coarse buckets →
+    vectorized pair scan inside each → Jaccard verify. Not SQL-expressible
+    (permutation hashing) → rows-only oracle; recall of the planted dups is
+    asserted in pytest."""
+    from .functions.dedup import MinHashStage, exact_jaccard, pairs_from_buckets
     docs = _planted_docs(sf_dir)
     ds = ray.data.from_pandas(docs)
-    sig = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=256,
+    sig = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=4096,
                          concurrency=2)
-    cand = sig.groupby(["band", "band_hash"]) \
-              .map_groups(bucket_to_pairs, batch_format="pandas").to_pandas()
+    sig = sig.map_batches(
+        lambda df: df.assign(bucket=(df["band_hash"] % 64).astype("int64")),
+        batch_format="pandas")
+    cand = sig.groupby(["band", "bucket"]) \
+              .map_groups(pairs_from_buckets, batch_format="pandas").to_pandas()
     cand = cand.drop_duplicates(["a", "b"])
     texts = dict(zip(docs["doc_id"], docs["text"]))  # broadcast-size side
     jac = [exact_jaccard(texts[a], texts[b]) for a, b in zip(cand["a"], cand["b"])]
-    cand = cand.assign(keep=np.array(jac) >= 0.6)
+    cand = cand.assign(keep=np.array(jac) >= 0.6 if len(cand) else [])
     out = cand[cand["keep"]][["a", "b"]].astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -620,19 +632,25 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     so simhash distances concentrate (random pairs can hit 0) — the query
     validates the mechanism; MinHash-Jaccard is the discriminating dedup
     here (see q_dedup_minhash's planted-pair recall test)."""
-    from .functions.dedup import SimHashStage, bucket_to_pairs
+    from .functions.dedup import SimHashStage, pairs_from_buckets
     docs = _planted_docs(sf_dir)
     ds = ray.data.from_pandas(docs)
-    sig = ds.map_batches(SimHashStage, batch_format="pandas", batch_size=256,
+    sig = ds.map_batches(SimHashStage, batch_format="pandas", batch_size=4096,
                          concurrency=2)
     sig_pd = sig.select_columns(["doc_id", "simhash"]).to_pandas()
-    pairs = []
-    for b in range(4):
-        p = sig.select_columns(["doc_id", f"band{b}"]) \
-               .groupby(f"band{b}") \
-               .map_groups(bucket_to_pairs, batch_format="pandas").to_pandas()
-        pairs.append(p)
-    cand = pd.concat(pairs, ignore_index=True).drop_duplicates(["a", "b"])
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [pd.DataFrame({"doc_id": df["doc_id"],
+                               "band": np.int64(b),
+                               "band_hash": df[f"band{b}"],
+                               "bucket": (df[f"band{b}"] % 64).astype("int64")})
+                 for b in range(4)]
+        return pd.concat(parts, ignore_index=True)
+
+    cand = sig.map_batches(explode_bands, batch_format="pandas") \
+              .groupby(["band", "bucket"]) \
+              .map_groups(pairs_from_buckets, batch_format="pandas").to_pandas()
+    cand = cand.drop_duplicates(["a", "b"])
     lut = dict(zip(sig_pd["doc_id"].astype(int), sig_pd["simhash"].astype(np.uint64)))
     ha = cand["a"].map(lut).to_numpy(dtype=np.uint64)
     hb = cand["b"].map(lut).to_numpy(dtype=np.uint64)
@@ -717,11 +735,9 @@ def q_agg_partial(sf_dir: str) -> pd.DataFrame:
               .agg(sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
         return g
 
-    from ray.data.aggregate import Sum
-    out = ds.map_batches(partial, batch_format="pandas") \
-            .groupby(["l_returnflag", "l_linestatus"]) \
-            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                       Sum("n", alias_name="n")).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+               .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum"))
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 

@@ -10,54 +10,105 @@ pebble sorter key encoding key.go:83-120), the LAST event alone decides the
 row: op==DELETE ⇒ tombstone, else its image is the row (REPLACE semantics,
 cdc/sink/dmlsink/txn/mysql/mysql.go:525-539).
 
-Two kernels, both fully vectorized (sort_indices + boundary mask, no row
-loops):
+Performance shape (the 100 TB story): events sort by a 64-BIT KEY HASH via
+numpy lexsort (no string comparisons in the hot loop), and only the winner
+rows are gathered (`take` of ~the doc count, not the event count — the
+token payloads of losers are never copied). Hash collisions are handled
+exactly:
 
-- `compact_batch`: the per-batch COMBINER run before the shuffle — valid
-  because "last by total sort key" is associative; this is what makes hot
-  keys (1% of docs with 50% of events) cheap: their events collapse inside
-  every input batch before a single byte is shuffled (the salted
-  sub-partition pre-reduce of SURVEY.md §4, splitter_write.go analog: the
-  "salt" is the physical input-batch boundary).
-- `compact_partition`: the final per-partition reduce after the shuffle.
+- `compact_batch` (pre-shuffle COMBINER) treats every consecutive
+  (hash, doc_id) run as a group. If two docs collide on hash, their
+  interleaved runs yield EXTRA survivors — harmless for a combiner, the
+  true winner of each doc always survives (it ends that doc's last run).
+- `compact_partition` (final reduce) does the same pass, then an exact
+  pandas dedup on the (small) winner set — one row per doc_id, bit-exact
+  ordering, regardless of collisions.
+
+The combiner is what makes hot keys (1% of docs with 50% of events) cheap:
+their events collapse inside every input batch before a byte is shuffled
+(the salted sub-partition pre-reduce of SURVEY.md §4 — the "salt" is the
+physical input-batch boundary).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ..model import EVENT_SORT_KEYS, hash_partition
-
-
-def _last_per_doc(t: pa.Table) -> pa.Table:
-    """Sort by (doc_id, commit_ts, start_ts, op) and keep each doc's last row."""
-    if t.num_rows <= 1:
-        return t
-    idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")] + EVENT_SORT_KEYS)
-    t = t.take(idx)
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    last = np.ones(len(ids), bool)
-    last[:-1] = ids[:-1] != ids[1:]
-    if last.all():
-        return t
-    return t.filter(pa.array(last))
+from ..model import OP_DELETE, OP_INSERT, OP_UPDATE  # noqa: F401  (re-export)
 
 
-def compact_batch(t: pa.Table) -> pa.Table:
-    """Pre-shuffle combiner: collapse each doc_id's events within one batch."""
-    return _last_per_doc(t)
+def key_hash(doc_ids) -> np.ndarray:
+    """Stable 64-bit hash of the key column (same base as model.hash_partition)."""
+    if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        doc_ids = doc_ids.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(doc_ids, dtype=object),
+                              categorize=False)
+
+
+def _winner_indices(t: pa.Table, h: np.ndarray) -> np.ndarray:
+    """Indices of the last row of every consecutive (hash, doc_id) run after
+    sorting by (hash, commit_ts, start_ts, op)."""
+    cts = t["commit_ts"].to_numpy(zero_copy_only=False)
+    sts = t["start_ts"].to_numpy(zero_copy_only=False)
+    op = t["op"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((op, sts, cts, h))
+    hs = h[order]
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+    last = np.ones(len(order), bool)
+    if len(order) > 1:
+        last[:-1] = (hs[:-1] != hs[1:]) | (ids[:-1] != ids[1:])
+    return order[last]
+
+
+def compact_batch(t: pa.Table, num_partitions: int | None = None) -> pa.Table:
+    """Pre-shuffle combiner: collapse each doc's events within one batch and
+    (optionally, in the same pass) attach the shuffle partition column —
+    part = hash(doc_id) % P, the span/causality-slot analog
+    (pkg/causality/conflict_detector.go:26-118): all events of one key land
+    in one partition ⇒ serialized per key, parallel across keys."""
+    if t.num_rows == 0:
+        out = t
+        h = np.empty(0, np.uint64)
+    else:
+        h = key_hash(t["doc_id"])
+        win = _winner_indices(t, h)
+        if len(win) == t.num_rows:
+            out = t
+        else:
+            out = t.take(pa.array(win))
+            h = h[win]
+    if num_partitions is not None:
+        part = (h % np.uint64(num_partitions)).astype(np.uint32)
+        out = out.append_column("part", pa.array(part))
+    return out
 
 
 def compact_partition(t: pa.Table) -> pa.Table:
-    """Post-shuffle final reduce: one surviving event per doc_id."""
-    return _last_per_doc(t)
+    """Final per-partition reduce: EXACTLY one surviving event per doc_id."""
+    if t.num_rows <= 1:
+        return t
+    h = key_hash(t["doc_id"])
+    win = _winner_indices(t, h)
+    out = t.take(pa.array(win)) if len(win) < t.num_rows else t
+    # exact pass on the (small) winner set: dedup collided docs precisely
+    df = pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(zero_copy_only=False),
+        "commit_ts": out["commit_ts"].to_numpy(zero_copy_only=False),
+        "start_ts": out["start_ts"].to_numpy(zero_copy_only=False),
+        "op": out["op"].to_numpy(zero_copy_only=False),
+    })
+    if df["doc_id"].is_unique:
+        return out
+    keep = (df.sort_values(["commit_ts", "start_ts", "op"], kind="mergesort")
+              .drop_duplicates("doc_id", keep="last").index.to_numpy())
+    keep.sort()
+    return out.take(pa.array(keep))
 
 
 def assign_partition(t: pa.Table, num_partitions: int) -> pa.Table:
-    """Add the shuffle key: part = hash(doc_id) % P — the span/causality-slot
-    analog (pkg/causality/conflict_detector.go:26-118): all events of one key
-    land in one partition ⇒ serialized per key, parallel across keys."""
-    parts = hash_partition(t["doc_id"], num_partitions)
-    return t.append_column("part", pa.array(parts, pa.uint32()))
+    """Standalone partition-column assignment (compact_batch does it fused
+    when the combiner is enabled)."""
+    part = (key_hash(t["doc_id"]) % np.uint64(num_partitions)).astype(np.uint32)
+    return t.append_column("part", pa.array(part))
