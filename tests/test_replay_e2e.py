@@ -56,6 +56,23 @@ def test_partial_replay_matches_oracle_at_watermark(t1_fixture, tmp_path):
     assert got.equals(exp)
 
 
+@pytest.mark.parametrize("mode,every", [("cow", 8), ("mor", 2), ("mor", 100)])
+def test_sink_modes_match_oracle(t1_fixture, tmp_path, mode, every):
+    """CoW, MoR-with-aggressive-compaction (chains fold mid-stream), and
+    MoR-never-fold (read path does the whole merge) all converge to the
+    same oracle state."""
+    root, reg, *_ = t1_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / f"lake_{mode}_{every}"),
+                       num_partitions=8, max_segments_per_epoch=1,
+                       sink_mode=mode, compact_every=every, validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp)
+
+
 def test_precompact_off_same_result(t1_noddl_fixture, tmp_path):
     root, reg, *_ = t1_noddl_fixture
     cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),

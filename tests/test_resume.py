@@ -46,8 +46,9 @@ def test_crash_before_commit_is_invisible(t1_fixture, tmp_path):
     last = lake.committed_epochs()[-1]
     os.remove(os.path.join(cfg.lake_dir, "_manifest", f"epoch-{last:06d}.json"))
     # data files of the uncommitted epoch still exist on disk — inert garbage
+    # (a base file under cow/fold, a delta file under MoR)
     assert glob.glob(os.path.join(cfg.lake_dir, "data", "part=*",
-                                  f"epoch-{last:06d}.parquet"))
+                                  f"*-{last:06d}.parquet"))
     rp.run_replay(cfg)  # re-plans from the surviving checkpoint
     got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
     exp = oracle.replay_to_table(root, reg)

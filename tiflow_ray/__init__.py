@@ -11,4 +11,12 @@ semantics, dm/syncer/compactor.go:152-225), schema-evolution barriers
 with checkpoint/lineage (pkg/sink/cloudstorage/dml_worker.go:209-231).
 """
 
+import os as _os
+
+# one Rust thread per polars call-site: polars is used for per-batch key
+# hashing inside Ray workers — its default whole-machine thread pool would
+# oversubscribe every core 32x (set before any polars import, inherited by
+# workers spawned after driver import)
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

@@ -18,8 +18,27 @@ class ReplayConfig:
 
     # execution sizing (see SURVEY.md §4; these mirror the reference's pools:
     # mounter 16, encoding 8, storage dmlWorkers 16)
-    batch_size: int = 65536           # rows per map_batches call
+    batch_size: int = 524288          # rows per map_batches call (bigger batches
+                                      # = stronger combiner reduction; measured
+                                      # best at 512k on the 20M-event bench)
     merge_concurrency: int | None = None   # actor/task parallelism for merge stage (None = Ray default)
+
+    # exchange shape
+    shuffle_mode: str = "sort"        # "sort": ray groupby sort-shuffle —
+                                      # DEFAULT: overlaps with the read/map
+                                      # stages under streaming execution and
+                                      # spills gracefully (measured 1.7-2x
+                                      # faster than "direct" at 20M events).
+                                      # "direct": explicit hash exchange (split
+                                      # blocks by part, one task per partition)
+                                      # — a materializing barrier; useful for
+                                      # few-partition / tiny-epoch replays
+
+    # sink shape
+    sink_mode: str = "mor"            # "mor": append winner deltas, fold every
+                                      # compact_every epochs (I/O ∝ change volume);
+                                      # "cow": rewrite touched partitions each epoch
+    compact_every: int = 8            # MoR: fold a partition when its chain hits this
 
     # behavior toggles
     precompact: bool = True           # per-batch LWW combiner before shuffle (DM compactor, T6)

@@ -83,18 +83,28 @@ def event_schema(value_fields: list[pa.Field] | None = None) -> pa.Schema:
     return pa.schema(fields)
 
 
-def hash_partition(doc_ids, num_partitions: int) -> np.ndarray:
-    """Stable hash partition of a string key column → uint32 partition ids.
+def key_hash64(doc_ids, seed: int = 0) -> np.ndarray:
+    """Stable 64-bit hash of a string key column → uint64, NO Python-object
+    round-trip (polars/Rust on the Arrow buffer; ~10x faster than
+    pandas.util.hash_array on objects). Deterministic across processes for
+    a fixed polars version + seed. Used by the fixture generator (base lake
+    layout) and every epoch's shuffle — MUST stay consistent."""
+    import os as _os
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
 
-    Deterministic across processes/runs (pandas hash_array with its fixed
-    default key), vectorized. Used by the fixture generator (to lay out the
-    base lake) and by every epoch's shuffle — MUST stay consistent.
-    """
-    if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
-        doc_ids = doc_ids.to_numpy(zero_copy_only=False)
-    arr = np.asarray(doc_ids, dtype=object)
-    h = pd.util.hash_array(arr, categorize=False)
-    return (h % np.uint64(num_partitions)).astype(np.uint32)
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    if isinstance(doc_ids, pa.Array):
+        s = pl.from_arrow(doc_ids)
+    else:
+        s = pl.Series(np.asarray(doc_ids, dtype=object).astype(str))
+    return s.hash(seed=seed).to_numpy()
+
+
+def hash_partition(doc_ids, num_partitions: int) -> np.ndarray:
+    """part = key_hash64(doc_id) % P → uint32 partition ids."""
+    return (key_hash64(doc_ids) % np.uint64(num_partitions)).astype(np.uint32)
 
 
 def sort_events_table(t: pa.Table, with_doc: bool = True) -> pa.Table:

@@ -103,7 +103,7 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
             md = pq.read_metadata(files[0])
             parts[str(p)] = {"path": files[0], "schema_ver": 1,
                              "rows": md.num_rows, "watermark_ts": 0,
-                             "bytes": 0}
+                             "bytes": 0, "deltas": []}
     m = Manifest(epoch=0, watermark_ts=0, schema_ver=1,
                  num_partitions=cfg.num_partitions, parts=parts,
                  segments_applied=[], stats={"bootstrap": True})
@@ -117,7 +117,17 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
     cols = epoch_event_columns(image_cols)
     flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
 
-    ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt)
+    # block count ≫ cores: parquet files are few and large, so without an
+    # override the read fans out only #files wide and the whole pipeline
+    # starves past ~16 cores (measured 2-4x on the 20M-event bench)
+    read_kwargs = {}
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if ep.est_rows > 4 * 131072:
+        read_kwargs["override_num_blocks"] = max(
+            ncpu, min(8 * ncpu, ep.est_rows // 131072))
+
+    ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
+                               **read_kwargs)
     ds = ds.map_batches(Normalize(image_cols, ep.lo, ep.hi,
                                   cfg.ignore_sources, cfg.validate),
                         batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -136,26 +146,43 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
     merge = MergeApply(registry_json=registry.to_json(),
                        prev_parts=prev.parts, epoch=epoch_no,
                        epoch_ver=ep.schema_ver, watermark_ts=ep.hi,
-                       lake_data_dir=os.path.join(cfg.lake_dir, "data"))
-    def merge_apply(t: pa.Table) -> pa.Table:  # map_groups needs a __name__
-        return merge(t)
+                       lake_data_dir=os.path.join(cfg.lake_dir, "data"),
+                       sink_mode=cfg.sink_mode, compact_every=cfg.compact_every)
+    if cfg.shuffle_mode == "direct":
+        stats_rows = _direct_exchange(ds, merge, cfg.num_partitions)
+    else:
+        def merge_apply(t: pa.Table) -> pa.Table:  # map_groups needs a __name__
+            return merge(t)
 
-    gb = ds.groupby("part")
-    kwargs = {}
-    if cfg.merge_concurrency:
-        kwargs["concurrency"] = cfg.merge_concurrency
-    stats_rows = gb.map_groups(merge_apply, batch_format="pyarrow", **kwargs).take_all()
+        gb = ds.groupby("part")
+        kwargs = {}
+        if cfg.merge_concurrency:
+            kwargs["concurrency"] = cfg.merge_concurrency
+        stats_rows = gb.map_groups(merge_apply, batch_format="pyarrow",
+                                   **kwargs).take_all()
 
-    # build the next manifest: touched parts get new files; untouched carry over
+    # build the next manifest: touched parts get a new base file (fold/cow)
+    # or an appended delta (MoR); untouched parts carry over untouched
     parts = dict(prev.parts)
     rows_total = 0
     for r in stats_rows:
-        parts[str(r["part"])] = {"path": r["path"], "schema_ver": r["schema_ver"],
-                                 "rows": r["rows"], "watermark_ts": r["watermark_ts"],
-                                 "bytes": r["bytes"]}
+        key = str(r["part"])
+        if r["is_delta"]:
+            pm = dict(parts.get(key) or
+                      {"path": None, "schema_ver": ep.schema_ver,
+                       "rows": 0, "bytes": 0, "deltas": []})
+            pm["deltas"] = list(pm.get("deltas", [])) + [
+                {"path": r["path"], "schema_ver": r["schema_ver"],
+                 "epoch": epoch_no}]
+            pm["watermark_ts"] = r["watermark_ts"]
+        else:
+            pm = {"path": r["path"], "schema_ver": r["schema_ver"],
+                  "rows": r["rows"], "watermark_ts": r["watermark_ts"],
+                  "bytes": r["bytes"], "deltas": []}
+        parts[key] = pm
         n_events += r["delta_events"]
     for meta in parts.values():
-        rows_total += meta["rows"]
+        rows_total += max(meta.get("rows", 0), 0)
 
     m = Manifest(epoch=epoch_no, watermark_ts=ep.hi, schema_ver=ep.schema_ver,
                  num_partitions=prev.num_partitions, parts=parts,
@@ -165,6 +192,45 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
     lake.commit(m)  # THE commit point: epoch becomes durable exactly here
     return m, EpochResult(epoch_no, ep.lo, ep.hi, ep.schema_ver, n_events,
                           len(stats_rows), rows_total)
+
+
+def _split_block_by_part(t: pa.Table, num_partitions: int) -> tuple:
+    """One combiner output block → P zero-copy-sliced sub-tables (sorted by
+    the uint32 part column; no comparator sort, no sampling)."""
+    import numpy as np
+    part = t["part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    ts = t.take(pa.array(order))
+    ps = part[order]
+    bounds = np.searchsorted(ps, np.arange(num_partitions + 1))
+    return tuple(ts.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                 for p in range(num_partitions))
+
+
+def _merge_exchange_task(merge: "MergeApply", part: int, *tables) -> dict | None:
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    return merge(pa.concat_tables(tables)).to_pylist()[0]
+
+
+def _direct_exchange(ds: ray.data.Dataset, merge: "MergeApply",
+                     num_partitions: int) -> list[dict]:
+    """Explicit hash exchange replacing the generic sort shuffle: the
+    partition count is small and FIXED (the lake layout), so routing is a
+    stable integer sort + zero-copy slicing per block, and each partition's
+    merge is one task over its slice refs. This is the span-assignment
+    exchange of the reference made literal. For very large P or multi-node
+    spill pressure, cfg.shuffle_mode="sort" falls back to Ray's shuffle."""
+    split = ray.remote(num_returns=num_partitions)(_split_block_by_part)
+    block_refs = ds.to_arrow_refs()   # combiner output, materialized as blocks
+    subrefs = [split.remote(r, num_partitions) for r in block_refs]
+    if num_partitions == 1:
+        subrefs = [[s] for s in subrefs]
+    merge_task = ray.remote(_merge_exchange_task)
+    stats_refs = [merge_task.remote(merge, p, *[sr[p] for sr in subrefs])
+                  for p in range(num_partitions)]
+    return [r for r in ray.get(stats_refs) if r is not None]
 
 
 def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
@@ -197,9 +263,13 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
 
 
 def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
-    """Current lake table as a Dataset; parts whose files are behind on
-    schema (untouched since a barrier) are cast on read — merge-on-read for
-    schema only, one sub-dataset per stale version, unioned."""
+    """Current lake table as a Dataset: one fold task per partition applies
+    the MoR delta chain (and any pending schema cast) — the read half of the
+    merge-on-read sink. CoW lakes (empty chains) reduce to a plain read."""
+    import json as _json
+
+    from ..stages.merge import fold_part
+
     lake = LakeState(lake_dir)
     m = lake.latest()
     assert m is not None
@@ -207,25 +277,21 @@ def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
     reg_json = registry.to_json()
     cur_ver = m.schema_ver
 
-    by_ver: dict[int, list[str]] = {}
-    for meta in m.parts.values():
-        by_ver.setdefault(meta["schema_ver"], []).append(meta["path"])
-    if not by_ver:
+    metas = [meta for _, meta in sorted(m.parts.items(), key=lambda kv: int(kv[0]))]
+    if not metas:
         return ray.data.from_arrow(registry.schema(cur_ver).empty_table())
 
-    pieces = []
-    for ver, paths in sorted(by_ver.items()):
-        # partitioning=None: part={p} is OUR layout, not a hive column
-        ds = ray.data.read_parquet(sorted(paths), partitioning=None)
-        if ver != cur_ver:
-            def cast(t: pa.Table, _v=ver) -> pa.Table:
-                return SchemaRegistry.from_json(reg_json).cast_table(t, _v, cur_ver)
-            ds = ds.map_batches(cast, batch_format="pyarrow")
-        pieces.append(ds)
-    out = pieces[0]
-    for ds in pieces[1:]:
-        out = out.union(ds)
-    return out
+    items = [{"meta_json": _json.dumps(meta)} for meta in metas]
+
+    def fold_batch(t: pa.Table) -> pa.Table:
+        reg = SchemaRegistry.from_json(reg_json)
+        outs = [fold_part(_json.loads(s), reg, cur_ver)
+                for s in t["meta_json"].to_pylist()]
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(items).map_batches(fold_batch,
+                                                  batch_format="pyarrow",
+                                                  batch_size=1)
 
 
 def lake_to_table(lake_dir: str, wal_dir: str | None = None) -> pa.Table:

@@ -33,7 +33,7 @@ from .fixtures import write_base_partitioned, write_wal_segments
 from .model import TOKEN_VOCAB
 from .stages.schema_evo import DDL, SchemaRegistry
 
-CACHE_ROOT = "/tmp/tiflow_ray_queries"
+CACHE_ROOT = "/tmp/tiflow_ray_queries_v2"  # v2: polars key hashing (lake layout)
 LANGS = ["en", "de", "fr", "zh", "es"]
 CDC_P = 8          # partitions for the derived CDC lake
 CDC_SEGMENTS = 4

@@ -41,6 +41,7 @@ class Epoch:
     hi: int               # inclusive upper bound (a watermark or barrier ts)
     schema_ver: int       # the ONE schema version of every event in (lo, hi]
     files: tuple[str, ...]  # WAL segment files overlapping (lo, hi]
+    est_rows: int = 0     # upper-bound row estimate (sum of overlapping segments)
 
 
 def list_segments(wal_dir: str) -> list[Segment]:
@@ -87,8 +88,10 @@ def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
     epochs = []
     lo = from_ts
     for i, hi in enumerate(bounds):
-        files = tuple(s.path for s in segments if s.max_ts > lo and s.min_ts <= hi)
+        overlapping = [s for s in segments if s.max_ts > lo and s.min_ts <= hi]
         ver = registry.version_at(hi)  # events at hi use the old schema ⇒ this ver
-        epochs.append(Epoch(i, lo, hi, ver, files))
+        epochs.append(Epoch(i, lo, hi, ver,
+                            tuple(s.path for s in overlapping),
+                            sum(s.rows for s in overlapping)))
         lo = hi
     return epochs

@@ -4,9 +4,21 @@ The explicit version of the reference's implicit J2 join (the downstream DB
 executes REPLACE/UPDATE/DELETE, cdc/sink/dmlsink/txn/mysql/mysql.go:598-608;
 the storage sink defers to the consumer): base table and deltas share the
 same hash(doc_id)%P layout, so the merge never shuffles the base — each
-merge task reads ONLY its own partition's current file (listed in the
-previous manifest), applies the per-key winners, and writes the partition's
-next file with a deterministic name (two-phase, see state/checkpoint.py).
+merge task touches ONLY its own partition's files (listed in the previous
+manifest) and writes deterministic names (two-phase, see state/checkpoint.py).
+
+Two sink modes (ReplayConfig.sink_mode):
+
+- "mor" (merge-on-read, DEFAULT — the 100 TB shape): each epoch appends the
+  partition's compacted winners as a small DELTA file
+  (`delta-{epoch}.parquet`, op column kept for tombstones); per-epoch I/O is
+  proportional to the CHANGE volume, not the table size. When a partition's
+  delta chain reaches `compact_every`, that partition's merge task folds
+  base+chain into a new base file (per-partition compaction, no extra
+  shuffle). Readers fold base+deltas in LWW epoch order (read_lake).
+- "cow" (copy-on-write): every touched partition rewrites its full file
+  each epoch — simpler reads, heavy write amplification; kept for
+  small/latency-insensitive lakes and for A/B correctness tests.
 
 Merge rule per doc_id (REPLACE semantics = DM safe mode, §2.9):
   winner op == DELETE → row absent (tombstone; delete-of-missing is a no-op)
@@ -29,68 +41,106 @@ from ..model import OP_DELETE
 from .compact import compact_partition
 from .schema_evo import SchemaRegistry
 
+#: non-image columns a delta file carries besides the key
+DELTA_META_COLS = ["op", "commit_ts"]
+
+
+def apply_winners(base: pa.Table, winners: pa.Table,
+                  registry: SchemaRegistry, from_ver: int,
+                  to_ver: int) -> pa.Table:
+    """base ⊕ one winner set (≤1 row per doc_id): anti-join survivors +
+    non-tombstone images, images cast from their schema version."""
+    touched = pc.unique(winners["doc_id"])
+    if base.num_rows:
+        base = base.filter(pc.invert(pc.is_in(base["doc_id"], value_set=touched)))
+    ups = winners.filter(pc.not_equal(winners["op"], OP_DELETE))
+    ups = registry.cast_table(ups, from_ver, to_ver, force_project=True)
+    return pa.concat_tables([base, ups]) if base.num_rows else ups
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=131072)
+    os.replace(tmp, path)  # idempotent under task retry (deterministic content)
+
+
+def fold_part(meta: dict, registry: SchemaRegistry, to_ver: int) -> pa.Table:
+    """Materialize one partition's current state: base ⊕ delta chain in
+    epoch order, cast to `to_ver`, sorted by doc_id. The read half of MoR
+    (the storage-consumer replay direction, cmd/storage-consumer/main.go)."""
+    if meta.get("path"):
+        base = pq.read_table(meta["path"])
+        base = registry.cast_table(base, meta["schema_ver"], to_ver)
+    else:
+        base = registry.schema(to_ver).empty_table()
+    for d in meta.get("deltas", []):
+        w = pq.read_table(d["path"])
+        base = apply_winners(base, w, registry, d["schema_ver"], to_ver)
+    return base.take(pc.sort_indices(base, sort_keys=[("doc_id", "ascending")]))
+
 
 class MergeApply:
     """Per-partition merge worker, used as the `map_groups` body of the
     groupby("part") shuffle. Stateful-ish config (registry, manifest parts,
-    epoch, target paths) is small and rides in the closure; the heavy state
-    (the base partition) is read inside the task from the lake — the actor
-    analog of the reference's per-table dmlWorkers
+    epoch, paths) is small and rides in the closure; the heavy state (base
+    partition / delta chain) is read inside the task from the lake — the
+    actor analog of the reference's per-table dmlWorkers
     (cdc/sink/dmlsink/cloudstorage/dml_worker.go)."""
 
     def __init__(self, *, registry_json: str, prev_parts: dict[str, dict],
                  epoch: int, epoch_ver: int, watermark_ts: int,
-                 lake_data_dir: str, final_compact: bool = True):
+                 lake_data_dir: str, sink_mode: str = "mor",
+                 compact_every: int = 8):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.prev_parts = prev_parts
         self.epoch = epoch
         self.epoch_ver = epoch_ver
         self.watermark_ts = watermark_ts
         self.lake_data_dir = lake_data_dir
-        self.final_compact = final_compact
+        self.sink_mode = sink_mode
+        self.compact_every = compact_every
 
     def __call__(self, deltas: pa.Table) -> pa.Table:
         part = int(deltas["part"][0].as_py())
         deltas = deltas.drop_columns(["part"])
-        if self.final_compact:
-            deltas = compact_partition(deltas)
+        winners = compact_partition(deltas)
+        prev = self.prev_parts.get(str(part), {})
 
-        target_schema = self.registry.schema(self.epoch_ver)
+        chain = prev.get("deltas", [])
+        fold = (self.sink_mode == "cow") or len(chain) + 1 >= self.compact_every
 
-        # read my base partition (no shuffle: co-partitioned by layout)
-        prev = self.prev_parts.get(str(part))
-        if prev is not None and prev.get("path"):
-            base = pq.read_table(prev["path"])
-            base = self.registry.cast_table(base, prev["schema_ver"], self.epoch_ver)
+        if fold:
+            base = fold_part(prev, self.registry, self.epoch_ver) if prev else \
+                self.registry.schema(self.epoch_ver).empty_table()
+            out = apply_winners(base, winners, self.registry,
+                                self.epoch_ver, self.epoch_ver)
+            out = out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+            path = os.path.join(self.lake_data_dir, f"part={part}",
+                                f"epoch-{self.epoch:06d}.parquet")
+            _atomic_write(out, path)
+            rows, nbytes = out.num_rows, out.nbytes
         else:
-            base = target_schema.empty_table()
+            # MoR append: winners only — keep op + commit_ts + image columns
+            image = [f.name for f in self.registry.schema(self.epoch_ver)]
+            keep = DELTA_META_COLS + image
+            out = winners.select([c for c in keep if c in winners.column_names])
+            out = out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+            path = os.path.join(self.lake_data_dir, f"part={part}",
+                                f"delta-{self.epoch:06d}.parquet")
+            _atomic_write(out, path)
+            rows, nbytes = -1, out.nbytes  # live row count unknown without a fold
 
-        # anti-join: base rows not touched this epoch survive
-        touched = pc.unique(deltas["doc_id"])  # plain Array, valid as value_set
-        survivors = base.filter(pc.invert(pc.is_in(base["doc_id"], value_set=touched)))
-
-        # winners that are not tombstones become/replace rows
-        ups = deltas.filter(pc.not_equal(deltas["op"], OP_DELETE))
-        upsert_rows = ups.select([f.name for f in target_schema]).cast(target_schema)
-
-        out = pa.concat_tables([survivors, upsert_rows])
-        out = out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
-
-        path = os.path.join(self.lake_data_dir, f"part={part}",
-                            f"epoch-{self.epoch:06d}.parquet")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, path)  # idempotent under task retry (deterministic content)
-
+        ups = winners.filter(pc.not_equal(winners["op"], OP_DELETE))
         return pa.table({
             "part": pa.array([part], pa.int32()),
             "path": pa.array([path]),
-            "rows": pa.array([out.num_rows], pa.int64()),
-            "bytes": pa.array([out.nbytes], pa.int64()),
-            "delta_events": pa.array([deltas.num_rows], pa.int64()),
-            "upserts": pa.array([upsert_rows.num_rows], pa.int64()),
-            "deletes": pa.array([deltas.num_rows - ups.num_rows], pa.int64()),
+            "is_delta": pa.array([not fold]),
+            "rows": pa.array([rows], pa.int64()),
+            "bytes": pa.array([nbytes], pa.int64()),
+            "delta_events": pa.array([winners.num_rows], pa.int64()),
+            "upserts": pa.array([ups.num_rows], pa.int64()),
+            "deletes": pa.array([winners.num_rows - ups.num_rows], pa.int64()),
             "schema_ver": pa.array([self.epoch_ver], pa.int32()),
             "watermark_ts": pa.array([self.watermark_ts], pa.int64()),
         })

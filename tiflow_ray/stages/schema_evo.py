@@ -111,11 +111,14 @@ class SchemaRegistry:
 
     # ---- table casts -----------------------------------------------------
 
-    def cast_table(self, t: pa.Table, from_ver: int, to_ver: int) -> pa.Table:
+    def cast_table(self, t: pa.Table, from_ver: int, to_ver: int,
+                   force_project: bool = False) -> pa.Table:
         """Cast a lake-table (or image) pa.Table between schema versions:
         drop removed columns, append added columns filled with their default.
-        Column order follows the target schema."""
-        if from_ver == to_ver:
+        Column order follows the target schema. `force_project` also strips
+        extra non-schema columns (op/commit_ts of delta files) when
+        from_ver == to_ver."""
+        if from_ver == to_ver and not force_project:
             return t
         target = self.schema(to_ver)
         defaults = self.defaults(to_ver)
