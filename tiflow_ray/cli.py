@@ -1,0 +1,107 @@
+"""Command-line entry points (the `cdc cli` / `storage-consumer` analog).
+
+  python -m tiflow_ray.cli bootstrap --base DIR --lake DIR -P 64
+  python -m tiflow_ray.cli replay    --wal DIR --lake DIR -P 64 [--upto TS]
+  python -m tiflow_ray.cli show      --lake DIR              # manifest summary
+  python -m tiflow_ray.cli diff      --lake DIR --against DIR --key doc_id
+
+Owns its Ray session (the library never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import logging
+
+    import ray
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False,
+              "logging_level": "ERROR", "ignore_reinit_error": True}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tiflow_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap")
+    b.add_argument("--base", required=True)
+    b.add_argument("--lake", required=True)
+    b.add_argument("-P", "--partitions", type=int, default=64)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--wal", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("-P", "--partitions", type=int, default=64)
+    r.add_argument("--upto", type=int, default=None)
+    r.add_argument("--max-epochs", type=int, default=None)
+    r.add_argument("--sink-mode", choices=["mor", "cow"], default="mor")
+    r.add_argument("--segments-per-epoch", type=int, default=8)
+
+    s = sub.add_parser("show")
+    s.add_argument("--lake", required=True)
+
+    d = sub.add_parser("diff")
+    d.add_argument("--lake", required=True)
+    d.add_argument("--against", required=True)
+    d.add_argument("--key", default="doc_id")
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "show":
+        from .state.checkpoint import LakeState
+        m = LakeState(a.lake).latest()
+        if m is None:
+            print("no committed manifest")
+            return 1
+        print(json.dumps({"epoch": m.epoch, "watermark_ts": m.watermark_ts,
+                          "schema_ver": m.schema_ver,
+                          "num_partitions": m.num_partitions,
+                          "parts": len(m.parts),
+                          "delta_chains": {k: len(v.get("deltas", []))
+                                           for k, v in m.parts.items()
+                                           if v.get("deltas")},
+                          "stats": m.stats}, indent=1))
+        return 0
+
+    _init_ray(a.num_cpus)
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+
+    if a.cmd == "bootstrap":
+        cfg = ReplayConfig(lake_dir=a.lake, num_partitions=a.partitions)
+        m = rp.bootstrap(cfg, base_dir=a.base)
+        print(json.dumps({"epoch": m.epoch, "parts": len(m.parts)}))
+    elif a.cmd == "replay":
+        cfg = ReplayConfig(wal_dir=a.wal, lake_dir=a.lake,
+                           num_partitions=a.partitions, sink_mode=a.sink_mode,
+                           max_segments_per_epoch=a.segments_per_epoch)
+        rp.bootstrap(cfg)  # no-op if already bootstrapped
+        res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
+        print(json.dumps({"epochs": len(res.epochs), "events": res.events}))
+    elif a.cmd == "diff":
+        from .functions.diff import diff_tables
+        left = rp.read_lake(a.lake)
+        right = rp.read_lake(a.against)
+        out = diff_tables(left, right, a.key)
+        print(json.dumps({k: (v if isinstance(v, bool) else v[:20])
+                          for k, v in out.items()}))
+        return 0 if out["equal"] else 2
+
+    import ray
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

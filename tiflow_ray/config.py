@@ -47,3 +47,7 @@ class ReplayConfig:
 
     # event filtering (M5/M7 analog): drop events whose `source` is in this set
     ignore_sources: frozenset[str] = field(default_factory=frozenset)
+
+    # user-extension hooks (§2.10): expression/UDF filter evaluated per batch
+    # after decode — fn(pa.Table) -> boolean mask (M6 expr-filter analog)
+    event_predicate: object | None = None

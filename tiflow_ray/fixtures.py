@@ -324,11 +324,12 @@ def _events_table(doc_idx, op, cts, sts, prev_ts, new_doc, sver,
 
 
 def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
-                       registry: SchemaRegistry | None = None) -> list[dict]:
+                       registry: SchemaRegistry | None = None,
+                       fmt: str = "parquet") -> list[dict]:
     """Write an arbitrary event-schema table as resolved-ts-delimited WAL
     segments (sorted split on commit_ts, ties never cross a boundary) +
-    metas + ddl.json. Used by derived fixtures (e.g. the events-table-derived
-    CDC stream for the driver's oracle gate) and ad-hoc benches."""
+    metas + ddl.json. fmt="jsonl" emits canal-json-style line-delimited
+    change files (M9/M10 codec analog; test-scale only)."""
     import pyarrow.compute as pc
 
     os.makedirs(wal_dir, exist_ok=True)
@@ -345,13 +346,20 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
     metas = []
     for s, (a, b) in enumerate(zip(starts, ends)):
         seg = t.slice(a, b - a)
-        # modest row groups: Ray parallelizes parquet reads at row-group
-        # granularity, so a handful of big segments still fans out wide
-        pq.write_table(seg, os.path.join(wal_dir, f"seq={s:05d}.parquet"),
-                       row_group_size=32768)
+        if fmt == "parquet":
+            # modest row groups: Ray parallelizes parquet reads at row-group
+            # granularity, so a handful of big segments still fans out wide
+            pq.write_table(seg, os.path.join(wal_dir, f"seq={s:05d}.parquet"),
+                           row_group_size=32768)
+        elif fmt == "jsonl":
+            with open(os.path.join(wal_dir, f"seq={s:05d}.jsonl"), "w") as f:
+                for row in seg.to_pylist():
+                    f.write(json.dumps(row) + "\n")
+        else:
+            raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
                 "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),
-                "rows": int(b - a)}
+                "rows": int(b - a), "format": fmt}
         with open(os.path.join(wal_dir, f"seq={s:05d}.meta.json"), "w") as f:
             json.dump(meta, f)
         metas.append(meta)

@@ -1,0 +1,122 @@
+"""Table-diff validator: the sync_diff_inspector analog (T10/A4/O4).
+
+The reference validates replication by chunk-splitting both tables, comparing
+per-chunk `COUNT + BIT_XOR(MD5(row))` checksums, and binary-searching
+mismatched chunks down to rows (sync_diff_inspector/utils/utils.go:860-918,
+splitter/). Here:
+
+- chunks = hash buckets of the key column (stable, co-computable on both
+  sides without coordination);
+- per-bucket checksum = (count, XOR of md5_u64(row serialization)) — partials
+  per batch, exact merge (XOR/+ commutative-associative);
+- mismatched buckets are then keyed row-by-row (the binary-search step
+  collapses to one pass because buckets are already small).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _row_digest(t: pa.Table, key: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row stable 64-bit digest over ALL columns (column-name-sorted
+    canonical serialization) + the key column as strings."""
+    cols = sorted(t.column_names)
+    df = t.select(cols).to_pandas()
+    ser = df.astype(str).agg("\x1f".join, axis=1) if len(df) else pd.Series([], dtype=str)
+    dig = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+         for s in ser),
+        dtype=np.uint64, count=len(ser))
+    keys = df[key].astype(str).to_numpy(dtype=object) if len(df) else np.array([], object)
+    return keys, dig
+
+
+class ChunkChecksum:
+    """map_batches stage: batch → per-bucket partial (count, xor) rows."""
+
+    def __init__(self, key: str, num_buckets: int = 64):
+        self.key = key
+        self.num_buckets = num_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..model import key_hash64
+        keys, dig = _row_digest(t, self.key)
+        if not len(keys):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "checksum": pa.array([], pa.uint64())})
+        bucket = (key_hash64(keys) % np.uint64(self.num_buckets)).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "h": dig})
+        g = df.groupby("bucket")
+        out = g.agg(cnt=("h", "size"),
+                    checksum=("h", lambda s: np.bitwise_xor.reduce(
+                        s.to_numpy(dtype=np.uint64))))
+        out = out.reset_index()
+        return pa.table({"bucket": pa.array(out["bucket"], pa.int64()),
+                         "cnt": pa.array(out["cnt"], pa.int64()),
+                         "checksum": pa.array(out["checksum"].astype(np.uint64))})
+
+
+def table_checksums(ds: ray.data.Dataset, key: str,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Distributed per-bucket checksum of a Dataset; partials merged
+    driver-side (O(num_buckets))."""
+    parts = ds.map_batches(ChunkChecksum(key, num_buckets),
+                           batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bucket": [], "cnt": [], "checksum": []})
+    g = parts.groupby("bucket", sort=True)
+    return pd.DataFrame({
+        "bucket": list(g.groups),
+        "cnt": g["cnt"].sum().astype("int64").to_numpy(),
+        "checksum": g["checksum"].agg(
+            lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.uint64))
+        ).astype("uint64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+def diff_tables(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+                num_buckets: int = 64) -> dict:
+    """Compare two datasets: bucket-checksum pass, then row-level keys for
+    mismatched buckets only (the binary-search analog). Returns
+    {"equal": bool, "bad_buckets": [...], "left_only": [...],
+    "right_only": [...], "value_diff": [...]}."""
+    lc = table_checksums(left, key, num_buckets).set_index("bucket")
+    rc = table_checksums(right, key, num_buckets).set_index("bucket")
+    all_buckets = sorted(set(lc.index) | set(rc.index))
+    bad = [b for b in all_buckets
+           if b not in lc.index or b not in rc.index
+           or lc.loc[b, "cnt"] != rc.loc[b, "cnt"]
+           or lc.loc[b, "checksum"] != rc.loc[b, "checksum"]]
+    if not bad:
+        return {"equal": True, "bad_buckets": [], "left_only": [],
+                "right_only": [], "value_diff": []}
+
+    from ..model import key_hash64
+
+    def rows_in_bad(t: pa.Table) -> pa.Table:
+        keys, dig = _row_digest(t, key)
+        if not len(keys):
+            return pa.table({"k": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        bucket = (key_hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
+        m = np.isin(bucket, bad)
+        return pa.table({"k": pa.array(keys[m].astype(str)),
+                         "h": pa.array(dig[m])})
+
+    lrows = left.map_batches(rows_in_bad, batch_format="pyarrow").to_pandas()
+    rrows = right.map_batches(rows_in_bad, batch_format="pyarrow").to_pandas()
+    lmap = dict(zip(lrows["k"], lrows["h"]))
+    rmap = dict(zip(rrows["k"], rrows["h"]))
+    left_only = sorted(set(lmap) - set(rmap))
+    right_only = sorted(set(rmap) - set(lmap))
+    value_diff = sorted(k for k in set(lmap) & set(rmap) if lmap[k] != rmap[k])
+    return {"equal": False, "bad_buckets": bad, "left_only": left_only,
+            "right_only": right_only, "value_diff": value_diff}

@@ -113,9 +113,10 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
 
 def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
               prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
-    image_cols = image_columns([f.name for f in registry.schema(ep.schema_ver)])
-    cols = epoch_event_columns(image_cols)
-    flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
+    image_fields = [registry.schema(ep.schema_ver).field(c)
+                    for c in image_columns([f.name for f in
+                                            registry.schema(ep.schema_ver)])]
+    cols = epoch_event_columns([f.name for f in image_fields])
 
     # block count ≫ cores: parquet files are few and large, so without an
     # override the read fans out only #files wide and the whole pipeline
@@ -126,10 +127,18 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
         read_kwargs["override_num_blocks"] = max(
             ncpu, min(8 * ncpu, ep.est_rows // 131072))
 
-    ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
-                               **read_kwargs)
-    ds = ds.map_batches(Normalize(image_cols, ep.lo, ep.hi,
-                                  cfg.ignore_sources, cfg.validate),
+    if ep.fmt == "parquet":
+        flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
+        ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
+                                   **read_kwargs)
+        enforce_range = False
+    else:  # jsonl change files: no pushdown — range-filter in normalize
+        ds = ray.data.read_json(list(ep.files), **read_kwargs)
+        enforce_range = True
+    ds = ds.map_batches(Normalize(image_fields, ep.lo, ep.hi,
+                                  cfg.ignore_sources, cfg.validate,
+                                  enforce_range=enforce_range,
+                                  predicate=cfg.event_predicate),
                         batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(split_updates, batch_format="pyarrow",
                         batch_size=cfg.batch_size)
@@ -185,7 +194,8 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
         rows_total += max(meta.get("rows", 0), 0)
 
     m = Manifest(epoch=epoch_no, watermark_ts=ep.hi, schema_ver=ep.schema_ver,
-                 num_partitions=prev.num_partitions, parts=parts,
+                 num_partitions=prev.num_partitions,
+                 registry_json=registry.to_json(), parts=parts,
                  segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
                  stats={"events": n_events, "parts_touched": len(stats_rows),
                         "lo": ep.lo, "hi": ep.hi})
@@ -273,7 +283,11 @@ def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
     lake = LakeState(lake_dir)
     m = lake.latest()
     assert m is not None
-    registry = load_registry(wal_dir) if wal_dir else SchemaRegistry([])
+    # the manifest's own registry makes the lake self-describing; a wal_dir
+    # override only matters for pre-registry manifests
+    registry = (SchemaRegistry.from_json(m.registry_json)
+                if m.registry_json != "[]" or not wal_dir
+                else load_registry(wal_dir))
     reg_json = registry.to_json()
     cur_ver = m.schema_ver
 

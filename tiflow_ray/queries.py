@@ -721,6 +721,26 @@ FROM documents
 """
 
 
+def q_sync_diff(sf_dir: str) -> pd.DataFrame:
+    """T10/A4/O4 validator: chunk-checksum diff of two INDEPENDENTLY produced
+    lakes (straight replay vs stop-and-resume replay) — must be identical.
+    Rows-only oracle (the validator itself is the check)."""
+    from .functions.diff import diff_tables
+    from .pipelines import replay as rp
+    a = _run_cdc(sf_dir, with_ddl=False, lake_name="lake_plain")
+    b = _run_cdc(sf_dir, with_ddl=False, lake_name="lake_resume",
+                 resume_mid=True)
+    root, _ = stage_cdc_fixture(sf_dir, False)
+    d = diff_tables(rp.read_lake(os.path.join(root, "lake_plain")),
+                    rp.read_lake(os.path.join(root, "lake_resume")), "doc_id")
+    return pd.DataFrame({
+        "equal": [bool(d["equal"])],
+        "n_left_only": [len(d["left_only"])],
+        "n_right_only": [len(d["right_only"])],
+        "n_value_diff": [len(d["value_diff"])],
+    })
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (pre-agg + broadcast join patterns)
 # ---------------------------------------------------------------------------
@@ -797,6 +817,7 @@ REGISTRY: dict[str, tuple] = {
     "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
     "window_tumbling": (q_window_tumbling, _WINDOW_SQL),
     "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
+    "sync_diff": (q_sync_diff, None),
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "lang_id": (q_lang_id, _LANG_ID_SQL),
     "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),

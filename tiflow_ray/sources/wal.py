@@ -32,6 +32,7 @@ class Segment:
     min_ts: int
     max_ts: int
     rows: int
+    format: str = "parquet"   # "parquet" | "jsonl" (canal-json-style change files)
 
 
 @dataclass(frozen=True)
@@ -42,6 +43,7 @@ class Epoch:
     schema_ver: int       # the ONE schema version of every event in (lo, hi]
     files: tuple[str, ...]  # WAL segment files overlapping (lo, hi]
     est_rows: int = 0     # upper-bound row estimate (sum of overlapping segments)
+    fmt: str = "parquet"  # uniform file format of this epoch's segments
 
 
 def list_segments(wal_dir: str) -> list[Segment]:
@@ -49,9 +51,11 @@ def list_segments(wal_dir: str) -> list[Segment]:
     for meta_path in sorted(glob.glob(os.path.join(wal_dir, "seq=*.meta.json"))):
         with open(meta_path) as f:
             m = json.load(f)
-        path = meta_path.replace(".meta.json", ".parquet")
+        fmt = m.get("format", "parquet")
+        ext = {"parquet": ".parquet", "jsonl": ".jsonl"}[fmt]
+        path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
-                            m["max_ts"], m["rows"]))
+                            m["max_ts"], m["rows"], fmt))
     return sorted(segs, key=lambda s: s.seq)
 
 
@@ -89,9 +93,11 @@ def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
     lo = from_ts
     for i, hi in enumerate(bounds):
         overlapping = [s for s in segments if s.max_ts > lo and s.min_ts <= hi]
+        fmts = {s.format for s in overlapping} or {"parquet"}
+        assert len(fmts) == 1, f"mixed segment formats in one epoch: {fmts}"
         ver = registry.version_at(hi)  # events at hi use the old schema ⇒ this ver
         epochs.append(Epoch(i, lo, hi, ver,
                             tuple(s.path for s in overlapping),
-                            sum(s.rows for s in overlapping)))
+                            sum(s.rows for s in overlapping), fmts.pop()))
         lo = hi
     return epochs

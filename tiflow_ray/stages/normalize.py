@@ -29,21 +29,40 @@ def epoch_event_columns(image_cols: list[str]) -> list[str]:
     return EVENT_KEY_COLS + image_cols
 
 
+KEY_COL_TYPES = {
+    "op": pa.uint8(), "commit_ts": pa.uint64(), "start_ts": pa.uint64(),
+    "doc_id": pa.string(), "new_doc_id": pa.string(),
+}
+
+
 class Normalize:
     """Callable batch transform; constructed per epoch with that epoch's
-    image columns, so the output schema is uniform across all batches."""
+    image fields, so the output schema is uniform across all batches.
+    `enforce_range`/type-conformance cover sources without pushdown/typed
+    schemas (JSONL change files — the canal-json decode analog, M10)."""
 
-    def __init__(self, image_cols: list[str], lo: int, hi: int,
+    def __init__(self, image_fields, lo: int, hi: int,
                  ignore_sources: frozenset[str] = frozenset(),
-                 validate: bool = False):
-        self.image_cols = list(image_cols)
+                 validate: bool = False, enforce_range: bool = False,
+                 predicate=None):
+        # accept names (legacy) or pa.Fields (typed conformance)
+        self.image_cols = [f.name if isinstance(f, pa.Field) else f
+                           for f in image_fields]
+        self.types = dict(KEY_COL_TYPES)
+        for f in image_fields:
+            if isinstance(f, pa.Field):
+                self.types[f.name] = f.type
         self.lo, self.hi = lo, hi
         self.ignore_sources = ignore_sources
         self.validate = validate
+        self.enforce_range = enforce_range
+        self.predicate = predicate   # user hook (M6 expression filter analog)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        # ts-range guard (read-filter already applied; keep as cheap safety
-        # only when validating)
+        if self.enforce_range:
+            cts = t["commit_ts"]
+            t = t.filter(pc.and_(pc.greater(cts, self.lo),
+                                 pc.less_equal(cts, self.hi)))
         if self.validate:
             cts = t["commit_ts"]
             assert pc.all(pc.and_(pc.greater(cts, self.lo),
@@ -53,8 +72,8 @@ class Normalize:
             if "n_tok" in t.column_names:
                 img = pc.is_valid(t["tokens"])
                 ln = pc.list_value_length(t["tokens"])
-                ok = pc.all(pc.equal(pc.filter(ln, img),
-                                     pc.filter(t["n_tok"], img)))
+                ok = pc.all(pc.equal(pc.filter(ln, img).cast(pa.int64()),
+                                     pc.filter(t["n_tok"], img).cast(pa.int64())))
                 assert ok.as_py() in (True, None), "n_tok != len(tokens)"
         if self.ignore_sources and "source" in t.column_names:
             mask = pc.invert(pc.is_in(t["source"],
@@ -62,5 +81,21 @@ class Normalize:
             # never drop deletes (they carry no source image)
             mask = pc.or_kleene(mask, pc.equal(t["op"], OP_DELETE))
             t = t.filter(pc.fill_null(mask, True))
+        if self.predicate is not None:
+            keep = self.predicate(t)
+            if not isinstance(keep, (pa.Array, pa.ChunkedArray)):
+                keep = pa.array(np.asarray(keep, dtype=bool))
+            t = t.filter(keep)
         cols = EVENT_KEY_COLS + self.image_cols
-        return t.select(cols)
+        missing = [c for c in cols if c not in t.column_names]
+        for c in missing:  # untyped sources may omit all-null columns
+            t = t.append_column(c, pa.nulls(t.num_rows, self.types.get(c, pa.string())))
+        t = t.select(cols)
+        # conform types (no-op on parquet sources; JSON int64→uint/int32 etc.)
+        arrays = []
+        for c in cols:
+            col = t[c]
+            want = self.types.get(c)
+            arrays.append(col.cast(want) if want is not None and col.type != want
+                          else col)
+        return pa.table(dict(zip(cols, arrays)))

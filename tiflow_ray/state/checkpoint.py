@@ -33,6 +33,8 @@ class Manifest:
     watermark_ts: int
     schema_ver: int                       # current table schema version
     num_partitions: int = 0               # P the lake is laid out with
+    registry_json: str = "[]"             # DDL schedule → the lake is
+                                          # self-describing (schema_{ver}.json analog)
     parts: dict[str, dict] = field(default_factory=dict)
     # parts[str(p)] = {"path": ..., "schema_ver": v, "rows": n,
     #                  "watermark_ts": w, "bytes": b}
