@@ -20,7 +20,7 @@ def _wal_as_jsonl(src_root, dst_root, reg):
     from tiflow_ray.sources.wal import list_segments
     os.makedirs(f"{dst_root}/wal", exist_ok=True)
     tables = [pq.read_table(s.path) for s in list_segments(f"{src_root}/wal")]
-    t = pa.concat_tables(tables)
+    t = pa.concat_tables(tables, promote_options="default")
     fixtures.write_wal_segments(t, f"{dst_root}/wal", len(tables), reg,
                                 fmt="jsonl")
 
