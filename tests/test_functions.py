@@ -64,3 +64,27 @@ def test_decode_stub_contract():
                                 "feat_w", "feat_h"]
     with pytest.raises(NotImplementedError):
         DecodeStub(real_decode=True)
+
+
+def test_knn_lsh_recall_and_validity():
+    """LSH-bucketed ANN: results must be valid ids with contiguous ranks;
+    recall vs brute force is modest by design on near-uniform random
+    embeddings (the LSH worst case) but must be non-trivial."""
+    from tiflow_ray.queries import q_knn_lsh, q_knn_search
+    approx = q_knn_lsh(SF)
+    exact = q_knn_search(SF)
+    for q, grp in approx.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["vec_id"] != q).all()
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    assert len(a & e) / len(e) >= 0.1
+
+
+def test_asof_and_sessionize_shapes():
+    from tiflow_ray.queries import q_asof_join, q_sessionize
+    asof = q_asof_join(SF)
+    assert (asof["purchase_event_id"] != asof["click_event_id"]).all()
+    sess = q_sessionize(SF)
+    assert (sess["end_us"] >= sess["start_us"]).all()
+    assert (sess.groupby("user_id")["session_id"].min() == 1).all()

@@ -485,6 +485,123 @@ FROM documents GROUP BY 1
 """
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (J1 generalization): for every purchase, the user's most
+    recent click strictly-or-equal before it. Both sides keyed on a unique
+    composite time (epoch_us(ts)*2^14 + event_id) so the match is total-order
+    deterministic. Ray shape: per-user-group sorted searchsorted (the
+    bucketed merge_asof pattern)."""
+    ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    # composite unique time key rebased to the stream start so
+    # (span_us << 20) + event_id fits in int64 on both engines
+    min_us = int(_read(sf_dir, "events", ["ts"])["ts"]
+                 .cast(pa.int64()).to_numpy().min())
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["k"] = ((g["ts"].astype("int64") - min_us) * (1 << 20)) + g["event_id"]
+        clicks = g[g["event_type"] == "click"].sort_values("k")
+        buys = g[g["event_type"] == "purchase"].sort_values("k")
+        if buys.empty:
+            return pd.DataFrame({"purchase_event_id": pd.Series([], dtype="int64"),
+                                 "click_event_id": pd.Series([], dtype="int64")})
+        idx = np.searchsorted(clicks["k"].to_numpy(), buys["k"].to_numpy(),
+                              side="right") - 1
+        click_ids = np.where(idx >= 0,
+                             clicks["event_id"].to_numpy()[np.maximum(idx, 0)],
+                             -1)
+        out = pd.DataFrame({"purchase_event_id": buys["event_id"].to_numpy(),
+                            "click_event_id": click_ids})
+        return out[out["click_event_id"] >= 0].astype("int64")
+
+    out = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas").to_pandas()
+    return out.sort_values("purchase_event_id").reset_index(drop=True)
+
+
+_ASOF_SQL = """
+WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events)
+SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+FROM (SELECT event_id, user_id,
+             (epoch_us(ts) - (SELECT m FROM base)) * 1048576 + event_id AS k
+      FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT event_id, user_id,
+                  (epoch_us(ts) - (SELECT m FROM base)) * 1048576 + event_id AS k
+           FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.k >= c.k
+"""
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Gap-based session windows (§2.9 streaming shape): per user, a new
+    session starts after a >1h silence; count + bounds per session."""
+    GAP_US = 3_600_000_000
+    ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(us), dtype=np.int64)
+        new[1:] = (us[1:] - us[:-1] > GAP_US).astype(np.int64)
+        sess = np.cumsum(new)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "session_id": sess, "us": us})
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n=("us", "size"), start_us=("us", "min"), end_us=("us", "max"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+_SESSION_SQL = """
+SELECT user_id, session_id, count(*) AS n,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM (SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (SELECT *, CASE WHEN epoch_us(ts)
+                                - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id)
+                                <= 3600000000 THEN 0 ELSE 1 END AS new_sess
+            FROM events))
+GROUP BY 1, 2
+"""
+
+
+def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets; queries probe only
+    same-bucket vectors across 4 hash tables. Rows-only oracle (approximate
+    by design); recall vs brute force asserted in pytest."""
+    from .functions.similarity import _stack, lsh_buckets, normalize_rows
+    t = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = normalize_rows(_stack(t["embedding"]))
+    qsel = np.isin(ids, [0, 1, 2, 3, 4])
+    out_rows = []
+    seen: dict[int, set] = {int(q): set() for q in ids[qsel]}
+    cand: dict[int, list] = {int(q): [] for q in ids[qsel]}
+    for table_seed in range(4):
+        b = lsh_buckets(m, seed=11 + table_seed, bits=6)
+        for qi in np.flatnonzero(qsel):
+            mask = (b == b[qi])
+            for vi in np.flatnonzero(mask):
+                v = int(ids[vi])
+                q = int(ids[qi])
+                if v != q and v not in seen[q]:
+                    seen[q].add(v)
+                    cand[q].append((float(m[qi] @ m[vi]), v))
+    for q, lst in cand.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (_, v) in enumerate(lst[:10], 1):
+            out_rows.append((q, rank, v))
+    return pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id"]) \
+        .astype("int64").sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: text analysis
 # ---------------------------------------------------------------------------
@@ -816,6 +933,9 @@ REGISTRY: dict[str, tuple] = {
     "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),
     "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
     "window_tumbling": (q_window_tumbling, _WINDOW_SQL),
+    "asof_join": (q_asof_join, _ASOF_SQL),
+    "sessionize": (q_sessionize, _SESSION_SQL),
+    "knn_lsh": (q_knn_lsh, None),
     "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
     "sync_diff": (q_sync_diff, None),
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
