@@ -39,7 +39,8 @@ def _sf_from_dir(d: str) -> float:
 def ensure_fixture(sf: float) -> tuple[str, int, int]:
     """Generate (once) the bench CDC fixture sized by sf. Returns
     (root, n_events, P)."""
-    n_events = max(100_000, int(200_000_000 * sf))  # 2e7 at sf0.1 (FIXTURES.md bench tier)
+    n_events = int(os.environ.get("GRAFT_SCALE_EVENTS", "0")) or \
+        max(100_000, int(200_000_000 * sf))  # 2e7 at sf0.1 (FIXTURES.md bench tier)
     n_docs = max(10_000, n_events // 10)
     P = 64
     root = os.path.join(CACHE, f"fx2_e{n_events}_d{n_docs}_p{P}")  # fx2: polars key hash layout

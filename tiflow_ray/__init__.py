@@ -19,4 +19,4 @@ import os as _os
 # workers spawned after driver import)
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

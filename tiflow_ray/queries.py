@@ -33,7 +33,11 @@ from .fixtures import write_base_partitioned, write_wal_segments
 from .model import TOKEN_VOCAB
 from .stages.schema_evo import DDL, SchemaRegistry
 
-CACHE_ROOT = "/tmp/tiflow_ray_queries_v2"  # v2: polars key hashing (lake layout)
+from . import __version__ as _ver
+
+# versioned cache: a code change between rounds must never reuse lakes/WAL
+# staged by older engine semantics
+CACHE_ROOT = f"/tmp/tiflow_ray_queries_{_ver}"
 LANGS = ["en", "de", "fr", "zh", "es"]
 CDC_P = 8          # partitions for the derived CDC lake
 CDC_SEGMENTS = 4
@@ -133,8 +137,10 @@ def stage_cdc_fixture(sf_dir: str, with_ddl: bool) -> tuple[str, SchemaRegistry]
     wal = pa.table(cols)
     write_wal_segments(wal, os.path.join(root, "wal"), CDC_SEGMENTS, registry)
 
-    with open(done, "w") as f:
+    tmp = done + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump({"registry": registry.to_json(), "n_docs": n_docs}, f)
+    os.replace(tmp, done)  # atomic: concurrent stagers converge (same content)
     return root, registry
 
 
