@@ -73,9 +73,13 @@ def compact_batch(t: pa.Table, num_partitions: int | None = None) -> pa.Table:
     else:
         h = key_hash(t["doc_id"])
         win = _winner_indices(t, h)
-        if len(win) == t.num_rows:
+        # adaptive: gathering winners copies every surviving payload — only
+        # worth it when the batch actually collapses; low-dup batches pass
+        # through untouched (the final reduce handles them)
+        if len(win) > 0.9 * t.num_rows:
             out = t
         else:
+            win.sort()
             out = t.take(pa.array(win))
             h = h[win]
     if num_partitions is not None:

@@ -14,6 +14,7 @@ row loop.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -27,30 +28,27 @@ def split_updates(t: pa.Table) -> pa.Table:
     if not pc.any(moving).as_py():
         return t.drop_columns(["new_doc_id"])
 
-    plain = t.filter(pc.invert(moving)).drop_columns(["new_doc_id"])
-    mv = t.filter(moving)
-    n = mv.num_rows
+    # moves are rare (~0.5% of updates): NEVER copy the full batch. The
+    # moving update rows are rewritten IN PLACE into their insert half
+    # (doc_id := new_doc_id, op := INSERT — two thin column rebuilds; all
+    # payload columns stay zero-copy-shared), and only the tiny delete half
+    # is materialized and appended.
+    new_op = pc.if_else(moving, pa.scalar(OP_INSERT, pa.uint8()), t["op"])
+    new_doc = pc.if_else(moving, nd, t["doc_id"])
+    base = t.set_column(t.schema.get_field_index("op"), "op", new_op)
+    base = base.set_column(base.schema.get_field_index("doc_id"), "doc_id", new_doc)
+    base = base.drop_columns(["new_doc_id"])
 
-    # delete half: old key, image columns nulled
+    mv = t.filter(moving)  # small
+    n = mv.num_rows
     d_cols = {}
-    for name in plain.column_names:
+    for name in base.column_names:
         if name == "op":
-            d_cols[name] = pa.array([OP_DELETE] * n, pa.uint8())
+            d_cols[name] = pa.array(np.full(n, OP_DELETE, np.uint8()))
         elif name in ("commit_ts", "start_ts", "doc_id"):
             d_cols[name] = mv[name]
         else:
-            d_cols[name] = pa.nulls(n, plain.schema.field(name).type)
-    deletes = pa.table(d_cols).select(plain.column_names)
+            d_cols[name] = pa.nulls(n, base.schema.field(name).type)
+    deletes = pa.table(d_cols).select(base.column_names)
 
-    # insert half: new key, full new image
-    i_cols = {}
-    for name in plain.column_names:
-        if name == "op":
-            i_cols[name] = pa.array([OP_INSERT] * n, pa.uint8())
-        elif name == "doc_id":
-            i_cols[name] = mv["new_doc_id"]
-        else:
-            i_cols[name] = mv[name]
-    inserts = pa.table(i_cols).select(plain.column_names)
-
-    return pa.concat_tables([plain, deletes, inserts]).combine_chunks()
+    return pa.concat_tables([base, deletes])
