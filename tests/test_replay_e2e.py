@@ -101,3 +101,17 @@ def test_partition_count_invariance(tmp_path):
         rp.run_replay(cfg)
         tables.append(rp.lake_to_table(cfg.lake_dir, cfg.wal_dir))
     assert tables[0].equals(tables[1])
+
+
+def test_two_pass_mode_matches_oracle(t1_fixture, tmp_path):
+    """Thin-winner two-pass replay (shuffle ships only winner payloads)
+    converges to the same oracle state, DDLs included."""
+    root, reg, *_ = t1_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_tp"),
+                       num_partitions=8, replay_mode="two_pass", validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp)

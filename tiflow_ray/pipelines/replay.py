@@ -111,6 +111,46 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
     return m
 
 
+def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
+                            read_kwargs: dict) -> "np.ndarray":
+    """Two-pass pass 1: read ONLY (op, commit_ts, start_ts, doc_id,
+    new_doc_id) (~6x fewer bytes than with token payloads), split identity
+    changes, combine per batch, final-reduce per partition, and return the
+    SORTED array of winner event signatures (8 bytes per surviving key —
+    O(touched docs), broadcastable). Scale note: at 10^9+ winners per epoch
+    keep the sig sets per-partition in the object store instead of one
+    global array; epochs should be sized so this stays broadcastable."""
+    import numpy as np
+
+    from ..stages.compact import compact_partition, event_signature
+
+    flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
+    thin_cols = ["op", "commit_ts", "start_ts", "doc_id", "new_doc_id"]
+    ds = ray.data.read_parquet(list(ep.files), columns=thin_cols, filter=flt,
+                               **read_kwargs)
+    ds = ds.map_batches(split_updates, batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions),
+                        batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    def winners_to_sigs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        w = compact_partition(t)
+        return pa.table({"sig": pa.array(event_signature(w))})
+
+    def winners_to_sigs_named(t: pa.Table) -> pa.Table:
+        return winners_to_sigs(t)
+
+    sig_ds = ds.groupby("part").map_groups(winners_to_sigs_named,
+                                           batch_format="pyarrow")
+    sigs = np.concatenate(
+        [b["sig"].to_numpy() for b in
+         sig_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        or [np.empty(0, np.uint64)])
+    sigs.sort()
+    return sigs
+
+
 def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
               prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
     image_fields = [registry.schema(ep.schema_ver).field(c)
@@ -142,7 +182,17 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
                         batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(split_updates, batch_format="pyarrow",
                         batch_size=cfg.batch_size)
-    if cfg.precompact:
+    if cfg.replay_mode == "two_pass" and ep.fmt == "parquet":
+        from ..stages.compact import filter_by_signature
+        sigs_ref = ray.put(_thin_winner_signatures(cfg, ep, read_kwargs))
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            return assign_partition(filter_by_signature(t, ray.get(sigs_ref)),
+                                    cfg.num_partitions)
+
+        ds = ds.map_batches(keep_winners, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+    elif cfg.precompact:
         # combiner + partition column in one fused pass (hash computed once)
         ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions),
                             batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -115,3 +115,42 @@ def assign_partition(t: pa.Table, num_partitions: int) -> pa.Table:
     when the combiner is enabled)."""
     part = (key_hash(t["doc_id"]) % np.uint64(num_partitions)).astype(np.uint32)
     return t.append_column("part", pa.array(part))
+
+
+# ---------------------------------------------------------------------------
+# two-pass thin-winner support: a 64-bit signature of the full event identity
+# (key hash ⊕ commit_ts ⊕ start_ts ⊕ op, splitmix-mixed). Pass 1 computes
+# winner signatures over THIN rows; pass 2 keeps only payload rows whose
+# signature is in the winner set. Signature collisions only ever ADMIT an
+# extra row (false positive) — the per-partition final reduce removes it —
+# never drop a winner.
+# ---------------------------------------------------------------------------
+
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+
+def event_signature(t: pa.Table) -> np.ndarray:
+    h = key_hash(t["doc_id"])
+    cts = t["commit_ts"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sts = t["start_ts"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    op = t["op"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = h ^ (cts * _SM1) ^ (sts * _SM2) ^ (op << np.uint64(56))
+        x ^= x >> np.uint64(30)
+        x *= _SM1
+        x ^= x >> np.uint64(27)
+    return x
+
+
+def filter_by_signature(t: pa.Table, winner_sigs_sorted: np.ndarray) -> pa.Table:
+    """Keep rows whose event signature is in the (sorted) winner set."""
+    if t.num_rows == 0:
+        return t
+    if len(winner_sigs_sorted) == 0:
+        return t.slice(0, 0)
+    sig = event_signature(t)
+    idx = np.searchsorted(winner_sigs_sorted, sig)
+    np.clip(idx, 0, len(winner_sigs_sorted) - 1, out=idx)
+    keep = winner_sigs_sorted[idx] == sig
+    return t if keep.all() else t.filter(pa.array(keep))

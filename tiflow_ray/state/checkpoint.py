@@ -93,6 +93,37 @@ class LakeState:
     def commit(self, m: Manifest) -> None:
         _atomic_write(self._mpath(m.epoch), m.to_json())
 
+    def gc(self, keep_epochs: int = 2) -> dict:
+        """Garbage-collect the lake: keep the newest `keep_epochs` manifests
+        and delete every data file under lake_dir/data not referenced by any
+        of them (the analog of sorter CleanByTable + schema-version DoGC,
+        cdc/processor/processor.go / cdc/entry/schema_storage.go:191-345).
+        Never touches files OUTSIDE the lake (e.g. bootstrap base files).
+        Returns {"manifests_removed": n, "files_removed": n}."""
+        epochs = self.committed_epochs()
+        keep = set(epochs[-max(1, keep_epochs):])
+        referenced: set[str] = set()
+        for e in keep:
+            m = self.load(e)
+            for meta in m.parts.values():
+                if meta.get("path"):
+                    referenced.add(os.path.realpath(meta["path"]))
+                for d in meta.get("deltas", []):
+                    referenced.add(os.path.realpath(d["path"]))
+        data_root = os.path.realpath(os.path.join(self.lake_dir, "data"))
+        files_removed = 0
+        for p in glob.glob(os.path.join(data_root, "part=*", "*.parquet")):
+            if os.path.realpath(p) not in referenced:
+                os.remove(p)
+                files_removed += 1
+        manifests_removed = 0
+        for e in epochs:
+            if e not in keep:
+                os.remove(self._mpath(e))
+                manifests_removed += 1
+        return {"manifests_removed": manifests_removed,
+                "files_removed": files_removed}
+
     def data_path(self, part: int, epoch: int) -> str:
         d = os.path.join(self.lake_dir, "data", f"part={part}")
         os.makedirs(d, exist_ok=True)
