@@ -260,13 +260,16 @@ def generate_wal(root: str, spec: WalSpec, registry: SchemaRegistry) -> list[dic
     seg_ends = cuts + [n_ev]
 
     os.makedirs(os.path.join(root, "wal"), exist_ok=True)
+    # one name table, indexed per segment (np.char formatting is slow)
+    name_table = doc_name(np.arange(spec.n_docs + n_new + len(mov) + 1,
+                                    dtype=np.int64))
     metas = []
     for s, (a, bnd) in enumerate(zip(seg_starts, seg_ends)):
         idx = g[a:bnd]
         idx = idx[rng.permutation(len(idx))]  # engine must sort
         t = _events_table(doc_s[idx], op_s[idx], cts[idx], sts[idx],
                           prev_ts[idx], new_doc[idx], sver[idx],
-                          registry, spec)
+                          registry, spec, name_table)
         path = os.path.join(root, "wal", f"seq={s:05d}.parquet")
         pq.write_table(t, path, row_group_size=32768)
         meta = {"seq": s, "watermark_ts": int(cts_g[bnd - 1]),
@@ -281,16 +284,19 @@ def generate_wal(root: str, spec: WalSpec, registry: SchemaRegistry) -> list[dic
 
 
 def _events_table(doc_idx, op, cts, sts, prev_ts, new_doc, sver,
-                  registry: SchemaRegistry, spec: WalSpec) -> pa.Table:
+                  registry: SchemaRegistry, spec: WalSpec,
+                  name_table: np.ndarray | None = None) -> pa.Table:
     has_img = op != OP_DELETE
     toks, lens = _tokens_list_array(doc_idx, cts.astype(np.int64), spec.max_len,
                                     valid=has_img)
     n = len(doc_idx)
+    names = (name_table[doc_idx] if name_table is not None
+             else doc_name(doc_idx))
     cols: dict[str, pa.Array] = {
         "op": pa.array(op, pa.uint8()),
         "commit_ts": pa.array(cts.astype(np.uint64)),
         "start_ts": pa.array(np.maximum(sts, 0).astype(np.uint64)),
-        "doc_id": pa.array(doc_name(doc_idx)),
+        "doc_id": pa.array(names),
         "tokens": toks,
         "n_tok": pa.array(np.where(has_img, lens, 0).astype(np.int32),
                           mask=~has_img),
