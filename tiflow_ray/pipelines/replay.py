@@ -6,10 +6,16 @@ One Ray Data pipeline per epoch (SURVEY.md §7 design one-liner):
                  commit_ts row-filter pushdown)
       → map_batches Normalize            (mounter analog, stateless, Arrow)
       → map_batches split_updates        (identity-change D+I split, pre-shuffle)
-      → map_batches compact_batch        (per-batch LWW combiner — hot-key pre-reduce)
-      → map_batches assign_partition     (part = hash(doc_id) % P)
+      → map_batches compact_batch        (per-batch LWW combiner — hot-key
+                                          pre-reduce — fused with part =
+                                          hash(doc_id) % P; or, in
+                                          replay_mode="two_pass", a thin first
+                                          pass finds winner signatures and the
+                                          payload pass ships winners only)
       → groupby("part").map_groups(MergeApply)   (THE one shuffle: deltas only,
-                                                  base stays put, co-partitioned)
+                                                  base stays put; MoR appends
+                                                  winner deltas / folds chains,
+                                                  CoW rewrites partitions)
       → tiny stats table → driver commits manifest + checkpoint atomically
 
 The driver (the "owner", cdc/owner/changefeed.go analog) only ever touches
@@ -134,14 +140,10 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
                         batch_format="pyarrow", batch_size=cfg.batch_size)
 
     def winners_to_sigs(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["part"])
-        w = compact_partition(t)
+        w = compact_partition(t.drop_columns(["part"]))
         return pa.table({"sig": pa.array(event_signature(w))})
 
-    def winners_to_sigs_named(t: pa.Table) -> pa.Table:
-        return winners_to_sigs(t)
-
-    sig_ds = ds.groupby("part").map_groups(winners_to_sigs_named,
+    sig_ds = ds.groupby("part").map_groups(winners_to_sigs,
                                            batch_format="pyarrow")
     sigs = np.concatenate(
         [b["sig"].to_numpy() for b in
@@ -200,7 +202,7 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
         ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
                             batch_format="pyarrow", batch_size=cfg.batch_size)
 
-    n_events = 0  # counted below from per-part delta stats
+    n_winners = 0  # surviving per-key winners, counted from per-part stats
 
     merge = MergeApply(registry_json=registry.to_json(),
                        prev_parts=prev.parts, epoch=epoch_no,
@@ -239,7 +241,7 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
                   "rows": r["rows"], "watermark_ts": r["watermark_ts"],
                   "bytes": r["bytes"], "deltas": []}
         parts[key] = pm
-        n_events += r["delta_events"]
+        n_winners += r["delta_events"]
     for meta in parts.values():
         rows_total += max(meta.get("rows", 0), 0)
 
@@ -247,10 +249,11 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
                  num_partitions=prev.num_partitions,
                  registry_json=registry.to_json(), parts=parts,
                  segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
-                 stats={"events": n_events, "parts_touched": len(stats_rows),
+                 stats={"events": ep.est_rows, "winners": n_winners,
+                        "parts_touched": len(stats_rows),
                         "lo": ep.lo, "hi": ep.hi})
     lake.commit(m)  # THE commit point: epoch becomes durable exactly here
-    return m, EpochResult(epoch_no, ep.lo, ep.hi, ep.schema_ver, n_events,
+    return m, EpochResult(epoch_no, ep.lo, ep.hi, ep.schema_ver, ep.est_rows,
                           len(stats_rows), rows_total)
 
 
