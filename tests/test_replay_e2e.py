@@ -115,3 +115,22 @@ def test_two_pass_mode_matches_oracle(t1_fixture, tmp_path):
     got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
     exp = oracle.replay_to_table(root, reg)
     assert got.equals(exp)
+
+
+def test_pipelined_epochs_match_oracle(t1_fixture, tmp_path):
+    """Concurrent (pipelined) MoR epochs: 4 single-segment epochs run as one
+    concurrent group; state must equal the sequential oracle, and resume
+    after the group behaves normally."""
+    root, reg, *_ = t1_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_pl"),
+                       num_partitions=8, max_segments_per_epoch=1,
+                       pipeline_epochs=4, validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    res = rp.run_replay(cfg)
+    assert len(res.epochs) >= 4
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp)
+    # idempotent rerun still no-ops
+    assert rp.run_replay(cfg).epochs == []

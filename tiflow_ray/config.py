@@ -15,6 +15,13 @@ class ReplayConfig:
 
     # epoching
     max_segments_per_epoch: int = 8   # coalesce WAL segments per epoch (never across a barrier)
+    pipeline_epochs: int = 1          # >1 (MoR only): run up to k consecutive
+                                      # barrier-free epochs' pipelines
+                                      # CONCURRENTLY (their delta appends are
+                                      # independent; folds are deferred during
+                                      # a concurrent group); commits stay
+                                      # ordered, so crash/resume semantics are
+                                      # unchanged
 
     # execution sizing (see SURVEY.md §4; these mirror the reference's pools:
     # mounter 16, encoding 8, storage dmlWorkers 16)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -51,6 +52,9 @@ from ..stages.normalize import Normalize, epoch_event_columns
 from ..stages.update_split import split_updates
 from ..stages.schema_evo import SchemaRegistry
 from ..state.checkpoint import LakeState, Manifest
+
+
+_READ_PLAN_LOCK = threading.Lock()
 
 
 @dataclass
@@ -153,8 +157,12 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
     return sigs
 
 
-def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
-              prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
+def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
+                   prev_parts: dict, ep: Epoch, epoch_no: int,
+                   allow_fold: bool = True) -> list[dict]:
+    """Run one epoch's data pipeline (read → normalize → split → combine →
+    shuffle → merge-write) and return the per-partition stats rows. NO
+    manifest side effects — commit happens in _commit_epoch."""
     image_fields = [registry.schema(ep.schema_ver).field(c)
                     for c in image_columns([f.name for f in
                                             registry.schema(ep.schema_ver)])]
@@ -169,14 +177,18 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
         read_kwargs["override_num_blocks"] = max(
             ncpu, min(8 * ncpu, ep.est_rows // 131072))
 
-    if ep.fmt == "parquet":
-        flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
-        ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
-                                   **read_kwargs)
-        enforce_range = False
-    else:  # jsonl change files: no pushdown — range-filter in normalize
-        ds = ray.data.read_json(list(ep.files), **read_kwargs)
-        enforce_range = True
+    # read PLANNING is not thread-safe in Ray (lazy fsspec imports race when
+    # pipelined epochs plan concurrently) — serialize planning only;
+    # execution itself streams outside the lock
+    with _READ_PLAN_LOCK:
+        if ep.fmt == "parquet":
+            flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
+            ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
+                                       **read_kwargs)
+            enforce_range = False
+        else:  # jsonl change files: no pushdown — range-filter in normalize
+            ds = ray.data.read_json(list(ep.files), **read_kwargs)
+            enforce_range = True
     ds = ds.map_batches(Normalize(image_fields, ep.lo, ep.hi,
                                   cfg.ignore_sources, cfg.validate,
                                   enforce_range=enforce_range,
@@ -202,13 +214,12 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
         ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
                             batch_format="pyarrow", batch_size=cfg.batch_size)
 
-    n_winners = 0  # surviving per-key winners, counted from per-part stats
-
     merge = MergeApply(registry_json=registry.to_json(),
-                       prev_parts=prev.parts, epoch=epoch_no,
+                       prev_parts=prev_parts, epoch=epoch_no,
                        epoch_ver=ep.schema_ver, watermark_ts=ep.hi,
                        lake_data_dir=os.path.join(cfg.lake_dir, "data"),
-                       sink_mode=cfg.sink_mode, compact_every=cfg.compact_every)
+                       sink_mode=cfg.sink_mode, compact_every=cfg.compact_every,
+                       allow_fold=allow_fold)
     if cfg.shuffle_mode == "direct":
         stats_rows = _direct_exchange(ds, merge, cfg.num_partitions)
     else:
@@ -221,7 +232,13 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
             kwargs["concurrency"] = cfg.merge_concurrency
         stats_rows = gb.map_groups(merge_apply, batch_format="pyarrow",
                                    **kwargs).take_all()
+    return stats_rows
 
+
+def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
+                  ep: Epoch, epoch_no: int,
+                  stats_rows: list[dict]) -> tuple[Manifest, EpochResult]:
+    n_winners = 0  # surviving per-key winners, counted from per-part stats
     # build the next manifest: touched parts get a new base file (fold/cow)
     # or an appended delta (MoR); untouched parts carry over untouched
     parts = dict(prev.parts)
@@ -255,6 +272,12 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
     lake.commit(m)  # THE commit point: epoch becomes durable exactly here
     return m, EpochResult(epoch_no, ep.lo, ep.hi, ep.schema_ver, ep.est_rows,
                           len(stats_rows), rows_total)
+
+
+def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
+              prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
+    stats_rows = _execute_epoch(cfg, registry, prev.parts, ep, epoch_no)
+    return _commit_epoch(lake, registry, prev, ep, epoch_no, stats_rows)
 
 
 def _split_block_by_part(t: pa.Table, num_partitions: int) -> tuple:
@@ -314,14 +337,43 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
     epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=upto_ts)
+    if max_epochs is not None:
+        epochs = epochs[:max_epochs]
     result = ReplayResult()
     next_no = prev.epoch + 1
-    for ep in epochs:
-        if max_epochs is not None and len(result.epochs) >= max_epochs:
-            break
-        prev, er = run_epoch(cfg, lake, registry, prev, ep, next_no)
-        result.epochs.append(er)
-        next_no += 1
+
+    k = max(1, cfg.pipeline_epochs) if cfg.sink_mode == "mor" else 1
+    i = 0
+    while i < len(epochs):
+        group = epochs[i:i + k]
+        if len(group) == 1:
+            prev, er = run_epoch(cfg, lake, registry, prev, group[0], next_no)
+            result.epochs.append(er)
+            next_no += 1
+        else:
+            # concurrent group: every epoch appends independent MoR deltas
+            # (folds deferred ⇒ no epoch reads another's output); pipelines
+            # overlap, commits stay strictly ordered
+            from concurrent.futures import ThreadPoolExecutor
+
+            # pre-warm lazy imports Ray touches inside read planning —
+            # concurrent first-imports from threads race half-initialized
+            # modules (observed: fsspec.implementations.http)
+            try:
+                import fsspec.implementations.http  # noqa: F401
+            except Exception:
+                pass
+            with ThreadPoolExecutor(max_workers=len(group)) as pool:
+                futs = [pool.submit(_execute_epoch, cfg, registry, prev.parts,
+                                    ep, next_no + j, False)
+                        for j, ep in enumerate(group)]
+                stats_lists = [f.result() for f in futs]
+            for j, (ep, stats_rows) in enumerate(zip(group, stats_lists)):
+                prev, er = _commit_epoch(lake, registry, prev, ep,
+                                         next_no + j, stats_rows)
+                result.epochs.append(er)
+            next_no += len(group)
+        i += len(group)
     return result
 
 

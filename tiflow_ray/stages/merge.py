@@ -91,7 +91,7 @@ class MergeApply:
     def __init__(self, *, registry_json: str, prev_parts: dict[str, dict],
                  epoch: int, epoch_ver: int, watermark_ts: int,
                  lake_data_dir: str, sink_mode: str = "mor",
-                 compact_every: int = 8):
+                 compact_every: int = 8, allow_fold: bool = True):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.prev_parts = prev_parts
         self.epoch = epoch
@@ -100,6 +100,9 @@ class MergeApply:
         self.lake_data_dir = lake_data_dir
         self.sink_mode = sink_mode
         self.compact_every = compact_every
+        # pipelined (concurrent) epochs must not read lake state: folds are
+        # deferred so every epoch's writes are independent delta appends
+        self.allow_fold = allow_fold
 
     def __call__(self, deltas: pa.Table) -> pa.Table:
         part = int(deltas["part"][0].as_py())
@@ -108,7 +111,8 @@ class MergeApply:
         prev = self.prev_parts.get(str(part), {})
 
         chain = prev.get("deltas", [])
-        fold = (self.sink_mode == "cow") or len(chain) + 1 >= self.compact_every
+        fold = self.allow_fold and (
+            (self.sink_mode == "cow") or len(chain) + 1 >= self.compact_every)
 
         if fold:
             base = fold_part(prev, self.registry, self.epoch_ver) if prev else \
