@@ -108,3 +108,20 @@ def test_gc_keeps_lake_readable(t1_fixture, tmp_path):
     final = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
     from tiflow_ray import oracle as _o
     assert final.equals(_o.replay_to_table(root, reg))
+
+
+def test_gc_preserves_mor_delta_chains(t1_noddl_fixture, tmp_path):
+    """GC on an MoR lake must keep every delta file referenced by the
+    retained manifest's chains."""
+    root, reg, *_ = t1_noddl_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_morgc"),
+                       num_partitions=8, max_segments_per_epoch=1,
+                       sink_mode="mor", compact_every=100)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    before = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    out = LakeState(cfg.lake_dir).gc(keep_epochs=1)
+    assert out["manifests_removed"] > 0
+    after = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert before.equals(after)
