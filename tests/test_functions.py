@@ -10,10 +10,12 @@ SF = "/root/testdata/sf0.001"
 def test_minhash_recall_of_planted_dups():
     """Every 10th doc gets a one-word-appended near-dup copy (id+100000);
     MinHash-LSH + exact-Jaccard verify must recover (almost) all of them."""
-    from tiflow_ray.queries import _planted_docs, q_dedup_minhash
+    import pyarrow.parquet as pq
+    from tiflow_ray.queries import q_dedup_minhash
     pairs = q_dedup_minhash(SF)
-    planted = {(int(d), int(d) + 100000)
-               for d in _planted_docs(SF)["doc_id"] if d < 100000 and d % 10 == 0}
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    planted = {(int(d), int(d) + 100000) for d in ids if d % 10 == 0}
     found = set(zip(pairs["a"], pairs["b"]))
     recall = len(planted & found) / len(planted)
     assert recall >= 0.95, f"minhash recall {recall}"

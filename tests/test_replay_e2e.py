@@ -117,6 +117,56 @@ def test_two_pass_mode_matches_oracle(t1_fixture, tmp_path):
     assert got.equals(exp)
 
 
+def test_two_pass_with_ignore_sources_matches_single_pass(t1_noddl_fixture, tmp_path):
+    """Filters must apply to the thin winner pass too: if a doc's true last
+    event is filtered only from the payload pass, its signature poisons the
+    winner set and the doc's surviving update is silently lost."""
+    root, reg, *_ = t1_noddl_fixture
+    tables = {}
+    for mode in ("single_pass", "two_pass"):
+        cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                           lake_dir=str(tmp_path / f"lake_{mode}"),
+                           num_partitions=8, replay_mode=mode,
+                           ignore_sources=frozenset({"web"}))
+        rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+        rp.run_replay(cfg)
+        tables[mode] = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert tables["two_pass"].equals(tables["single_pass"])
+
+
+def test_two_pass_rejects_event_predicate(t1_noddl_fixture, tmp_path):
+    import pytest as _pytest
+    root, reg, *_ = t1_noddl_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_tp_pred"),
+                       num_partitions=8, replay_mode="two_pass",
+                       event_predicate=lambda t: pc.is_valid(t["doc_id"]))
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    with _pytest.raises(ValueError, match="two_pass"):
+        rp.run_replay(cfg)
+
+
+def test_hash_fingerprint_guard(t1_noddl_fixture, tmp_path):
+    """A lake laid out under a different key-hash function must refuse to
+    resume (silent mis-routing would duplicate rows)."""
+    import json
+
+    import pytest as _pytest
+    root, reg, *_ = t1_noddl_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_fp"), num_partitions=8)
+    m = rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    assert m.hash_fingerprint.startswith("polars=")
+    # tamper: pretend the lake was written by a different hash function
+    from tiflow_ray.state.checkpoint import LakeState
+    lake = LakeState(cfg.lake_dir)
+    mm = lake.latest()
+    mm.hash_fingerprint = "polars=0.0.0;canary=deadbeef"
+    lake.commit(mm)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        rp.run_replay(cfg)
+
+
 def test_pipelined_epochs_match_oracle(t1_fixture, tmp_path):
     """Concurrent (pipelined) MoR epochs: 4 single-segment epochs run as one
     concurrent group; state must equal the sequential oracle, and resume

@@ -69,6 +69,10 @@ def _tokens_list_array(doc_idx: np.ndarray, ts: np.ndarray, max_len: int,
     mask = None
     if valid is not None:
         mask = pa.array(~valid)  # True = null in from_arrays mask convention
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"token list offsets overflow int32 ({offsets[-1]}); "
+            "split the segment into smaller chunks")
     arr = pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)),
                                    pa.array(values), mask=mask)
     out_lens = lens.astype(np.int32)

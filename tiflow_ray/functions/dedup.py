@@ -55,28 +55,57 @@ def make_perms(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 _G1, _G2, _G3 = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0x85EBCA6B2C2B2AE3),
                  np.uint64(0xC2B2AE3D27D4EB4F))
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 → well-mixed uint64)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)) & _MASK64
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _gram_mix_consts(k: int) -> np.ndarray:
+    """Per-position combine constants; k=3 keeps the historical values (lake
+    /query caches key off signature stability)."""
+    if k == 3:
+        return np.array([_G1, _G2, _G3], dtype=np.uint64)
+    return splitmix64(np.arange(1, k + 1, dtype=np.uint64)) | np.uint64(1)
 
 
 def batch_gram_hashes(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized word-k-gram hashing for a whole batch: hash every word
     once (C-speed pandas hash), combine k consecutive word hashes with
     wrap-around multiply-adds. Returns (gram_hashes, doc_offsets) where
-    doc_offsets[i]:doc_offsets[i+1] are doc i's grams (>=1 per doc)."""
+    doc_offsets[i]:doc_offsets[i+1] are doc i's grams (>=1 per doc).
+    Generalized to any k >= 1 (position-mix constants from splitmix64)."""
+    assert k >= 1
+    consts = _gram_mix_consts(k)
     words_per_doc = [t.split(" ") for t in texts]
     nw = np.array([len(w) for w in words_per_doc], dtype=np.int64)
     flat = np.array([w for ws in words_per_doc for w in ws], dtype=object)
     wh = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
 
+    n_words = len(wh)
     with np.errstate(over="ignore"):
-        if len(wh) >= k:
-            g = wh[:-2] * _G1 + wh[1:-1] * _G2 + wh[2:] * _G3
+        if n_words >= k:
+            g = np.zeros(n_words - k + 1, np.uint64)
+            for i in range(k):
+                g += wh[i:n_words - k + 1 + i] * consts[i]
         else:
             g = np.empty(0, np.uint64)
     # position i produces a gram iff i .. i+k-1 stay inside one doc
     doc_of_word = np.repeat(np.arange(len(nw)), nw)
-    valid = doc_of_word[:-2] == doc_of_word[2:] if len(wh) >= k else np.empty(0, bool)
+    valid = (doc_of_word[:n_words - k + 1] == doc_of_word[k - 1:]
+             if n_words >= k else np.empty(0, bool))
     grams = g[valid]
-    gdoc = doc_of_word[:-2][valid] if len(wh) >= k else np.empty(0, np.int64)
+    gdoc = doc_of_word[:n_words - k + 1][valid] if n_words >= k else np.empty(0, np.int64)
 
     # short docs (< k words): fall back to the single whole-doc hash
     counts = np.bincount(gdoc, minlength=len(nw))
@@ -134,26 +163,70 @@ class MinHashStage:
         return pd.concat(out, ignore_index=True)
 
 
-def pairs_from_buckets(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
+def pairs_from_buckets(g: pd.DataFrame, max_bucket: int = 64,
+                       carry: tuple[str, ...] = ()) -> pd.DataFrame:
     """Candidate pairs from one (band, bucket) slice: vectorized group scan
     over band_hash; buckets larger than `max_bucket` docs are capped (a
     giant near-dup cluster would otherwise emit O(m^2) pairs — the cap is
-    logged upstream, not silent)."""
+    logged upstream, not silent). `carry` columns ride along as
+    a_<col>/b_<col> so per-pair verification (e.g. simhash hamming) needs no
+    join back to the signature table."""
     g = g.sort_values(["band_hash", "doc_id"], kind="mergesort")
-    a_out, b_out = [], []
+    outs = {c: ([], []) for c in ("doc_id",) + tuple(carry)}
     for _, grp in g.groupby("band_hash", sort=False):
-        ids = grp["doc_id"].to_numpy()
-        if len(ids) < 2:
+        if len(grp) < 2:
             continue
-        ids = ids[:max_bucket]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        a_out.append(ids[ia])
-        b_out.append(ids[ib])
-    if not a_out:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"a": np.concatenate(a_out).astype("int64"),
-                         "b": np.concatenate(b_out).astype("int64")})
+        grp = grp.iloc[:max_bucket]
+        ia, ib = np.triu_indices(len(grp), k=1)
+        for c, (al, bl) in outs.items():
+            v = grp[c].to_numpy()
+            al.append(v[ia])
+            bl.append(v[ib])
+    cols: dict[str, np.ndarray | pd.Series] = {}
+    for c, (al, bl) in outs.items():
+        an = "a" if c == "doc_id" else f"a_{c}"
+        bn = "b" if c == "doc_id" else f"b_{c}"
+        if al:
+            cols[an], cols[bn] = np.concatenate(al), np.concatenate(bl)
+        else:
+            dt = "uint64" if c == "simhash" else "int64"
+            cols[an] = pd.Series([], dtype=dt)
+            cols[bn] = pd.Series([], dtype=dt)
+    df = pd.DataFrame(cols)
+    if len(df):
+        df["a"] = df["a"].astype("int64")
+        df["b"] = df["b"].astype("int64")
+    return df
+
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (uint8 lookup table)."""
+    if len(x) == 0:
+        return np.empty(0, np.int64)
+    return _POPCNT8[np.ascontiguousarray(x).view(np.uint8)] \
+        .reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
+def doc_unique_grams(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted-distinct gram hashes, doc offsets) for a batch — the exact
+    per-doc shingle SETS Jaccard verification needs, computed in one
+    vectorized pass (sort by (doc, gram), first-occurrence mask)."""
+    grams, offsets = batch_gram_hashes(texts, k)
+    gdoc = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    order = np.lexsort((grams, gdoc))
+    gs, ds_ = grams[order], gdoc[order]
+    first = np.ones(len(gs), bool)
+    if len(gs) > 1:
+        first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+    gs, ds_ = gs[first], ds_[first]
+    counts = np.bincount(ds_, minlength=len(offsets) - 1)
+    out_off = np.zeros(len(offsets), np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    return gs, out_off
 
 
 def exact_jaccard(t1: str, t2: str, k: int = 3) -> float:
@@ -164,38 +237,74 @@ def exact_jaccard(t1: str, t2: str, k: int = 3) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
+def batch_simhash64(texts: list[str], k: int = 3) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a whole batch: ONE gram-hash pass
+    (`batch_gram_hashes`, shared with MinHash), splitmix64 mixing, per-doc
+    bit votes via `np.add.reduceat` — no Python loop over docs or grams."""
+    grams, offsets = batch_gram_hashes(texts, k)
+    x = splitmix64(grams)
+    n_docs = len(offsets) - 1
+    if n_docs == 0:
+        return np.empty(0, np.uint64)
+    # (n_grams, 8) uint8 view → unpack to (n_grams, 64) bits
+    bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    votes = np.add.reduceat(bits.astype(np.int64), offsets[:-1], axis=0)
+    n_grams = np.diff(offsets)[:, None]
+    sig_bits = (2 * votes > n_grams).astype(np.uint8)   # majority per bit
+    return np.packbits(sig_bits, axis=1, bitorder="little") \
+             .view(np.uint64).ravel()
+
+
 def simhash64(text: str, k: int = 3) -> int:
-    """64-bit SimHash over word-k-gram crc32s expanded to 64 bits via
-    splitmix-style mixing; vectorized bit counting."""
-    h = _shingle_hashes(text, k)
-    # mix 32→64 bits (xorshift-multiply, constants from splitmix64)
-    x = h.astype(np.uint64)
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(30)
-    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(27)
-    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(31)
-    bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-    score = bits.sum(axis=0) * 2 - len(x)          # per-bit vote
-    out = np.uint64(0)
-    for i in np.flatnonzero(score > 0):
-        out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    """Single-doc convenience wrapper over `batch_simhash64`."""
+    return int(batch_simhash64([text], k)[0])
 
 
 class SimHashStage:
+    """map_batches stage: doc → (simhash, 4×16-bit band columns). The bands
+    are the hamming<=3-ish candidate screen; the full signature rides along
+    so downstream verify never needs a join back to this table."""
+
     def __init__(self, k: int = 3):
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = df["text"].map(lambda t: simhash64(t, self.k)).astype("uint64")
-        out = {"doc_id": df["doc_id"], "simhash": sigs}
-        # 4×16-bit bands for hamming<=3-ish candidate screening
+        sigs = batch_simhash64(df["text"].tolist(), self.k)
+        out = {"doc_id": df["doc_id"].to_numpy(),
+               "simhash": pd.Series(sigs, dtype="uint64")}
         for b in range(4):
-            out[f"band{b}"] = ((sigs.to_numpy() >> np.uint64(16 * b))
+            out[f"band{b}"] = ((sigs >> np.uint64(16 * b))
                                & np.uint64(0xFFFF)).astype("int64")
         return pd.DataFrame(out)
+
+
+def grams_to_binary(df: pd.DataFrame, k: int = 3) -> pa.Table:
+    """Docs → (doc_id, grams:large_binary) where grams is the doc's
+    sorted-distinct gram-hash SET as raw uint64 bytes. Binary because hash
+    joins (acero) ship binary payloads but not list columns; the verify
+    stage `np.frombuffer`s it back zero-copy."""
+    gs, off = doc_unique_grams(df["text"].tolist(), k)
+    payload = [gs[off[i]:off[i + 1]].tobytes() for i in range(len(off) - 1)]
+    return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                     "grams": pa.array(payload, pa.large_binary())})
+
+
+def jaccard_verify_batch(t: pa.Table, tau: float,
+                         a_col: str = "grams_a", b_col: str = "grams_b") -> pa.Table:
+    """(a, b, grams_a, grams_b) candidate rows → the (a, b) pairs whose
+    EXACT Jaccard ≥ tau. Per row one C-level `np.intersect1d` over the two
+    sorted-unique gram sets — no Python loop over grams, no driver state."""
+    ga, gb = t[a_col].to_pylist(), t[b_col].to_pylist()
+    keep = np.zeros(t.num_rows, bool)
+    for i in range(t.num_rows):
+        sa = np.frombuffer(ga[i], np.uint64)
+        sb = np.frombuffer(gb[i], np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        keep[i] = (inter / union if union else 1.0) >= tau
+    return pa.table({"a": t["a"].filter(pa.array(keep)),
+                     "b": t["b"].filter(pa.array(keep))})
 
 
 def exact_dedup_key(df: pd.DataFrame, first_words: int = 5) -> pd.DataFrame:

@@ -85,8 +85,13 @@ def knn(ds, query_ids: list[int], k: int = 10,
         exclude_self: bool = True) -> pd.DataFrame:
     """Brute-force cosine top-k: broadcast queries, matmul per batch,
     tiny driver-side merge of partial top-ks (k × Q rows per batch)."""
-    qdf = ds.filter(lambda r: r["vec_id"] in set(query_ids))  # tiny control read
-    qt = qdf.to_pandas()
+    qset = pa.array(sorted(query_ids), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:      # vectorized, not a per-row filter
+        import pyarrow.compute as _pc
+        return t.filter(_pc.is_in(t["vec_id"].cast(pa.int64()), value_set=qset))
+
+    qt = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     order = {v: i for i, v in enumerate(query_ids)}
     qt = qt.sort_values("vec_id", key=lambda s: s.map(order))
     qm = np.stack(qt["embedding"].to_numpy())
@@ -130,3 +135,97 @@ def lsh_buckets(m: np.ndarray, seed: int = 11, bits: int = 8) -> np.ndarray:
     planes = rng.standard_normal((m.shape[1], bits))
     signs = (m @ planes) > 0
     return (signs @ (1 << np.arange(bits))).astype(np.int64)
+
+
+class LshProbe:
+    """map_batches actor for distributed LSH-bucketed ANN: per batch, for
+    each of `n_tables` hash tables, score ONLY rows whose bucket equals a
+    query's bucket (same seed ⇒ same hyperplanes driver/worker side), dedupe
+    (query, vec) hits across tables within the batch (each vec lives in
+    exactly one batch, so no cross-batch dups), and emit a per-batch partial
+    top-k per query — O(k·Q·#tables) rows leave each batch, never the
+    candidates themselves."""
+
+    def __init__(self, query_ref, k: int = 10, seeds: tuple[int, ...] = (11, 12, 13, 14),
+                 bits: int = 6):
+        self.q_ids, qm = ray.get(query_ref)
+        self.qm = normalize_rows(qm)
+        self.k = k
+        self.seeds, self.bits = seeds, bits
+        self.qb = None  # query buckets per table, lazily sized to the dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = normalize_rows(_stack(t["embedding"]))
+        ids = t["vec_id"].to_numpy()
+        if self.qb is None:
+            self.qb = [lsh_buckets(self.qm, seed=s, bits=self.bits)
+                       for s in self.seeds]
+        btables = [lsh_buckets(m, seed=s, bits=self.bits) for s in self.seeds]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            hit = np.zeros(len(ids), bool)
+            for ti in range(len(self.seeds)):
+                hit |= btables[ti] == self.qb[ti][qi]
+            hit &= ids != self.q_ids[qi]
+            cand = np.flatnonzero(hit)
+            if not len(cand):
+                continue
+            sims = m[cand] @ self.qm[qi]
+            kk = min(self.k, len(cand))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, self.q_ids[qi], np.int64))
+            out_v.append(ids[cand[top]].astype(np.int64))
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+
+class BlockPairCosine:
+    """map_batches actor for EXACT distributed all-pairs cosine (the
+    embedding near-dup screen): input rows are (i, j) block-index pairs over
+    fixed vec_id ranges; each task reads its two blocks (parquet pushdown),
+    one matmul, emits only pairs ≥ tau. Block-nested-loop: O(B²) tasks each
+    memory-bounded to two blocks — never a full-matrix broadcast. An actor
+    caches the blocks it has read (each block is re-read ≤ B times worst
+    case; with an actor pool the effective amplification is far lower).
+    This is exact (oracle-checkable); LSH bucketing (lsh_buckets) is the
+    approximate screen when O(N²) compute itself is the bottleneck."""
+
+    def __init__(self, path: str, bounds: list[tuple[int, int]], tau: float,
+                 max_cached: int = 4):
+        self.path, self.bounds, self.tau = path, bounds, tau
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.max_cached = max_cached
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in self.cache:
+            import pyarrow.parquet as pq
+            lo, hi = self.bounds[i]
+            t = pq.read_table(self.path, columns=["vec_id", "embedding"],
+                              filters=[("vec_id", ">=", lo), ("vec_id", "<", hi)])
+            if len(self.cache) >= self.max_cached:
+                self.cache.pop(next(iter(self.cache)))
+            self.cache[i] = (t["vec_id"].to_numpy().astype(np.int64),
+                             normalize_rows(_stack(t["embedding"])))
+        return self.cache[i]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_a, ma = self._block(i)
+            ids_b, mb = self._block(j)
+            sims = ma @ mb.T
+            ai, bi = np.nonzero(sims >= self.tau)
+            a, b = ids_a[ai], ids_b[bi]
+            keep = a < b              # dedups self/diagonal and orders pairs
+            a_out.append(a[keep])
+            b_out.append(b[keep])
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})

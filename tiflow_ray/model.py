@@ -102,6 +102,22 @@ def key_hash64(doc_ids, seed: int = 0) -> np.ndarray:
     return s.hash(seed=seed).to_numpy()
 
 
+def hash_fingerprint() -> str:
+    """Fingerprint of the key-hash function over canary keys. Recorded in
+    every manifest and re-verified on resume: lake layout depends on
+    key_hash64 being stable across library versions — a polars upgrade that
+    changed the hash would otherwise silently mis-route keys and duplicate
+    rows in existing lakes (fail loudly instead)."""
+    import hashlib
+
+    import polars as pl
+
+    canary = pa.array([f"doc-{i:012d}" for i in range(8)]
+                      + ["", "a", "käse", "的"])
+    digest = hashlib.md5(key_hash64(canary).tobytes()).hexdigest()[:16]
+    return f"polars={pl.__version__};canary={digest}"
+
+
 def hash_partition(doc_ids, num_partitions: int) -> np.ndarray:
     """part = key_hash64(doc_id) % P → uint32 partition ids."""
     return (key_hash64(doc_ids) % np.uint64(num_partitions)).astype(np.uint32)

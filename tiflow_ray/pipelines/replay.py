@@ -114,9 +114,11 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
             parts[str(p)] = {"path": files[0], "schema_ver": 1,
                              "rows": md.num_rows, "watermark_ts": 0,
                              "bytes": 0, "deltas": []}
+    from ..model import hash_fingerprint
     m = Manifest(epoch=0, watermark_ts=0, schema_ver=1,
                  num_partitions=cfg.num_partitions, parts=parts,
-                 segments_applied=[], stats={"bootstrap": True})
+                 segments_applied=[], stats={"bootstrap": True},
+                 hash_fingerprint=hash_fingerprint())
     lake.commit(m)
     return m
 
@@ -136,8 +138,21 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
 
     flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
     thin_cols = ["op", "commit_ts", "start_ts", "doc_id", "new_doc_id"]
+    # filters MUST apply to pass 1 too: a winner filtered from the payload
+    # pass but not here would poison the signature set and silently drop the
+    # doc's surviving earlier events (two_pass+predicate is rejected upfront
+    # in _execute_epoch — a predicate may touch payload columns pass 1
+    # doesn't read)
+    thin_fields = []
+    if cfg.ignore_sources:
+        thin_cols = thin_cols + ["source"]
+        thin_fields = [pa.field("source", pa.string())]
     ds = ray.data.read_parquet(list(ep.files), columns=thin_cols, filter=flt,
                                **read_kwargs)
+    if cfg.ignore_sources:
+        ds = ds.map_batches(Normalize(thin_fields, ep.lo, ep.hi,
+                                      cfg.ignore_sources, validate=False),
+                            batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(split_updates, batch_format="pyarrow",
                         batch_size=cfg.batch_size)
     ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions),
@@ -163,6 +178,12 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     """Run one epoch's data pipeline (read → normalize → split → combine →
     shuffle → merge-write) and return the per-partition stats rows. NO
     manifest side effects — commit happens in _commit_epoch."""
+    if cfg.replay_mode == "two_pass" and cfg.event_predicate is not None:
+        raise ValueError(
+            "replay_mode='two_pass' cannot be combined with event_predicate: "
+            "the thin pass does not read payload columns, so a predicate that "
+            "filters a winner there would silently drop that doc's surviving "
+            "events; use single_pass or fold the predicate into ignore_sources")
     image_fields = [registry.schema(ep.schema_ver).field(c)
                     for c in image_columns([f.name for f in
                                             registry.schema(ep.schema_ver)])]
@@ -268,7 +289,8 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
                  segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
                  stats={"events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
-                        "lo": ep.lo, "hi": ep.hi})
+                        "lo": ep.lo, "hi": ep.hi},
+                 hash_fingerprint=prev.hash_fingerprint)
     lake.commit(m)  # THE commit point: epoch becomes durable exactly here
     return m, EpochResult(epoch_no, ep.lo, ep.hi, ep.schema_ver, ep.est_rows,
                           len(stats_rows), rows_total)
@@ -332,6 +354,13 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
         raise ValueError(f"lake P={prev.num_partitions} != config "
                          f"P={cfg.num_partitions}; repartitioning the lake "
                          "requires an explicit re-bootstrap")
+    from ..model import hash_fingerprint
+    if prev.hash_fingerprint and prev.hash_fingerprint != hash_fingerprint():
+        raise ValueError(
+            f"key-hash fingerprint mismatch: lake was laid out with "
+            f"{prev.hash_fingerprint!r}, this process computes "
+            f"{hash_fingerprint()!r} — a hash-function/library change would "
+            "mis-route keys into existing partitions; re-bootstrap the lake")
 
     segments = list_segments(cfg.wal_dir)
     epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,

@@ -65,6 +65,10 @@ def _tokens_list(seed: np.ndarray, mult: int, step: int) -> tuple[pa.ListArray, 
     np.cumsum(lens, out=offsets[1:])
     j = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], lens)
     vals = ((np.repeat(seed * mult, lens) + j * step) % TOKEN_VOCAB).astype(np.int32)
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"token list offsets overflow int32 ({offsets[-1]}); "
+            "build the fixture in chunks")
     return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)),
                                     pa.array(vals)), lens.astype(np.int32)
 
@@ -247,9 +251,10 @@ def q_cdc_replay_resume(sf_dir: str) -> pa.Table:
 
 def q_lww_compact(sf_dir: str) -> pd.DataFrame:
     """T6/O3: per-key last-writer-wins over the events stream — per-batch
-    combiner (last event + count per key per batch, the compactor kernel),
-    then a driver-side merge of the O(keys)-sized partials (no wide shuffle
-    for an aggregate whose partials collapse to the key count)."""
+    combiner (last event + count per key per batch, the compactor kernel)
+    bounds shuffle volume to O(distinct keys per batch), then ONE
+    groupby(user_id) shuffle of the thin partials finishes the reduce
+    distributedly (the driver never holds the key set)."""
     ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
@@ -258,13 +263,19 @@ def q_lww_compact(sf_dir: str) -> pd.DataFrame:
         cnt = g.groupby("user_id", as_index=False).size()
         return last.merge(cnt, on="user_id")
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    parts = parts.sort_values(["ts", "event_id"], kind="mergesort")
-    last = parts.groupby("user_id", as_index=False).tail(1)
-    cnt = parts.groupby("user_id", as_index=False)["size"].sum()
-    out = last.merge(cnt.rename(columns={"size": "n_events"}), on="user_id")
-    out = out.rename(columns={"event_id": "last_event_id",
-                              "event_type": "last_event_type"})
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        last = g.tail(1)
+        return pd.DataFrame({
+            "user_id": last["user_id"].to_numpy(),
+            "last_event_id": last["event_id"].to_numpy(),
+            "last_event_type": last["event_type"].to_numpy(),
+            "n_events": np.array([g["size"].sum()], dtype="int64"),
+        })
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("user_id").map_groups(final, batch_format="pandas") \
+            .to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     return (out[["user_id", "last_event_id", "last_event_type", "n_events"]]
             .sort_values("user_id").reset_index(drop=True))
@@ -579,33 +590,39 @@ GROUP BY 1, 2
 
 
 def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
-    """ANN scale path: random-hyperplane LSH buckets; queries probe only
-    same-bucket vectors across 4 hash tables. Rows-only oracle (approximate
-    by design); recall vs brute force asserted in pytest."""
-    from .functions.similarity import _stack, lsh_buckets, normalize_rows
-    t = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    m = normalize_rows(_stack(t["embedding"]))
-    qsel = np.isin(ids, [0, 1, 2, 3, 4])
-    out_rows = []
-    seen: dict[int, set] = {int(q): set() for q in ids[qsel]}
-    cand: dict[int, list] = {int(q): [] for q in ids[qsel]}
-    for table_seed in range(4):
-        b = lsh_buckets(m, seed=11 + table_seed, bits=6)
-        for qi in np.flatnonzero(qsel):
-            mask = (b == b[qi])
-            for vi in np.flatnonzero(mask):
-                v = int(ids[vi])
-                q = int(ids[qi])
-                if v != q and v not in seen[q]:
-                    seen[q].add(v)
-                    cand[q].append((float(m[qi] @ m[vi]), v))
-    for q, lst in cand.items():
-        lst.sort(key=lambda x: (-x[0], x[1]))
-        for rank, (_, v) in enumerate(lst[:10], 1):
-            out_rows.append((q, rank, v))
-    return pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id"]) \
-        .astype("int64").sort_values(["query_id", "rank"]).reset_index(drop=True)
+    """ANN scale path, fully distributed: random-hyperplane LSH buckets over
+    4 hash tables — each batch probes only same-bucket rows and emits a
+    partial top-k per query (O(k·Q) rows per batch, candidates never leave
+    the worker); a tiny per-query final merge ranks them. Rows-only oracle
+    (approximate by design); the output carries `recall_pct` vs the
+    brute-force truth as a self-validating quality column (also asserted in
+    pytest)."""
+    from .functions.similarity import (LshProbe, _stack, finalize_topk, knn,
+                                       normalize_rows)
+    Q_IDS = [0, 1, 2, 3, 4]
+    # tiny control read: ONLY the query vectors, parquet pushdown
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", Q_IDS)]).to_pandas()
+    qt = qt.sort_values("vec_id")
+    ref = ray.put((qt["vec_id"].to_numpy().astype(np.int64),
+                   np.stack(qt["embedding"].to_numpy())))
+
+    seeds = tuple(11 + t for t in range(4))
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = ds.map_batches(LshProbe, fn_constructor_args=(ref, 10, seeds, 6),
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2).to_pandas()
+    out = finalize_topk(parts, 10)
+
+    brute = knn(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]), Q_IDS, k=10)
+    truth = brute.groupby("query_id")["vec_id"].agg(set)
+    got = out.groupby("query_id")["vec_id"].agg(set)
+    recall = {q: int(round(100 * len(got.get(q, set()) & truth[q])
+                           / max(len(truth[q]), 1)))
+              for q in truth.index}
+    out["recall_pct"] = out["query_id"].map(recall).astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -713,85 +730,150 @@ FROM documents GROUP BY 1
 """
 
 
-def _planted_docs(sf_dir: str) -> pd.DataFrame:
+def _planted_ds(sf_dir: str) -> ray.data.Dataset:
     """documents ∪ perturbed near-dup copies of every 10th doc (id+100000,
-    one word changed) — deterministic, so near-dup recall is measurable."""
-    df = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    dup = df[df["doc_id"] % 10 == 0].copy()
-    dup["doc_id"] = dup["doc_id"] + 100000
-    dup["text"] = dup["text"] + " zzq"
-    return pd.concat([df, dup], ignore_index=True)
+    one word changed) — deterministic, so near-dup recall is measurable.
+    Planting happens INSIDE map_batches (each batch plants its own dups), so
+    the corpus is never materialized on the driver."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"],
+                               override_num_blocks=8)
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = ids % 10 == 0
+        dup = t.filter(pa.array(sel))
+        dup = pa.table({
+            "doc_id": pc.add(dup["doc_id"], 100000),
+            "text": pc.binary_join_element_wise(dup["text"], "zzq", " "),
+        })
+        return pa.concat_tables([t.select(["doc_id", "text"]), dup])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def _dedupe_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed (a, b) pair dedup: one groupby shuffle, first row wins."""
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return ds.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
 
 
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup candidates, verified with exact Jaccard ≥ 0.6.
-    Shape at scale: signatures vectorized per batch → explode to
-    (band, bucket=band_hash%64, doc_id) → groupby the 512 coarse buckets →
-    vectorized pair scan inside each → Jaccard verify. Not SQL-expressible
-    (permutation hashing) → rows-only oracle; recall of the planted dups is
-    asserted in pytest."""
-    from .functions.dedup import MinHashStage, exact_jaccard, pairs_from_buckets
-    docs = _planted_docs(sf_dir)
-    ds = ray.data.from_pandas(docs)
-    sig = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=4096,
-                         concurrency=2)
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.6 —
+    fully distributed: signatures vectorized per batch → explode to
+    (band, bucket=band_hash%64, doc_id) → groupby the coarse buckets →
+    vectorized pair scan inside each → pair dedup (groupby) → TWO hash
+    joins ship each side's sorted-distinct gram SET (binary-encoded) to the
+    pair → vectorized exact-Jaccard verify. No driver-side corpus dict at
+    any point. Not SQL-expressible (permutation hashing) → rows-only
+    oracle; planted-pair recall asserted in pytest."""
+    from .functions.dedup import (MinHashStage, grams_to_binary,
+                                  jaccard_verify_batch, pairs_from_buckets)
+    docs = _planted_ds(sf_dir)
+    sig = docs.map_batches(MinHashStage, batch_format="pandas",
+                           batch_size=4096, concurrency=2)
     sig = sig.map_batches(
         lambda df: df.assign(bucket=(df["band_hash"] % 64).astype("int64")),
         batch_format="pandas")
-    cand = sig.groupby(["band", "bucket"]) \
-              .map_groups(pairs_from_buckets, batch_format="pandas").to_pandas()
-    cand = cand.drop_duplicates(["a", "b"])
-    texts = dict(zip(docs["doc_id"], docs["text"]))  # broadcast-size side
-    jac = [exact_jaccard(texts[a], texts[b]) for a, b in zip(cand["a"], cand["b"])]
-    cand = cand.assign(keep=np.array(jac) >= 0.6 if len(cand) else [])
-    out = cand[cand["keep"]][["a", "b"]].astype("int64")
+    cand = _dedupe_pairs(
+        sig.groupby(["band", "bucket"])
+           .map_groups(pairs_from_buckets, batch_format="pandas"))
+
+    grams = docs.map_batches(grams_to_binary, batch_format="pandas")
+    # join parallelism sized to the cluster: each hash-join spawns
+    # num_partitions aggregator actors; two chained joins at a fixed 8 would
+    # deadlock a 4-cpu test session (fractional CPUs so they co-schedule)
+    npart = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    jargs = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
+    j = cand.join(grams, "inner", num_partitions=npart,
+                  on=("a",), right_on=("doc_id",), **jargs)
+    j = j.map_batches(lambda t: t.rename_columns(
+        [{"grams": "grams_a"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    j = j.join(grams, "inner", num_partitions=npart,
+               on=("b",), right_on=("doc_id",), **jargs)
+    j = j.map_batches(lambda t: t.rename_columns(
+        [{"grams": "grams_b"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    out = j.map_batches(lambda t: jaccard_verify_batch(t, 0.6),
+                        batch_format="pyarrow").to_pandas()
+    out = out.astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dups: band-collision candidate screen, then exact
-    hamming-distance ≤ 3 verification. Rows-only oracle (bit-voting isn't
+    """SimHash near-dups, fully distributed: the 64-bit signature rides on
+    every exploded band row, so the hamming ≤ 3 verification happens right
+    where pairs are generated (vectorized XOR + popcount) — no join, no
+    driver-side signature table. Rows-only oracle (bit-voting isn't
     SQL-expressible). NOTE: the synthetic corpus shares a tiny vocabulary,
     so simhash distances concentrate (random pairs can hit 0) — the query
     validates the mechanism; MinHash-Jaccard is the discriminating dedup
     here (see q_dedup_minhash's planted-pair recall test)."""
-    from .functions.dedup import SimHashStage, pairs_from_buckets
-    docs = _planted_docs(sf_dir)
-    ds = ray.data.from_pandas(docs)
-    sig = ds.map_batches(SimHashStage, batch_format="pandas", batch_size=4096,
-                         concurrency=2)
-    sig_pd = sig.select_columns(["doc_id", "simhash"]).to_pandas()
+    from .functions.dedup import SimHashStage, pairs_from_buckets, popcount64
+    docs = _planted_ds(sf_dir)
+    sig = docs.map_batches(SimHashStage, batch_format="pandas",
+                           batch_size=4096, concurrency=2)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         parts = [pd.DataFrame({"doc_id": df["doc_id"],
+                               "simhash": df["simhash"],
                                "band": np.int64(b),
                                "band_hash": df[f"band{b}"],
                                "bucket": (df[f"band{b}"] % 64).astype("int64")})
                  for b in range(4)]
         return pd.concat(parts, ignore_index=True)
 
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return pairs_from_buckets(g, carry=("simhash",))
+
     cand = sig.map_batches(explode_bands, batch_format="pandas") \
               .groupby(["band", "bucket"]) \
-              .map_groups(pairs_from_buckets, batch_format="pandas").to_pandas()
-    cand = cand.drop_duplicates(["a", "b"])
-    lut = dict(zip(sig_pd["doc_id"].astype(int), sig_pd["simhash"].astype(np.uint64)))
-    ha = cand["a"].map(lut).to_numpy(dtype=np.uint64)
-    hb = cand["b"].map(lut).to_numpy(dtype=np.uint64)
-    dist = np.array([bin(int(x)).count("1") for x in ha ^ hb])
-    out = cand[dist <= 3][["a", "b"]].astype("int64")
+              .map_groups(bucket_pairs, batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ha = df["a_simhash"].to_numpy(dtype=np.uint64)
+        hb = df["b_simhash"].to_numpy(dtype=np.uint64)
+        keep = popcount64(ha ^ hb) <= 3
+        return df.loc[keep, ["a", "b"]]
+
+    out = _dedupe_pairs(cand.map_batches(verify, batch_format="pandas")) \
+        .to_pandas().astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_dedup_embed(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.45): per-batch matmul vs the
-    broadcast matrix; SQL twin via list_cosine_similarity."""
-    from .functions.similarity import CosinePairs, _stack
-    t = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    ref = ray.put((t["vec_id"].to_numpy(), _stack(t["embedding"])))
-    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ds.map_batches(CosinePairs, fn_constructor_args=(ref, 0.45),
-                         batch_format="pyarrow", batch_size=4096,
-                         concurrency=2).to_pandas()
+    """Embedding-cosine near-dup pairs (sim ≥ 0.45), EXACT and distributed:
+    block-nested-loop over fixed vec_id ranges — each task reads two blocks
+    (parquet pushdown) and matmuls them; no full-matrix broadcast, memory
+    per task bounded by two blocks. Exact ⇒ the DuckDB cross-join oracle
+    stays hash-green. (The LSH-bucketed screen — functions/similarity.py
+    lsh_buckets/LshProbe — is the approximate path when O(N²) compute
+    itself is the bottleneck; the exact screen is what the reference's
+    validator semantics require here.)"""
+    from .functions.similarity import BlockPairCosine
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    meta = pq.read_metadata(path)               # O(1) footer, not a scan
+    ci = meta.schema.to_arrow_schema().get_field_index("vec_id")
+    stats = [meta.row_group(rg).column(ci).statistics
+             for rg in range(meta.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        lo = min(s.min for s in stats)
+        hi = max(s.max for s in stats) + 1
+    else:                                       # stats-free writer fallback
+        col = pq.read_table(path, columns=["vec_id"])["vec_id"]
+        lo, hi = int(pc.min(col).as_py()), int(pc.max(col).as_py()) + 1
+    n_blocks = max(1, min(8, (hi - lo) // 256))
+    edges = np.linspace(lo, hi, n_blocks + 1).astype(np.int64)
+    bounds = [(int(edges[i]), int(edges[i + 1])) for i in range(n_blocks)]
+    items = [{"i": i, "j": j} for i in range(n_blocks)
+             for j in range(i, n_blocks)]
+    out = ray.data.from_items(items) \
+        .map_batches(BlockPairCosine, fn_constructor_args=(path, bounds, 0.45),
+                     batch_format="pyarrow", batch_size=4,
+                     concurrency=2).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

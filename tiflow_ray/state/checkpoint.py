@@ -40,6 +40,8 @@ class Manifest:
     #                  "watermark_ts": w, "bytes": b}
     segments_applied: list[str] = field(default_factory=list)
     stats: dict = field(default_factory=dict)
+    hash_fingerprint: str = ""            # key_hash64 canary (model.hash_fingerprint):
+                                          # resume fails loudly if the hash fn changed
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
