@@ -123,15 +123,29 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
     return m
 
 
+def _merge_sorted_sigs(*tables) -> "np.ndarray":
+    """Remote reducer: per-partition winner-sig blocks → ONE sorted uint64
+    array, produced straight into the object store (the driver only ever
+    holds the ref). Runs as a ray task so no O(winners) allocation happens
+    driver-side; downstream filter tasks read the plasma buffer zero-copy."""
+    import numpy as np
+    sigs = np.concatenate([t["sig"].to_numpy() for t in tables]
+                          or [np.empty(0, np.uint64)])
+    sigs.sort()
+    return sigs
+
+
 def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
-                            read_kwargs: dict) -> "np.ndarray":
+                            read_kwargs: dict) -> "ray.ObjectRef":
     """Two-pass pass 1: read ONLY (op, commit_ts, start_ts, doc_id,
     new_doc_id) (~6x fewer bytes than with token payloads), split identity
-    changes, combine per batch, final-reduce per partition, and return the
-    SORTED array of winner event signatures (8 bytes per surviving key —
-    O(touched docs), broadcastable). Scale note: at 10^9+ winners per epoch
-    keep the sig sets per-partition in the object store instead of one
-    global array; epochs should be sized so this stays broadcastable."""
+    changes, combine per batch, final-reduce per partition, and return a
+    REF to the sorted array of winner event signatures (8 bytes per
+    surviving key — O(touched docs)). The sig blocks live in the object
+    store end-to-end: per-partition blocks → one remote merge task → one
+    shared read-only plasma buffer; the driver handles refs only. Scale
+    note: at 10^9+ winners per epoch size epochs down (the merge task
+    transiently holds 2× the sig bytes) or shard the filter actor pool."""
     import numpy as np
 
     from ..stages.compact import compact_partition, event_signature
@@ -164,12 +178,8 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
 
     sig_ds = ds.groupby("part").map_groups(winners_to_sigs,
                                            batch_format="pyarrow")
-    sigs = np.concatenate(
-        [b["sig"].to_numpy() for b in
-         sig_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
-        or [np.empty(0, np.uint64)])
-    sigs.sort()
-    return sigs
+    block_refs = sig_ds.to_arrow_refs()     # blocks stay in the object store
+    return ray.remote(_merge_sorted_sigs).remote(*block_refs)
 
 
 def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
@@ -219,7 +229,7 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                         batch_size=cfg.batch_size)
     if cfg.replay_mode == "two_pass" and ep.fmt == "parquet":
         from ..stages.compact import filter_by_signature
-        sigs_ref = ray.put(_thin_winner_signatures(cfg, ep, read_kwargs))
+        sigs_ref = _thin_winner_signatures(cfg, ep, read_kwargs)
 
         def keep_winners(t: pa.Table) -> pa.Table:
             return assign_partition(filter_by_signature(t, ray.get(sigs_ref)),

@@ -245,6 +245,57 @@ def q_cdc_replay_resume(sf_dir: str) -> pa.Table:
                     resume_mid=True)
 
 
+def q_sql_apply(sf_dir: str) -> pa.Table:
+    """K3 (MySQL txn sink) made real: the engine's compaction front-end
+    (normalize → split → combine → per-partition final reduce) feeds the
+    batched-SQL statement generator (sinks/sqlgen.py — multi-value
+    REPLACE/DELETE with safe-mode translation, pkg/sqlmodel/multirow.go +
+    cdc/sink/dmlsink/txn/mysql/mysql.go:525-608 analog); the statements are
+    then EXECUTED against a DuckDB target initialized with the base table.
+    Oracle = the same final state as cdc_replay (the SQL twin replays via
+    window functions), so the generator's semantics are hash-checked."""
+    import duckdb
+
+    from .sinks.sqlgen import SqlSinkStage
+    from .sources.wal import list_segments
+    from .stages.compact import compact_batch
+    from .stages.normalize import Normalize, epoch_event_columns
+    from .stages.update_split import split_updates
+
+    root, registry = stage_cdc_fixture(sf_dir, with_ddl=False)
+    image_cols = ["tokens", "n_tok", "source"]
+    image_fields = [pa.field("tokens", pa.list_(pa.int32())),
+                    pa.field("n_tok", pa.int32()),
+                    pa.field("source", pa.string())]
+    segs = list_segments(os.path.join(root, "wal"))
+    ds = ray.data.read_parquet([s.path for s in segs],
+                               columns=epoch_event_columns(image_cols))
+    ds = ds.map_batches(Normalize(image_fields, 0, 1 << 62),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(split_updates, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: compact_batch(t, CDC_P),
+                        batch_format="pyarrow")
+    sink = SqlSinkStage("target", image_cols)
+
+    def gen_stmts(t: pa.Table) -> pa.Table:   # map_groups needs a __name__
+        return sink(t)
+
+    stmts = ds.groupby("part") \
+        .map_groups(gen_stmts, batch_format="pyarrow").to_pandas()
+    stmts = stmts.sort_values(["part", "seq"])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (doc_id VARCHAR PRIMARY KEY, "
+                "tokens INTEGER[], n_tok INTEGER, source VARCHAR)")
+    con.execute("INSERT INTO target SELECT doc_id, tokens, n_tok, source "
+                f"FROM read_parquet('{os.path.join(root, 'base')}"
+                "/part=*/*.parquet', hive_partitioning=false)")
+    for s in stmts["stmt"]:
+        con.execute(s)
+    return con.execute("SELECT doc_id, tokens, n_tok, source FROM target "
+                       "ORDER BY doc_id").arrow()
+
+
 # ---------------------------------------------------------------------------
 # CDC operator singles (each = one SURVEY §2 row, SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -1013,6 +1064,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay": (q_cdc_replay, _CDC_REPLAY_SQL),
     "cdc_replay_ddl": (q_cdc_replay_ddl, _CDC_REPLAY_DDL_SQL),
     "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
+    "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
