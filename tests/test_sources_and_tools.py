@@ -15,32 +15,84 @@ from tiflow_ray.config import ReplayConfig
 from tiflow_ray.pipelines import replay as rp
 
 
-def _wal_as_jsonl(src_root, dst_root, reg):
-    """Rewrite a generated parquet WAL as JSONL segments (same events)."""
+def _wal_as(src_root, dst_root, reg, fmt):
+    """Rewrite a generated parquet WAL in another codec (same events)."""
     from tiflow_ray.sources.wal import list_segments
     os.makedirs(f"{dst_root}/wal", exist_ok=True)
     tables = [pq.read_table(s.path) for s in list_segments(f"{src_root}/wal")]
     t = pa.concat_tables(tables, promote_options="default")
     fixtures.write_wal_segments(t, f"{dst_root}/wal", len(tables), reg,
-                                fmt="jsonl")
+                                fmt=fmt)
 
 
-def test_jsonl_wal_matches_parquet_wal(t1_noddl_fixture, tmp_path):
+def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
+    """M9/M10: jsonl, csv, and canal-json change files replay to the exact
+    same lake state as the parquet WAL (reference-format compat, S6)."""
     root, reg, *_ = t1_noddl_fixture
-    jroot = str(tmp_path / "jsonl_fixture")
-    _wal_as_jsonl(root, jroot, reg)
-
-    cfgs = {}
-    for tag, wal in [("pq", f"{root}/wal"), ("js", f"{jroot}/wal")]:
-        cfg = ReplayConfig(wal_dir=wal, lake_dir=str(tmp_path / f"lake_{tag}"),
+    lakes = {}
+    for fmt in ("parquet", "jsonl", "csv", "canal_json"):
+        if fmt == "parquet":
+            wal = f"{root}/wal"
+        else:
+            froot = str(tmp_path / f"{fmt}_fixture")
+            _wal_as(root, froot, reg, fmt)
+            wal = f"{froot}/wal"
+        cfg = ReplayConfig(wal_dir=wal, lake_dir=str(tmp_path / f"lake_{fmt}"),
                            num_partitions=8, validate=True)
         rp.bootstrap(cfg, base_dir=f"{root}/base")
         rp.run_replay(cfg)
-        cfgs[tag] = cfg
-    tp = rp.lake_to_table(cfgs["pq"].lake_dir, cfgs["pq"].wal_dir)
-    tj = rp.lake_to_table(cfgs["js"].lake_dir, cfgs["js"].wal_dir)
-    assert tp.equals(tj)
-    assert tp.equals(oracle.replay_to_table(root, reg))
+        lakes[fmt] = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    for fmt, t in lakes.items():
+        assert t.equals(exp), f"{fmt} lake diverged from oracle"
+
+
+def test_csv_codec_roundtrip_quoting():
+    """Reference csv conventions: I/U/D op letters, \\N nulls, quoted
+    strings with doubled internal quotes, space-separated token arrays."""
+    from tiflow_ray.sources.codecs import decode_csv_lines, encode_csv
+    t = pa.table({
+        "op": pa.array([3, 1, 2], pa.uint8()),
+        "commit_ts": pa.array([10, 11, 12], pa.uint64()),
+        "start_ts": pa.array([9, 10, 11], pa.uint64()),
+        "doc_id": pa.array(['d"quote', "d2", "d3"]),
+        "tokens": pa.array([[1, 2], None, []], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, None, 0], pa.int32()),
+        "source": pa.array(["we,b", None, "books"]),
+        "pre_tokens": pa.array([None, [7], None], pa.list_(pa.int32())),
+        "new_doc_id": pa.array([None, None, "d9"], pa.string()),
+        "schema_ver": pa.array([1, 1, 1], pa.int32()),
+    })
+    text, cols = encode_csv(t)
+    lines = text.splitlines()
+    assert lines[0].startswith('I,10,9,"d""quote","1 2",2,"we,b",\\N,\\N,1')
+    assert lines[1].startswith("D,11,10")
+    back = decode_csv_lines(lines, cols)
+    assert back.equals(t)
+
+
+def test_canal_json_roundtrip_op_mapping():
+    from tiflow_ray.sources.codecs import (decode_canal_lines,
+                                           encode_canal_json)
+    t = pa.table({
+        "op": pa.array([3, 1, 2], pa.uint8()),
+        "commit_ts": pa.array([10, 11, 12], pa.uint64()),
+        "start_ts": pa.array([9, 10, 11], pa.uint64()),
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([[1, 2], None, [3]], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, None, 1], pa.int32()),
+        "source": pa.array(["web", None, "books"]),
+        "pre_tokens": pa.array([None, None, [5, 6]], pa.list_(pa.int32())),
+        "new_doc_id": pa.array([None, None, None], pa.string()),
+        "schema_ver": pa.array([1, 1, 1], pa.int32()),
+    })
+    text = encode_canal_json(t)
+    objs = [json.loads(ln) for ln in text.splitlines()]
+    assert [o["type"] for o in objs] == ["INSERT", "DELETE", "UPDATE"]
+    assert objs[0]["data"][0]["tokens"] == "1 2"     # canal: values as strings
+    assert objs[2]["old"][0]["tokens"] == "5 6"
+    back = decode_canal_lines(text.splitlines(), t.column_names)
+    assert back.equals(t)
 
 
 def test_event_predicate_hook(t1_noddl_fixture, tmp_path):

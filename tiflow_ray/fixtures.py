@@ -365,11 +365,21 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             with open(os.path.join(wal_dir, f"seq={s:05d}.jsonl"), "w") as f:
                 for row in seg.to_pylist():
                     f.write(json.dumps(row) + "\n")
+        elif fmt == "csv":
+            from .sources.codecs import encode_csv
+            text, _ = encode_csv(seg)
+            with open(os.path.join(wal_dir, f"seq={s:05d}.csv"), "w") as f:
+                f.write(text)
+        elif fmt == "canal_json":
+            from .sources.codecs import encode_canal_json
+            with open(os.path.join(wal_dir, f"seq={s:05d}.canal.jsonl"), "w") as f:
+                f.write(encode_canal_json(seg))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
                 "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),
-                "rows": int(b - a), "format": fmt}
+                "rows": int(b - a), "format": fmt,
+                "columns": list(t.column_names)}
         with open(os.path.join(wal_dir, f"seq={s:05d}.meta.json"), "w") as f:
             json.dump(meta, f)
         metas.append(meta)

@@ -217,8 +217,15 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
             ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
                                        **read_kwargs)
             enforce_range = False
-        else:  # jsonl change files: no pushdown — range-filter in normalize
+        elif ep.fmt == "jsonl":  # raw json change files: no pushdown —
             ds = ray.data.read_json(list(ep.files), **read_kwargs)
+            enforce_range = True   # range-filter in normalize
+        else:  # csv / canal-json change files (M10 decode): text → decoder
+            from ..sources.codecs import ChangeFileDecoder
+            ds = ray.data.read_text(list(ep.files), **read_kwargs)
+            ds = ds.map_batches(ChangeFileDecoder(ep.fmt, list(ep.columns)),
+                                batch_format="pandas",
+                                batch_size=cfg.batch_size)
             enforce_range = True
     ds = ds.map_batches(Normalize(image_fields, ep.lo, ep.hi,
                                   cfg.ignore_sources, cfg.validate,

@@ -1,0 +1,211 @@
+"""WAL change-file codecs: csv and canal-json encode/decode (M9/M10).
+
+Mirrors the reference's codec semantics, not its code:
+
+- csv (pkg/sink/codec/csv/csv_message.go:91-140 field conventions): first
+  field is the op letter I/U/D, then commit-ts; strings are double-quoted
+  with internal quotes doubled; NULL is the unquoted token \\N; token
+  arrays render as space-separated ints inside quotes. Like the reference,
+  files carry NO header row — the column order travels in the segment meta
+  (the schema-file mechanism of the storage sink,
+  pkg/sink/cloudstorage/table_definition.go).
+- canal-json (pkg/sink/codec/canal/canal_json_message.go op mapping): one
+  JSON object per line with type INSERT/UPDATE/DELETE, es=commit_ts,
+  ts=start_ts, pkNames, and `data`/`old` row objects whose values are ALL
+  STRINGS (canal's convention); DELETE carries the key in `data` with null
+  image columns.
+
+Production replay stays on Parquet (predicate pushdown, zero-copy); these
+codecs exist so reference-shaped change files replay bit-identically
+(storage-consumer direction, S6) and are exercised at test scale.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+CSV_NULL = "\\N"
+_OP_CHAR = {OP_DELETE: "D", OP_UPDATE: "U", OP_INSERT: "I"}
+_CHAR_OP = {v: k for k, v in _OP_CHAR.items()}
+
+#: canonical event-column types the decoders restore
+_KEY_TYPES = {
+    "op": pa.uint8(), "commit_ts": pa.uint64(), "start_ts": pa.uint64(),
+    "doc_id": pa.string(), "new_doc_id": pa.string(),
+    "schema_ver": pa.int32(),
+}
+_LIST_COLS = {"tokens", "pre_tokens"}
+_INT_COLS = {"n_tok"}
+
+
+def _cell_to_text(v, col: str) -> str:
+    """One value → csv cell (reference quoting: strings quoted, \\N null)."""
+    if v is None:
+        return CSV_NULL
+    if col == "op":
+        return _OP_CHAR[int(v)]
+    if col in _LIST_COLS:
+        return '"' + " ".join(str(int(x)) for x in v) + '"'
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return '"' + str(v).replace('"', '""') + '"'
+
+
+def _text_to_value(s: str, col: str):
+    if s == CSV_NULL:
+        return None
+    if col == "op":
+        return _CHAR_OP[s.strip('"')]
+    if col in _LIST_COLS:
+        body = s[1:-1] if s.startswith('"') else s
+        return [int(x) for x in body.split()] if body else []
+    if s.startswith('"'):
+        return s[1:-1].replace('""', '"')
+    return int(s)
+
+
+def _typed_column(vals: list, col: str) -> pa.Array:
+    if col in _KEY_TYPES:
+        return pa.array(vals, _KEY_TYPES[col])
+    if col in _LIST_COLS:
+        return pa.array(vals, pa.list_(pa.int32()))
+    if col in _INT_COLS:
+        return pa.array(vals, pa.int32())
+    return pa.array([None if v is None else str(v) for v in vals], pa.string())
+
+
+# ---------------------------------------------------------------------------
+# csv
+# ---------------------------------------------------------------------------
+
+def encode_csv(t: pa.Table) -> tuple[str, list[str]]:
+    """Event table → (csv text, column order). No header line; the column
+    order is returned for the segment meta."""
+    cols = list(t.column_names)
+    data = {c: t[c].to_pylist() for c in cols}
+    lines = []
+    for i in range(t.num_rows):
+        lines.append(",".join(_cell_to_text(data[c][i], c) for c in cols))
+    return "\n".join(lines) + ("\n" if lines else ""), cols
+
+
+def _split_csv_line(line: str) -> list[str]:
+    """Split one encoded line on commas OUTSIDE double quotes (cells keep
+    their quotes for _text_to_value)."""
+    out, buf, inq = [], [], False
+    for ch in line:
+        if ch == '"':
+            inq = not inq
+            buf.append(ch)
+        elif ch == "," and not inq:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
+def decode_csv_lines(lines: list[str], columns: list[str]) -> pa.Table:
+    """csv text lines + meta column order → typed event table."""
+    cells = [_split_csv_line(ln) for ln in lines if ln]
+    cols = {c: [] for c in columns}
+    for row in cells:
+        for c, cell in zip(columns, row):
+            cols[c].append(_text_to_value(cell, c))
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# canal-json
+# ---------------------------------------------------------------------------
+
+def encode_canal_json(t: pa.Table, database: str = "tiflow",
+                      table: str = "documents") -> str:
+    """Event table → canal-json lines. All data values are STRINGS (canal
+    convention); token arrays are space-separated."""
+    rows = t.to_pylist()
+    lines = []
+    for r in rows:
+        op = int(r["op"])
+        typ = {OP_INSERT: "INSERT", OP_UPDATE: "UPDATE",
+               OP_DELETE: "DELETE"}[op]
+        data: dict[str, str | None] = {}
+        old: dict[str, str | None] = {}
+        for c, v in r.items():
+            if c in ("op", "commit_ts", "start_ts", "schema_ver"):
+                continue
+            if c == "pre_tokens":
+                old["tokens"] = None if v is None else " ".join(map(str, v))
+                continue
+            if v is None:
+                data[c] = None
+            elif c in _LIST_COLS:
+                data[c] = " ".join(str(int(x)) for x in v)
+            else:
+                data[c] = str(v)
+        obj = {"database": database, "table": table, "pkNames": ["doc_id"],
+               "isDdl": False, "type": typ, "es": int(r["commit_ts"]),
+               "ts": int(r["start_ts"]), "schemaVer": int(r["schema_ver"]),
+               "data": [data], "old": [old] if old.get("tokens") else None}
+        lines.append(json.dumps(obj, separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def decode_canal_lines(lines: list[str], columns: list[str]) -> pa.Table:
+    """canal-json lines → typed event table with the given column order."""
+    cols = {c: [] for c in columns}
+    for ln in lines:
+        if not ln:
+            continue
+        obj = json.loads(ln)
+        op = {"INSERT": OP_INSERT, "UPDATE": OP_UPDATE,
+              "DELETE": OP_DELETE}[obj["type"]]
+        data = obj["data"][0] if obj.get("data") else {}
+        old = obj["old"][0] if obj.get("old") else {}
+        for c in columns:
+            if c == "op":
+                v = op
+            elif c == "commit_ts":
+                v = int(obj["es"])
+            elif c == "start_ts":
+                v = int(obj["ts"])
+            elif c == "schema_ver":
+                v = int(obj.get("schemaVer", 1))
+            elif c == "pre_tokens":
+                pv = old.get("tokens")
+                v = None if pv is None else [int(x) for x in pv.split()] \
+                    if pv else []
+            elif c in _LIST_COLS:
+                dv = data.get(c)
+                v = None if dv is None else [int(x) for x in dv.split()] \
+                    if dv else []
+            elif c in _INT_COLS:
+                dv = data.get(c)
+                v = None if dv is None else int(dv)
+            else:
+                v = data.get(c)
+            cols[c].append(v)
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
+class ChangeFileDecoder:
+    """map_batches callable over `read_text` batches: decode csv/canal-json
+    lines into the canonical typed event table. Constructed per epoch with
+    the column order from the segment meta (the schema-file mechanism)."""
+
+    def __init__(self, fmt: str, columns: list[str]):
+        assert fmt in ("csv", "canal_json"), fmt
+        self.fmt, self.columns = fmt, list(columns)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        lines = batch["text"].tolist()
+        if self.fmt == "csv":
+            return decode_csv_lines(lines, self.columns)
+        return decode_canal_lines(lines, self.columns)

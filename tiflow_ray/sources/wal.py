@@ -32,7 +32,9 @@ class Segment:
     min_ts: int
     max_ts: int
     rows: int
-    format: str = "parquet"   # "parquet" | "jsonl" (canal-json-style change files)
+    format: str = "parquet"   # "parquet" | "jsonl" | "csv" | "canal_json"
+    columns: tuple[str, ...] = ()   # column order for headerless codecs
+                                    # (csv/canal-json — the schema-file analog)
 
 
 @dataclass(frozen=True)
@@ -44,6 +46,7 @@ class Epoch:
     files: tuple[str, ...]  # WAL segment files overlapping (lo, hi]
     est_rows: int = 0     # upper-bound row estimate (sum of overlapping segments)
     fmt: str = "parquet"  # uniform file format of this epoch's segments
+    columns: tuple[str, ...] = ()   # codec column order (csv/canal-json)
 
 
 def list_segments(wal_dir: str) -> list[Segment]:
@@ -52,10 +55,12 @@ def list_segments(wal_dir: str) -> list[Segment]:
         with open(meta_path) as f:
             m = json.load(f)
         fmt = m.get("format", "parquet")
-        ext = {"parquet": ".parquet", "jsonl": ".jsonl"}[fmt]
+        ext = {"parquet": ".parquet", "jsonl": ".jsonl",
+               "csv": ".csv", "canal_json": ".canal.jsonl"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
-                            m["max_ts"], m["rows"], fmt))
+                            m["max_ts"], m["rows"], fmt,
+                            tuple(m.get("columns", ()))))
     return sorted(segs, key=lambda s: s.seq)
 
 
@@ -98,6 +103,7 @@ def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
         ver = registry.version_at(hi)  # events at hi use the old schema ⇒ this ver
         epochs.append(Epoch(i, lo, hi, ver,
                             tuple(s.path for s in overlapping),
-                            sum(s.rows for s in overlapping), fmts.pop()))
+                            sum(s.rows for s in overlapping), fmts.pop(),
+                            overlapping[0].columns if overlapping else ()))
         lo = hi
     return epochs
