@@ -43,6 +43,58 @@ def test_cast_add_backfills_default_and_drop_removes():
     assert t13.equals(t3)
 
 
+def test_widened_type_lattice_defaults_and_casts():
+    """DECIMAL/TIMESTAMP/BINARY/BOOL columns (table_definition.go:39-102
+    type list): typed defaults parse, backfill, and JSON-roundtrip."""
+    import decimal
+
+    import numpy as np
+    r = SchemaRegistry([
+        DDL(10, "add_column", "price:decimal(18,6)", "1.500000", 2),
+        DDL(20, "add_column", "created_at:timestamp_us",
+            "2020-01-01T00:00:00", 3),
+        DDL(30, "add_column", "payload:binary", "ff00", 4),
+        DDL(40, "add_column", "flag:bool", "true", 5),
+        DDL(50, "add_column", "seen_at:timestamp_us_tz",
+            "2021-06-01T12:00:00", 6),
+    ])
+    assert r.schema(6).field("price").type == pa.decimal128(18, 6)
+    assert r.schema(6).field("created_at").type == pa.timestamp("us")
+    assert r.schema(6).field("seen_at").type == pa.timestamp("us", tz="UTC")
+    assert r.schema(6).field("payload").type == pa.binary()
+    t = pa.table({"doc_id": ["a"], "tokens": pa.array([[1]], pa.list_(pa.int32())),
+                  "n_tok": pa.array([1], pa.int32()), "source": ["web"]})
+    t6 = r.cast_table(t, 1, 6)
+    assert t6["price"].to_pylist() == [decimal.Decimal("1.500000")]
+    assert t6["created_at"].to_pylist()[0] == np.datetime64("2020-01-01", "us")
+    assert t6["payload"].to_pylist() == [b"\xff\x00"]
+    assert t6["flag"].to_pylist() == [True]
+    r2 = SchemaRegistry.from_json(r.to_json())
+    assert r2.schema(6) == r.schema(6)
+    assert r2.defaults(6) == r.defaults(6)
+
+
+def test_typed_replay_matches_duckdb_oracle():
+    """cdc_replay_types end-to-end at sf0.001: decimal/timestamp/binary
+    flow through WAL parquet, barrier-only epochs, merge casts, and the
+    lake; final state equals the DuckDB window-function replay."""
+    import duckdb
+
+    from tiflow_ray.queries import _CDC_TYPED_SQL, q_cdc_replay_types
+    sf = "/root/testdata/sf0.001"
+    got = q_cdc_replay_types(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(_CDC_TYPED_SQL).df().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
+
+
 def test_json_roundtrip():
     r = reg()
     r2 = SchemaRegistry.from_json(r.to_json())

@@ -194,6 +194,10 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
             "the thin pass does not read payload columns, so a predicate that "
             "filters a winner there would silently drop that doc's surviving "
             "events; use single_pass or fold the predicate into ignore_sources")
+    if not ep.files:
+        # a barrier-only epoch (DDL lands before any event in range): no
+        # data moves; the commit alone advances schema_ver + watermark
+        return []
     image_fields = [registry.schema(ep.schema_ver).field(c)
                     for c in image_columns([f.name for f in
                                             registry.schema(ep.schema_ver)])]

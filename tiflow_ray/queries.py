@@ -245,6 +245,149 @@ def q_cdc_replay_resume(sf_dir: str) -> pa.Table:
                     resume_mid=True)
 
 
+def stage_cdc_typed_fixture(sf_dir: str) -> tuple[str, SchemaRegistry]:
+    """CDC fixture whose evolved columns exercise the widened type lattice:
+    DECIMAL(18,6), TIMESTAMP(us), BINARY added via DDL barriers placed
+    before the first event (so every event carries schema v4 images and the
+    v1 base is backfilled with typed defaults on first contact) — the
+    table_definition.go:39-102 type list driven end-to-end through WAL
+    parquet, merge casts, and the lake."""
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|typed".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"cdc_typed_{key}")
+    done = os.path.join(root, "_staged.json")
+    if os.path.exists(done):
+        with open(done) as f:
+            return root, SchemaRegistry.from_json(json.load(f)["registry"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    n_docs = docs.num_rows
+    dnum = docs["doc_id"].to_numpy().astype(np.int64)
+    toks, lens = _tokens_list(dnum, 17, 13)
+    base = pa.table({
+        "doc_id": pa.array(_doc_names(dnum)),
+        "tokens": toks,
+        "n_tok": pa.array(lens),
+        "source": docs["source"],
+    })
+    write_base_partitioned(base, root, CDC_P)
+
+    eid = events["event_id"].to_numpy().astype(np.int64)
+    etype = np.asarray(events["event_type"].to_numpy(zero_copy_only=False))
+    cts = events["ts"].cast(pa.int64()).to_numpy().astype(np.int64)
+    ts_lo = int(cts.min())
+    registry = SchemaRegistry([
+        DDL(ts_lo - 3, "add_column", "price:decimal(18,6)", "0.000000", 2),
+        DDL(ts_lo - 2, "add_column", "created_at:timestamp_us",
+            "2020-01-01T00:00:00", 3),
+        DDL(ts_lo - 1, "add_column", "payload:binary", "00", 4),
+    ])
+    op = np.where(etype == "error", 1, np.where(etype == "signup", 3, 2)).astype(np.uint8)
+    docnum = eid % n_docs
+    has_img = op != 1
+    img_mask = pa.array(has_img)
+    wtoks, wlens = _tokens_list(eid, 31, 7)
+    wtoks = pa.ListArray.from_arrays(wtoks.offsets, wtoks.values,
+                                     mask=pa.array(~has_img))
+    price = pc.if_else(
+        img_mask,
+        pc.cast(pc.cast(pa.array(eid), pa.decimal128(25, 6)),
+                pa.decimal128(18, 6)),       # int64→(25,6)→(18,6): values fit
+        pa.nulls(len(eid), pa.decimal128(18, 6)))
+    created = pc.if_else(img_mask, events["ts"].cast(pa.timestamp("us")),
+                         pa.nulls(len(eid), pa.timestamp("us")))
+    payload = pc.if_else(img_mask, pc.cast(events["event_type"], pa.binary()),
+                         pa.nulls(len(eid), pa.binary()))
+    wal = pa.table({
+        "op": pa.array(op),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(eid.astype(np.uint64)),
+        "doc_id": pa.array(_doc_names(docnum)),
+        "tokens": wtoks,
+        "n_tok": pa.array(wlens, mask=~has_img),
+        "source": pa.array(np.where(has_img, etype, None), pa.string()),
+        "price": price,
+        "created_at": created,
+        "payload": payload,
+        "pre_tokens": pa.nulls(len(eid), pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(len(eid), pa.string()),
+        "schema_ver": pa.array(np.full(len(eid), 4, np.int32)),
+    })
+    write_wal_segments(wal, os.path.join(root, "wal"), CDC_SEGMENTS, registry)
+    tmp = done + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"registry": registry.to_json()}, f)
+    os.replace(tmp, done)
+    return root, registry
+
+
+def q_cdc_replay_types(sf_dir: str) -> pa.Table:
+    """cdc_replay over the widened type lattice (decimal/timestamp/binary
+    through WAL → merge casts → lake). Output projects the typed columns to
+    engine-neutral forms (decimal→varchar, timestamp→epoch_us,
+    binary→lower hex) so the hash compare is byte-stable across engines."""
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+
+    root, registry = stage_cdc_typed_fixture(sf_dir)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake_typed"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    t = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    payload_hex = pa.array(
+        [None if v is None else v.hex() for v in t["payload"].to_pylist()],
+        pa.string())
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "tokens": t["tokens"],
+        "n_tok": t["n_tok"],
+        "source": t["source"],
+        "price_str": pc.cast(t["price"], pa.string()),
+        "created_us": t["created_at"].cast(pa.int64()),
+        "payload_hex": payload_hex,
+    })
+
+
+_CDC_TYPED_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS (
+  SELECT CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 3 ELSE 2 END AS op,
+         epoch_us(ts) AS commit_ts,
+         event_id AS start_ts,
+         'doc-' || lpad(CAST(event_id % (SELECT count(*) FROM documents) AS VARCHAR), 12, '0') AS doc_id,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE [CAST((event_id*31 + i*7) % 50257 AS INTEGER)
+                    for i in range(0, CAST(8 + event_id % 57 AS BIGINT))] END AS tokens,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(8 + event_id % 57 AS INTEGER) END AS n_tok,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(event_id AS DECIMAL(18,6)) END AS price,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS created_at,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE encode(event_type) END AS payload
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT COALESCE(win.doc_id, base.doc_id) AS doc_id,
+       CASE WHEN win.doc_id IS NULL THEN base.tokens ELSE win.tokens END AS tokens,
+       CASE WHEN win.doc_id IS NULL THEN base.n_tok ELSE win.n_tok END AS n_tok,
+       CASE WHEN win.doc_id IS NULL THEN base.source ELSE win.source END AS source,
+       CAST(CASE WHEN win.doc_id IS NULL THEN CAST('0.000000' AS DECIMAL(18,6))
+                 ELSE win.price END AS VARCHAR) AS price_str,
+       epoch_us(CASE WHEN win.doc_id IS NULL THEN TIMESTAMP '2020-01-01'
+                     ELSE win.created_at END) AS created_us,
+       lower(hex(CASE WHEN win.doc_id IS NULL THEN '\\x00'::BLOB
+                      ELSE win.payload END)) AS payload_hex
+FROM base FULL OUTER JOIN win ON base.doc_id = win.doc_id
+WHERE win.op IS NULL OR win.op <> 1
+"""
+
+
 def q_sql_apply(sf_dir: str) -> pa.Table:
     """K3 (MySQL txn sink) made real: the engine's compaction front-end
     (normalize → split → combine → per-partition final reduce) feeds the
@@ -427,6 +570,59 @@ _COLUMN_ROUTER_SQL = """
 SELECT event_id AS id, upper(event_type) AS etype,
        's' || CAST(user_id % 4 AS VARCHAR) AS shard
 FROM events
+"""
+
+
+def q_binlog_filter(sf_dir: str) -> pa.Table:
+    """M7: declarative schema/table-regex × event-kind filter matrix
+    (pkg/binlog-filter/filter.go analog, last-matching-rule-wins). Events
+    map to a two-database, table-per-event-type topology; three overlapping
+    rules exercise Ignore, re-allow (Do), and kind-scoped matching."""
+    from .stages.binlog_filter import BinlogFilter, FilterRule
+    rules = [
+        FilterRule("db.*", "click|view", ("update",), "Ignore"),
+        FilterRule("db1", "click", ("all",), "Do"),
+        FilterRule("db0", "purchase", ("delete", "update"), "Ignore"),
+    ]
+    filt = BinlogFilter(rules)
+
+    def apply(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        etype = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        op = np.where(etype == "error", 1,
+                      np.where(etype == "signup", 3, 2)).astype(np.uint8)
+        schemas = np.char.add("db", (uid % 2).astype("U1"))
+        d = pa.table({"event_id": t["event_id"],
+                      "schema_name": pa.array(schemas),
+                      "table_name": pa.array(etype, pa.string()),
+                      "op": pa.array(op)})
+        keep = pa.array(filt.mask(schemas, etype, op))
+        return d.filter(keep)
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return pa.concat_tables(list(ds.map_batches(apply, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_BINLOG_FILTER_SQL = """
+WITH d AS (
+  SELECT event_id, 'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
+         event_type AS table_name,
+         CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 3 ELSE 2 END AS op,
+         CASE event_type WHEN 'error' THEN 'delete' WHEN 'signup' THEN 'insert'
+              ELSE 'update' END AS kind
+  FROM events)
+SELECT event_id, schema_name, table_name, CAST(op AS UTINYINT) AS op
+FROM d
+WHERE CASE
+  WHEN schema_name = 'db0' AND table_name = 'purchase'
+       AND kind IN ('delete', 'update') THEN FALSE
+  WHEN schema_name = 'db1' AND table_name = 'click' THEN TRUE
+  WHEN regexp_full_match(schema_name, 'db.*')
+       AND regexp_full_match(table_name, 'click|view')
+       AND kind = 'update' THEN FALSE
+  ELSE TRUE END
 """
 
 
@@ -1065,9 +1261,11 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_ddl": (q_cdc_replay_ddl, _CDC_REPLAY_DDL_SQL),
     "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
     "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
+    "cdc_replay_types": (q_cdc_replay_types, _CDC_TYPED_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
+    "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
     "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
     "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
     "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),

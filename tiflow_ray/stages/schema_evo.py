@@ -23,8 +23,18 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
+#: DDL-spellable column types — the lattice the reference's storage sink
+#: serializes (pkg/sink/cloudstorage/table_definition.go:39-102: INT/BIGINT,
+#: FLOAT/DOUBLE, VARCHAR, TIMESTAMP, BINARY/BLOB, DECIMAL(p,s)); the
+#: mounter's datum2Value covers the same set (cdc/entry/mounter.go:75-91)
 _TYPES = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
-          "float64": pa.float64(), "list<int32>": pa.list_(pa.int32())}
+          "float64": pa.float64(), "list<int32>": pa.list_(pa.int32()),
+          "bool": pa.bool_(),
+          "timestamp_us": pa.timestamp("us"),
+          "timestamp_us_tz": pa.timestamp("us", tz="UTC"),
+          "binary": pa.binary(),
+          "decimal(18,6)": pa.decimal128(18, 6),
+          "decimal(38,10)": pa.decimal128(38, 10)}
 _TYPE_NAMES = {v: k for k, v in _TYPES.items()}
 
 
@@ -52,6 +62,16 @@ class DDL:
             return int(self.default)
         if pa.types.is_floating(t):
             return float(self.default)
+        if pa.types.is_boolean(t):
+            return self.default in ("true", "True", "1")
+        if pa.types.is_timestamp(t):
+            import numpy as np
+            return np.datetime64(self.default, "us")   # ISO-8601 string
+        if pa.types.is_binary(t):
+            return bytes.fromhex(self.default)         # hex-encoded
+        if pa.types.is_decimal(t):
+            import decimal
+            return decimal.Decimal(self.default)
         return self.default
 
 
@@ -131,7 +151,12 @@ class SchemaRegistry:
                     col = col.cast(f.type)
             else:
                 d = defaults.get(f.name)
-                col = pa.nulls(n, f.type) if d is None else pa.array([d] * n, f.type)
+                if d is None:
+                    col = pa.nulls(n, f.type)
+                else:
+                    col = pa.array([d] * n)   # infer, then cast (tz-aware
+                    if col.type != f.type:    # timestamps can't build direct)
+                        col = col.cast(f.type)
             cols.append(col)
         return pa.Table.from_arrays(cols, schema=target)
 
