@@ -90,7 +90,8 @@ def bench_queries(sf_dir: str) -> dict:
     from tiflow_ray import queries as Q
     out = {}
     for name in ["text_stats", "doc_fingerprint", "dedup_minhash",
-                 "knn_search", "agg_partial", "lww_compact"]:
+                 "dedup_simhash", "dedup_embed", "knn_search", "knn_lsh",
+                 "agg_partial", "lww_compact"]:
         fn = Q.REGISTRY[name][0]
         t0 = time.perf_counter()
         fn(sf_dir)
@@ -146,33 +147,47 @@ def run_scaling() -> dict:
     is therefore the faithful sandbox proxy for the north rule's two
     cluster sizes; 8→32 is reported for transparency.
     """
+    import statistics
+
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SKIP_QUERIES="1")
-        best = None
+        walls, best = [], None
         for _ in range(reps):  # min over fresh processes damps cache jitter
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            walls.append(r["value"])
             if best is None or r["value"] < best["value"]:
                 best = r
+        best["median"] = round(statistics.median(walls), 3)
+        best["spread"] = round(max(walls) - min(walls), 3)
         return best
 
     r2, r8, r32 = sub(2), sub(8), sub(32)
+    # THIS-ROUND efficiency from min-wall times measured together (the
+    # honest number); median-based efficiency reported alongside. The
+    # historical best lives in BENCH_SCALING_BEST.json, clearly labeled.
     eff_2_8 = (r2["value"] / r8["value"]) / 4
     eff_8_32 = (r8["value"] / r32["value"]) / 4
+    eff_2_8_med = (r2["median"] / r8["median"]) / 4
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "sec_2": r2["value"], "sec_8": r8["value"], "sec_32": r32["value"],
+        "median_sec_2": r2["median"], "median_sec_8": r8["median"],
+        "median_sec_32": r32["median"],
+        "spread_sec_2": r2["spread"], "spread_sec_8": r8["spread"],
         "events_per_sec_2": r2["events_per_sec"],
         "events_per_sec_8": r8["events_per_sec"],
         "events_per_sec_32": r32["events_per_sec"],
         "scaling_efficiency": round(eff_2_8, 3),       # headline: N=2 → 4N=8
+        "scaling_efficiency_median": round(eff_2_8_med, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "reps": reps,
         "events": r2["events"], "sf": r2["sf"],
     }
     _record_baseline(result)
@@ -180,26 +195,31 @@ def run_scaling() -> dict:
 
 
 def _record_baseline(r: dict) -> None:
-    """Keep-best recording: the host is noisy-neighbor shared (wall time
-    varies 2-4x run to run), so BASELINE.md keeps the best observed sample
-    (min-wall-time benchmarking), persisted in BENCH_SCALING_BEST.json."""
+    """Record THIS round's measurement in BASELINE.md (min-wall + median of
+    reps taken together), and keep the historical best sample separately in
+    BENCH_SCALING_BEST.json, labeled best-observed — the host is
+    noisy-neighbor shared (2-4x wall variance), so both numbers matter:
+    best-observed shows what the engine can do, this-round shows what a
+    reproduction should expect."""
     here = os.path.dirname(os.path.abspath(__file__))
     best_path = os.path.join(here, "BENCH_SCALING_BEST.json")
+    best = None
     try:
         with open(best_path) as f:
             best = json.load(f)
-        if best.get("scaling_efficiency", 0) >= r["scaling_efficiency"]:
-            r = best
     except OSError:
         pass
-    with open(best_path, "w") as f:
-        json.dump(r, f, indent=1)
+    if best is None or r["scaling_efficiency"] > best.get("scaling_efficiency", 0):
+        best = dict(r, label="best_observed_across_rounds")
+        with open(best_path, "w") as f:
+            json.dump(best, f, indent=1)
 
     path = os.path.join(here, "BASELINE.md")
     try:
         with open(path) as f:
             text = f.read()
         marker = "\n## Measured scaling (bench.py --scaling)\n"
+        med = r.get("scaling_efficiency_median", "n/a")
         section = (
             f"{marker}\n"
             f"Same 20M-event replay, same input, fresh `ray.init(num_cpus=N)` "
@@ -208,13 +228,19 @@ def _record_baseline(r: dict) -> None:
             f"proxy on one node: a single shared disk/plasma store stops "
             f"scaling once ~8 cores saturate memory bandwidth, whereas real "
             f"nodes each add bandwidth).\n\n"
+            f"THIS ROUND ({r['reps']} reps per config; min wall / median):\n\n"
             f"| events | sec @2cpu | sec @8cpu | sec @32cpu | ev/s @2 | ev/s @8 | ev/s @32 |\n"
             f"|---|---|---|---|---|---|---|\n"
-            f"| {r['events']} | {r['sec_2']} | {r['sec_8']} | {r['sec_32']} | "
+            f"| {r['events']} | {r['sec_2']} (med {r['median_sec_2']}) | "
+            f"{r['sec_8']} (med {r['median_sec_8']}) | "
+            f"{r['sec_32']} (med {r['median_sec_32']}) | "
             f"{r['events_per_sec_2']} | {r['events_per_sec_8']} | {r['events_per_sec_32']} |\n\n"
-            f"- **N=2 → 4N=8 efficiency: {r['scaling_efficiency']}** (target ≥0.8)\n"
-            f"- 8 → 32 efficiency: {r['scaling_efficiency_8_to_32']} "
-            f"(bandwidth-ceiling regime on one node)\n")
+            f"- **N=2 → 4N=8 efficiency this round: {r['scaling_efficiency']} "
+            f"(min-wall) / {med} (median)** (target ≥0.8)\n"
+            f"- 8 → 32 efficiency this round: {r['scaling_efficiency_8_to_32']} "
+            f"(bandwidth-ceiling regime on one node)\n"
+            f"- best observed across rounds (BENCH_SCALING_BEST.json, "
+            f"min-wall sampling): {best['scaling_efficiency']}\n")
         if marker in text:
             text = text[:text.index(marker)] + section
         else:

@@ -371,6 +371,18 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
     registry = load_registry(cfg.wal_dir)
     prev = lake.latest()
     assert prev is not None, "call bootstrap() first"
+
+    segments = list_segments(cfg.wal_dir)
+    epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
+                         max_segments_per_epoch=cfg.max_segments_per_epoch,
+                         upto_ts=upto_ts)
+    if max_epochs is not None:
+        epochs = epochs[:max_epochs]
+    return _drive_epochs(cfg, lake, registry, prev, epochs)
+
+
+def _drive_epochs(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
+                  prev: Manifest, epochs: list[Epoch]) -> ReplayResult:
     if prev.num_partitions and prev.num_partitions != cfg.num_partitions:
         raise ValueError(f"lake P={prev.num_partitions} != config "
                          f"P={cfg.num_partitions}; repartitioning the lake "
@@ -382,13 +394,6 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
             f"{prev.hash_fingerprint!r}, this process computes "
             f"{hash_fingerprint()!r} — a hash-function/library change would "
             "mis-route keys into existing partitions; re-bootstrap the lake")
-
-    segments = list_segments(cfg.wal_dir)
-    epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
-                         max_segments_per_epoch=cfg.max_segments_per_epoch,
-                         upto_ts=upto_ts)
-    if max_epochs is not None:
-        epochs = epochs[:max_epochs]
     result = ReplayResult()
     next_no = prev.epoch + 1
 
@@ -425,6 +430,52 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
             next_no += len(group)
         i += len(group)
     return result
+
+
+def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
+                       upto_ts: int | None = None) -> ReplayResult:
+    """Shard-merge replay (dm/syncer/shardddl pessimistic coordination
+    analog): N upstream WAL streams merge into ONE target table.
+
+    - All shards must declare the SAME DDL schedule; a divergent schedule
+      is exactly the conflict the pessimist blocks on — rejected upfront
+      (shardddl/pessimist.go semantics: a shard's DDL must match the owner's
+      before any shard may proceed).
+    - The merged frontier is min over shards of their last watermark (the
+      A1 min-over-spans rule): an epoch — and therefore any DDL barrier —
+      only commits once EVERY shard has delivered up to it. A lagging
+      pre-barrier shard holds the barrier back; catch-up is just calling
+      this again after new segments land (resume ≡ next epoch).
+    - Within an epoch the union of shard segments is one read: per-key
+      ordering needs no cross-shard coordination because the compactor
+      sorts by (commit_ts, start_ts) globally after the shuffle.
+    """
+    lake = LakeState(cfg.lake_dir)
+    registries = [load_registry(d) for d in wal_dirs]
+    ref = registries[0].to_json()
+    for d, r in zip(wal_dirs[1:], registries[1:]):
+        if r.to_json() != ref:
+            raise ValueError(
+                f"shard {d} declares a different DDL schedule than "
+                f"{wal_dirs[0]} — pessimistic shard-merge requires identical "
+                "migrations on every shard before any may proceed")
+    registry = registries[0]
+    prev = lake.latest()
+    assert prev is not None, "call bootstrap() first"
+
+    shard_segs = [list_segments(d) for d in wal_dirs]
+    nonempty = [s for s in shard_segs if s]
+    if not nonempty:
+        return ReplayResult()
+    frontier = min(s[-1].watermark_ts for s in nonempty)
+    if upto_ts is not None:
+        frontier = min(frontier, upto_ts)
+    merged = sorted((seg for segs in shard_segs for seg in segs),
+                    key=lambda s: (s.watermark_ts, s.path))
+    epochs = plan_epochs(merged, registry, from_ts=prev.watermark_ts,
+                         max_segments_per_epoch=cfg.max_segments_per_epoch,
+                         upto_ts=frontier)
+    return _drive_epochs(cfg, lake, registry, prev, epochs)
 
 
 def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
