@@ -171,6 +171,25 @@ def test_extreme_hot_key_skew(tmp_path):
     assert got.equals(oracle.replay_to_table(root, reg))
 
 
+def test_salted_shuffle_same_result_under_skew(tmp_path):
+    """Explicit salted sub-partition pre-reduce (SURVEY §4): at 90%-on-3-docs
+    skew the salted path must produce the identical lake (LWW is an
+    associative max-by-order reduction, so salting can't change winners)."""
+    root = str(tmp_path / "hot_salt")
+    reg, metas, info = fixtures.generate_tier(
+        root, "t1_noddl", hot_frac=0.002, hot_share=0.9)
+    tables = {}
+    for salt in (0, 7):
+        cfg = ReplayConfig(wal_dir=f"{root}/wal",
+                           lake_dir=str(tmp_path / f"lake_s{salt}"),
+                           num_partitions=8, salt_shuffle=salt, validate=True)
+        rp.bootstrap(cfg, base_dir=f"{root}/base")
+        rp.run_replay(cfg)
+        tables[salt] = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert tables[7].equals(tables[0])
+    assert tables[0].equals(oracle.replay_to_table(root, reg))
+
+
 def test_cli_end_to_end(t1_noddl_fixture, tmp_path):
     """Drive the CLI as a user would (fresh process owning its Ray session)."""
     root, reg, *_ = t1_noddl_fixture

@@ -56,6 +56,16 @@ class ReplayConfig:
                                       # "cow": rewrite touched partitions each epoch
     compact_every: int = 8            # MoR: fold a partition when its chain hits this
 
+    # hot-key handling (SURVEY §4, splitter_write.go analog). The per-batch
+    # combiner already bounds a hot key's shuffle volume to O(#input blocks);
+    # salt_shuffle adds an EXPLICIT salted pre-reduce for pathological skew:
+    # events pre-reduce under (part, salt=hash(start_ts)%S) — a hot key's
+    # surviving rows shrink to ≤S before the final per-part exchange.
+    # LWW compaction is an associative max-by-order reduction, so salting
+    # never changes the winner. 0 = off (an extra shuffle only pays for
+    # itself when one key dominates entire partitions).
+    salt_shuffle: int = 0
+
     # behavior toggles
     precompact: bool = True           # per-batch LWW combiner before shuffle (DM compactor, T6)
     validate: bool = False            # extra per-batch invariant checks (tests)

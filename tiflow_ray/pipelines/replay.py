@@ -256,6 +256,24 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
         ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
                             batch_format="pyarrow", batch_size=cfg.batch_size)
 
+    if cfg.salt_shuffle > 1:
+        from ..stages.compact import compact_partition
+        S = cfg.salt_shuffle
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            import numpy as _np
+            salt = (t["start_ts"].to_numpy(zero_copy_only=False)
+                    % _np.uint64(S)).astype(_np.uint32)
+            return t.append_column("salt", pa.array(salt))
+
+        def presalt_reduce(t: pa.Table) -> pa.Table:
+            return compact_partition(t.drop_columns(["salt"]))
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+        ds = ds.groupby(["part", "salt"]).map_groups(presalt_reduce,
+                                                     batch_format="pyarrow")
+
     merge = MergeApply(registry_json=registry.to_json(),
                        prev_parts=prev_parts, epoch=epoch_no,
                        epoch_ver=ep.schema_ver, watermark_ts=ep.hi,

@@ -458,17 +458,25 @@ def q_lww_compact(sf_dir: str) -> pd.DataFrame:
         return last.merge(cnt, on="user_id")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash partition, vectorized inside (a per-USER
+        # map_groups would pay Python per key — 50k calls at sf0.1)
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        last = g.tail(1)
+        last = g.groupby("user_id", as_index=False).tail(1)
+        cnt = g.groupby("user_id", as_index=False)["size"].sum()
+        out = last.merge(cnt.rename(columns={"size": "n_events"}),
+                         on="user_id")
         return pd.DataFrame({
-            "user_id": last["user_id"].to_numpy(),
-            "last_event_id": last["event_id"].to_numpy(),
-            "last_event_type": last["event_type"].to_numpy(),
-            "n_events": np.array([g["size"].sum()], dtype="int64"),
+            "user_id": out["user_id"].to_numpy(),
+            "last_event_id": out["event_id"].to_numpy(),
+            "last_event_type": out["event_type"].to_numpy(),
+            "n_events": out["n_events"].to_numpy(dtype="int64"),
         })
 
     out = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("user_id").map_groups(final, batch_format="pandas") \
+            .map_batches(lambda df: df.assign(
+                part=(pd.util.hash_array(df["user_id"].to_numpy()) % 64)
+                .astype("int64")), batch_format="pandas") \
+            .groupby("part").map_groups(final, batch_format="pandas") \
             .to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     return (out[["user_id", "last_event_id", "last_event_type", "n_events"]]
@@ -623,6 +631,76 @@ WHERE CASE
        AND regexp_full_match(table_name, 'click|view')
        AND kind = 'update' THEN FALSE
   ELSE TRUE END
+"""
+
+
+def q_mq_dispatch(sf_dir: str) -> pd.DataFrame:
+    """K4 (MQ sink): events dispatch to topic partitions (index-value
+    dispatcher — SQL-expressible; the default key-hash dispatcher is
+    exercised in pytest), each partition's stream is canal-json encoded in
+    (commit_ts, start_ts, op) order with dense offsets, and the output is
+    DECODED BACK from the payloads — so the oracle hash-checks dispatch,
+    ordering, offsets, and the encode/decode roundtrip at once."""
+    from .sinks.mq import MqSinkStage, dispatch
+    from .sources.codecs import decode_canal_lines
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def to_events(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        etype = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        op = np.where(etype == "error", 1,
+                      np.where(etype == "signup", 3, 2)).astype(np.uint8)
+        n = t.num_rows
+        return pa.table({
+            "op": pa.array(op),
+            "commit_ts": t["ts"].cast(pa.int64()).cast(pa.uint64()),
+            "start_ts": pa.array(eid.astype(np.uint64)),
+            "doc_id": pa.array(_doc_names(eid % n_docs)),
+            "tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "n_tok": pa.nulls(n, pa.int32()),
+            "source": pa.array(etype, pa.string()),
+            "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "new_doc_id": pa.nulls(n, pa.string()),
+            "schema_ver": pa.array(np.ones(n, np.int32)),
+        })
+
+    sink = MqSinkStage()
+
+    def emit(t: pa.Table) -> pa.Table:   # map_groups needs a __name__
+        return sink(t)
+
+    msgs = _ds(sf_dir, "events", ["event_id", "ts", "event_type"]) \
+        .map_batches(to_events, batch_format="pyarrow") \
+        .map_batches(lambda t: dispatch(t, 4, "index-value"),
+                     batch_format="pyarrow") \
+        .groupby("mq_partition").map_groups(emit, batch_format="pyarrow")
+
+    def decode(t: pa.Table) -> pa.Table:
+        ev = decode_canal_lines(t["payload"].to_pylist(),
+                                ["op", "commit_ts", "doc_id"])
+        return pa.table({"mq_partition": t["mq_partition"].cast(pa.int64()),
+                         "offset": t["offset"],
+                         "doc_id": ev["doc_id"],
+                         "op": ev["op"],
+                         "commit_ts": ev["commit_ts"].cast(pa.int64())})
+
+    out = msgs.map_batches(decode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["mq_partition", "offset"]).reset_index(drop=True)
+
+
+_MQ_DISPATCH_SQL = """
+WITH ev AS (
+  SELECT CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 3 ELSE 2 END AS op,
+         epoch_us(ts) AS commit_ts, event_id AS start_ts,
+         'doc-' || lpad(CAST(event_id % (SELECT count(*) FROM documents) AS VARCHAR), 12, '0') AS doc_id,
+         CAST((event_id % (SELECT count(*) FROM documents)) % 4 AS BIGINT) AS mq_partition
+  FROM events)
+SELECT mq_partition,
+       CAST(row_number() OVER (PARTITION BY mq_partition
+                               ORDER BY commit_ts, start_ts, op) - 1 AS BIGINT) AS "offset",
+       doc_id, CAST(op AS UTINYINT) AS op, commit_ts
+FROM ev
 """
 
 
@@ -1047,7 +1125,20 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     out = j.map_batches(lambda t: jaccard_verify_batch(t, 0.6),
                         batch_format="pyarrow").to_pandas()
     out = out.astype("int64")
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    # self-validating quality column (VERDICT r1 #8): recall of the planted
+    # (d, d+100000) near-dups, expected count computed by a distributed
+    # partial-sum — the rows-only oracle still sees a quality signal
+    n_planted = sum(
+        b["n"].to_pylist()[0] for b in ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(lambda t: pa.table(
+            {"n": [int((t["doc_id"].to_numpy() % 10 == 0).sum())]}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    found = int(((out["b"] - out["a"] == 100000) & (out["a"] % 10 == 0)).sum())
+    out["planted_recall_pct"] = np.int64(
+        round(100 * found / max(n_planted, 1)))
+    return out
 
 
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
@@ -1266,6 +1357,7 @@ REGISTRY: dict[str, tuple] = {
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
     "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
+    "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
     "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
     "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),

@@ -1,0 +1,67 @@
+"""MQ (message-queue) sink: partition dispatch + per-partition ordered
+canal-json message stream — the analog of the reference's MQ sink chain
+(cdc/sink/dmlsink/mq/: dispatcher → encoder → worker).
+
+Semantics mirrored:
+- dispatchers (mq/dispatcher/partition/*.go): "key" (stable hash of the
+  handle key — the default, keeps all events of one key in one partition),
+  "index-value" (numeric key suffix % P — deterministic and
+  SQL-expressible, used by the oracle-checked query), "ts" (commit_ts % P),
+  "table" (everything to partition 0).
+- per-partition ordering: messages are emitted in (commit_ts, start_ts,
+  op) order with dense offsets — the per-key ordering guarantee a consumer
+  relies on (all of a key's events share a partition under key/index-value
+  dispatch, and are offset-ordered within it).
+- payload: canal-json (sources/codecs.py encoder), one message per event.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..model import key_hash64, sort_events_table
+
+
+def dispatch(t: pa.Table, num_partitions: int,
+             dispatcher: str = "key") -> pa.Table:
+    """Append the mq_partition column per the chosen dispatcher."""
+    if dispatcher == "key":
+        part = (key_hash64(t["doc_id"]) % np.uint64(num_partitions))
+    elif dispatcher == "index-value":
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        nums = np.array([int(s.rsplit("-", 1)[-1]) for s in ids], np.int64)
+        part = nums % num_partitions
+    elif dispatcher == "ts":
+        part = (t["commit_ts"].to_numpy(zero_copy_only=False)
+                % np.uint64(num_partitions))
+    elif dispatcher == "table":
+        part = np.zeros(t.num_rows, np.int64)
+    else:
+        raise ValueError(f"unknown dispatcher {dispatcher}")
+    return t.append_column("mq_partition",
+                           pa.array(part.astype(np.int32)))
+
+
+class MqSinkStage:
+    """map_groups callable for groupby("mq_partition"): one partition's
+    events → (mq_partition, offset, key, payload) message rows, offsets
+    dense in the event total order."""
+
+    def __init__(self, database: str = "tiflow", table: str = "documents"):
+        self.database, self.table = database, table
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..sources.codecs import encode_canal_json
+        part = int(t["mq_partition"][0].as_py()) if t.num_rows else -1
+        ev = sort_events_table(t.drop_columns(["mq_partition"]),
+                               with_doc=False)
+        text = encode_canal_json(ev, self.database, self.table)
+        lines = text.splitlines()
+        n = len(lines)
+        return pa.table({
+            "mq_partition": pa.array(np.full(n, part, np.int32)),
+            "offset": pa.array(np.arange(n, dtype=np.int64)),
+            "key": ev["doc_id"],
+            "payload": pa.array(lines, pa.string()),
+        })
