@@ -80,7 +80,9 @@ def test_knn_lsh_recall_and_validity():
         assert (grp["vec_id"] != q).all()
     a = set(zip(approx["query_id"], approx["vec_id"]))
     e = set(zip(exact["query_id"], exact["vec_id"]))
-    assert len(a & e) / len(e) >= 0.1
+    # 4 tables × 6 bits with 1-bit multiprobe: ~0.7 observed on uniform
+    # random embeddings (the LSH worst case); bound leaves noise headroom
+    assert len(a & e) / len(e) >= 0.3
 
 
 def test_asof_and_sessionize_shapes():

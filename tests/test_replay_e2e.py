@@ -117,6 +117,35 @@ def test_two_pass_mode_matches_oracle(t1_fixture, tmp_path):
     assert got.equals(exp)
 
 
+def test_offline_compaction_folds_chains_and_preserves_state(t1_fixture, tmp_path):
+    """Background compaction job: replay with folding disabled (long
+    chains), then compact_lake folds every chain in one committed epoch;
+    table state is unchanged and GC can drop the old delta files."""
+    from tiflow_ray.state.checkpoint import LakeState
+    root, reg, *_ = t1_fixture
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_bgc"),
+                       num_partitions=8, max_segments_per_epoch=1,
+                       compact_every=10_000)        # never fold during replay
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    lake = LakeState(cfg.lake_dir)
+    before = lake.latest()
+    assert any(m.get("deltas") for m in before.parts.values())
+
+    out = rp.compact_lake(cfg.lake_dir)
+    assert out["parts_folded"] > 0
+    after = lake.latest()
+    assert after.epoch == before.epoch + 1
+    assert not any(m.get("deltas") for m in after.parts.values())
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert got.equals(oracle.replay_to_table(root, reg))
+    lake.gc(keep_epochs=1)                          # old chain files dropped
+    assert rp.lake_to_table(cfg.lake_dir, cfg.wal_dir).equals(got)
+    # replay continues normally after a compaction epoch
+    assert rp.run_replay(cfg).epochs == []
+
+
 def test_two_pass_with_ignore_sources_matches_single_pass(t1_noddl_fixture, tmp_path):
     """Filters must apply to the thin winner pass too: if a doc's true last
     event is filtered only from the payload pass, its signature poisons the

@@ -95,6 +95,69 @@ def test_typed_replay_matches_duckdb_oracle():
         assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
 
 
+def test_modify_column_widens_type_and_casts():
+    r = SchemaRegistry([DDL(100, "modify_column", "n_tok:int64", None, 2)])
+    assert r.schema(1).field("n_tok").type == pa.int32()
+    assert r.schema(2).field("n_tok").type == pa.int64()
+    t = pa.table({"doc_id": ["a"], "tokens": pa.array([[1]], pa.list_(pa.int32())),
+                  "n_tok": pa.array([1], pa.int32()), "source": ["web"]})
+    t2 = r.cast_table(t, 1, 2)
+    assert t2["n_tok"].type == pa.int64()
+    assert t2["n_tok"].to_pylist() == [1]
+    r2 = SchemaRegistry.from_json(r.to_json())
+    assert r2.schema(2) == r.schema(2)
+
+
+def test_modify_column_replays_end_to_end(tmp_path):
+    """n_tok widens int32→int64 at a mid-stream barrier; pre-barrier events
+    (old type) and post-barrier events (new type) both land, and the final
+    lake carries the widened schema."""
+    import os
+
+    import numpy as np
+
+    from tiflow_ray import fixtures
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+
+    root = str(tmp_path / "mod")
+    os.makedirs(root)
+    reg = SchemaRegistry([DDL(500, "modify_column", "n_tok:int64", None, 2)])
+    n = 10
+    dnum = np.arange(n, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[0]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["web"] * n),
+    })
+    fixtures.write_base_partitioned(base, root, 4)
+    # one pre-barrier update (docs 0-4) and one post-barrier (docs 5-9)
+    cts = np.array([100 + i for i in range(5)] + [900 + i for i in range(5)])
+    ver = np.where(cts <= 500, 1, 2).astype(np.int32)
+    wal = pa.table({
+        "op": pa.array(np.full(n, 2, np.uint8)),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[7, 7]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.full(n, 2, np.int32)),
+        "source": pa.array(["web"] * n),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "schema_ver": pa.array(ver),
+    })
+    fixtures.write_wal_segments(wal, os.path.join(root, "wal"), 2, reg)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake"), num_partitions=4)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    out = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert out["n_tok"].type == pa.int64()
+    assert out.num_rows == n
+    assert out["n_tok"].to_pylist() == [2] * n
+
+
 def test_json_roundtrip():
     r = reg()
     r2 = SchemaRegistry.from_json(r.to_json())

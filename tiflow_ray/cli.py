@@ -2,6 +2,7 @@
 
   python -m tiflow_ray.cli bootstrap --base DIR --lake DIR -P 64
   python -m tiflow_ray.cli replay    --wal DIR --lake DIR -P 64 [--upto TS]
+  python -m tiflow_ray.cli compact   --lake DIR [--parts 0 1]  # fold MoR chains
   python -m tiflow_ray.cli show      --lake DIR              # manifest summary
   python -m tiflow_ray.cli diff      --lake DIR --against DIR --key doc_id
 
@@ -48,6 +49,14 @@ def main(argv=None):
     r.add_argument("--sink-mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--segments-per-epoch", type=int, default=8)
 
+    c = sub.add_parser("compact")   # offline/background MoR compaction
+    c.add_argument("--lake", required=True)
+    c.add_argument("--parts", type=int, nargs="*", default=None)
+
+    e = sub.add_parser("export")    # lake → plain partitioned parquet
+    e.add_argument("--lake", required=True)
+    e.add_argument("--out", required=True)
+
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
 
@@ -89,6 +98,15 @@ def main(argv=None):
         rp.bootstrap(cfg)  # no-op if already bootstrapped
         res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
         print(json.dumps({"epochs": len(res.epochs), "events": res.events}))
+    elif a.cmd == "compact":
+        out = rp.compact_lake(a.lake, parts=a.parts or None)
+        print(json.dumps(out))
+    elif a.cmd == "export":
+        # streaming export: fold tasks write directly, one file per
+        # partition-fold block — never materialized on the driver
+        ds = rp.read_lake(a.lake)
+        ds.write_parquet(a.out)
+        print(json.dumps({"out": a.out}))
     elif a.cmd == "diff":
         from .functions.diff import diff_tables
         left = rp.read_lake(a.lake)

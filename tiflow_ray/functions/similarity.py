@@ -147,11 +147,16 @@ class LshProbe:
     candidates themselves."""
 
     def __init__(self, query_ref, k: int = 10, seeds: tuple[int, ...] = (11, 12, 13, 14),
-                 bits: int = 6):
+                 bits: int = 6, multiprobe: int = 0):
         self.q_ids, qm = ray.get(query_ref)
         self.qm = normalize_rows(qm)
         self.k = k
         self.seeds, self.bits = seeds, bits
+        # multiprobe: also probe buckets at hamming distance 1 from the
+        # query's bucket in the first `multiprobe` bit positions — the
+        # classic recall lever that costs extra candidate scoring, not
+        # extra hash tables
+        self.multiprobe = min(multiprobe, bits)
         self.qb = None  # query buckets per table, lazily sized to the dim
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -165,7 +170,11 @@ class LshProbe:
         for qi in range(len(self.q_ids)):
             hit = np.zeros(len(ids), bool)
             for ti in range(len(self.seeds)):
-                hit |= btables[ti] == self.qb[ti][qi]
+                probes = [self.qb[ti][qi]]
+                probes += [self.qb[ti][qi] ^ (1 << b)
+                           for b in range(self.multiprobe)]
+                for p in probes:
+                    hit |= btables[ti] == p
             hit &= ids != self.q_ids[qi]
             cand = np.flatnonzero(hit)
             if not len(cand):

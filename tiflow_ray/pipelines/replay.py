@@ -496,6 +496,69 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
     return _drive_epochs(cfg, lake, registry, prev, epochs)
 
 
+def compact_lake(lake_dir: str, parts: list[int] | None = None) -> dict:
+    """Offline/background MoR compaction job: fold every partition with a
+    pending delta chain into a fresh base file and commit one manifest
+    epoch — compaction decoupled from replay (the background-compaction
+    service a lake needs when `compact_every` is set high to keep ingest
+    latency flat). One Ray task per partition (distributed, no shuffle —
+    each task reads only its own chain); the manifest commit is the usual
+    atomic rename, so a crash mid-compaction changes nothing."""
+    import json as _json
+
+    from ..stages.merge import _atomic_write, fold_part
+
+    lake = LakeState(lake_dir)
+    m = lake.latest()
+    assert m is not None, "no committed manifest"
+    registry = SchemaRegistry.from_json(m.registry_json)
+    todo = [int(p) for p, meta in m.parts.items()
+            if meta.get("deltas") and (parts is None or int(p) in parts)]
+    if not todo:
+        return {"parts_folded": 0, "epoch": m.epoch}
+
+    epoch_no = m.epoch + 1
+    reg_json, cur_ver = registry.to_json(), m.schema_ver
+    data_dir = os.path.join(lake_dir, "data")
+    items = [{"part": p, "meta_json": _json.dumps(m.parts[str(p)])}
+             for p in todo]
+
+    def fold_write(t: pa.Table) -> pa.Table:
+        reg = SchemaRegistry.from_json(reg_json)
+        out = {"part": [], "path": [], "rows": [], "bytes": []}
+        for p, meta_json in zip(t["part"].to_pylist(),
+                                t["meta_json"].to_pylist()):
+            folded = fold_part(_json.loads(meta_json), reg, cur_ver)
+            path = os.path.join(data_dir, f"part={p}",
+                                f"epoch-{epoch_no:06d}.parquet")
+            _atomic_write(folded, path)
+            out["part"].append(p)
+            out["path"].append(path)
+            out["rows"].append(folded.num_rows)
+            out["bytes"].append(folded.nbytes)
+        return pa.table(out)
+
+    stats = ray.data.from_items(items) \
+        .map_batches(fold_write, batch_format="pyarrow", batch_size=1) \
+        .take_all()
+
+    new_parts = dict(m.parts)
+    for r in stats:
+        old = new_parts[str(r["part"])]
+        new_parts[str(r["part"])] = {
+            "path": r["path"], "schema_ver": cur_ver, "rows": r["rows"],
+            "watermark_ts": old.get("watermark_ts", m.watermark_ts),
+            "bytes": r["bytes"], "deltas": []}
+    m2 = Manifest(epoch=epoch_no, watermark_ts=m.watermark_ts,
+                  schema_ver=cur_ver, num_partitions=m.num_partitions,
+                  registry_json=m.registry_json, parts=new_parts,
+                  segments_applied=m.segments_applied,
+                  stats={"compaction": True, "parts_folded": len(stats)},
+                  hash_fingerprint=m.hash_fingerprint)
+    lake.commit(m2)
+    return {"parts_folded": len(stats), "epoch": epoch_no}
+
+
 def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
     """Current lake table as a Dataset: one fold task per partition applies
     the MoR delta chain (and any pending schema cast) — the read half of the

@@ -935,7 +935,8 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
 
     seeds = tuple(11 + t for t in range(4))
     ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    parts = ds.map_batches(LshProbe, fn_constructor_args=(ref, 10, seeds, 6),
+    parts = ds.map_batches(LshProbe,
+                           fn_constructor_args=(ref, 10, seeds, 6, 4),
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=2).to_pandas()
     out = finalize_topk(parts, 10)

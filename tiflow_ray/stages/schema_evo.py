@@ -102,6 +102,14 @@ class SchemaRegistry:
             elif d.ddl_type == "drop_column":
                 cur = pa.schema([f for f in cur if f.name != d.col_name])
                 defaults = {k: v for k, v in defaults.items() if k != d.col_name}
+            elif d.ddl_type == "modify_column":
+                # type change (widening), e.g. "n_tok:int64" — the mounter's
+                # column-type evolution (cdc/entry/mounter.go datum2Value
+                # re-decodes under the new type); cast_table casts existing
+                # data on first touch
+                assert any(f.name == d.col_name for f in cur), d.col_name
+                cur = pa.schema([pa.field(f.name, d.col_type)
+                                 if f.name == d.col_name else f for f in cur])
             else:
                 raise ValueError(f"unknown ddl_type {d.ddl_type}")
             self._schemas[d.schema_ver] = cur
