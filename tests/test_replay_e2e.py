@@ -117,6 +117,29 @@ def test_two_pass_mode_matches_oracle(t1_fixture, tmp_path):
     assert got.equals(exp)
 
 
+def test_full_load_then_replay_matches_oracle(t1_noddl_fixture, tmp_path):
+    """Distributed full load (S5): the base arrives as an arbitrary
+    Dataset, gets hash-partitioned into the lake by a Ray shuffle, and the
+    subsequent replay converges to the same oracle state as the
+    metadata-only bootstrap path."""
+    import glob
+
+    import ray
+
+    root, reg, *_ = t1_noddl_fixture
+    files = sorted(glob.glob(os.path.join(root, "base", "part=*", "*.parquet")))
+    # arbitrary layout in, lake out (partitioning=None: don't let the
+    # part=* dirs hive-inject a column)
+    ds = ray.data.read_parquet(files, partitioning=None)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_fl"), num_partitions=8)
+    m = rp.full_load(ds, cfg)
+    assert m.stats.get("full_load") and len(m.parts) == 8
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert got.equals(oracle.replay_to_table(root, reg))
+
+
 def test_offline_compaction_folds_chains_and_preserves_state(t1_fixture, tmp_path):
     """Background compaction job: replay with folding disabled (long
     chains), then compact_lake folds every chain in one committed epoch;

@@ -135,6 +135,55 @@ def _merge_sorted_sigs(*tables) -> "np.ndarray":
     return sigs
 
 
+def full_load(ds: "ray.data.Dataset", cfg: ReplayConfig) -> Manifest:
+    """Distributed full load (Dumpling/Lightning analog, S5 made real at
+    scale): hash-partition an arbitrary base-schema Dataset into the lake
+    layout and commit the bootstrap manifest — ONE shuffle, each partition
+    written by its own task, the driver handles O(P) stats only.
+    `bootstrap(base_dir=...)` remains the metadata-only path for data that
+    already lives in the lake layout."""
+    from ..stages.compact import assign_partition
+
+    lake = LakeState(cfg.lake_dir)
+    assert lake.latest() is None, "lake already bootstrapped"
+    if "part" in (ds.schema().names or []):
+        raise ValueError(
+            "input dataset already has a 'part' column (often a hive-"
+            "partitioning artifact — pass partitioning=None to read_parquet "
+            "or rename the column); full_load owns the partition assignment")
+    data_dir = os.path.join(cfg.lake_dir, "data")
+
+    def write_part(t: pa.Table) -> pa.Table:
+        from ..stages.merge import _atomic_write
+        part = int(t["part"][0].as_py())
+        out = t.drop_columns(["part"])
+        out = out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+        path = os.path.join(data_dir, f"part={part}", "epoch-000000.parquet")
+        _atomic_write(out, path)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "path": pa.array([path]),
+                         "rows": pa.array([out.num_rows], pa.int64()),
+                         "bytes": pa.array([out.nbytes], pa.int64())})
+
+    stats = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
+                           batch_format="pyarrow", batch_size=cfg.batch_size) \
+        .groupby("part").map_groups(write_part, batch_format="pyarrow") \
+        .take_all()
+
+    from ..model import hash_fingerprint
+    parts = {str(r["part"]): {"path": r["path"], "schema_ver": 1,
+                              "rows": r["rows"], "watermark_ts": 0,
+                              "bytes": r["bytes"], "deltas": []}
+             for r in stats}
+    m = Manifest(epoch=0, watermark_ts=0, schema_ver=1,
+                 num_partitions=cfg.num_partitions, parts=parts,
+                 segments_applied=[], stats={"bootstrap": True,
+                                             "full_load": True},
+                 hash_fingerprint=hash_fingerprint())
+    lake.commit(m)
+    return m
+
+
 def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
                             read_kwargs: dict) -> "ray.ObjectRef":
     """Two-pass pass 1: read ONLY (op, commit_ts, start_ts, doc_id,
