@@ -169,6 +169,35 @@ def test_offline_compaction_folds_chains_and_preserves_state(t1_fixture, tmp_pat
     assert rp.run_replay(cfg).epochs == []
 
 
+def test_heartbeat_segment_advances_watermark_without_data(tmp_path):
+    """Resolved-ts-only heartbeat: a zero-row segment advances the
+    committed watermark through a quiet span; table state unchanged; WAL
+    GC can then drop everything behind the watermark."""
+    from tiflow_ray import fixtures
+    from tiflow_ray.state.checkpoint import LakeState
+    root = str(tmp_path / "hb")
+    reg, metas, info = fixtures.generate_tier(root, "t1_noddl")
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_hb"), num_partitions=8)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    before = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    w0 = LakeState(cfg.lake_dir).latest().watermark_ts
+
+    hb = fixtures.write_heartbeat_segment(cfg.wal_dir, w0 + 777)
+    res = rp.run_replay(cfg)
+    assert len(res.epochs) == 1 and res.epochs[0].events == 0
+    m = LakeState(cfg.lake_dir).latest()
+    assert m.watermark_ts == w0 + 777
+    assert rp.lake_to_table(cfg.lake_dir, cfg.wal_dir).equals(before)
+
+    out = rp.gc_wal(cfg.wal_dir, cfg.lake_dir)
+    assert out["segments_removed"] > 0
+    # resume still a clean no-op after GC
+    assert rp.run_replay(cfg).epochs == []
+    assert rp.lake_to_table(cfg.lake_dir, cfg.wal_dir).equals(before)
+
+
 def test_two_pass_with_ignore_sources_matches_single_pass(t1_noddl_fixture, tmp_path):
     """Filters must apply to the thin winner pass too: if a doc's true last
     event is filtered only from the payload pass, its signature poisons the

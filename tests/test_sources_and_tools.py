@@ -26,11 +26,12 @@ def _wal_as(src_root, dst_root, reg, fmt):
 
 
 def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
-    """M9/M10: jsonl, csv, and canal-json change files replay to the exact
-    same lake state as the parquet WAL (reference-format compat, S6)."""
+    """M9/M10: jsonl, csv, canal-json, and debezium change files replay to
+    the exact same lake state as the parquet WAL (reference-format compat,
+    S6)."""
     root, reg, *_ = t1_noddl_fixture
     lakes = {}
-    for fmt in ("parquet", "jsonl", "csv", "canal_json"):
+    for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium"):
         if fmt == "parquet":
             wal = f"{root}/wal"
         else:

@@ -57,6 +57,10 @@ def main(argv=None):
     e.add_argument("--lake", required=True)
     e.add_argument("--out", required=True)
 
+    w = sub.add_parser("wal-gc")    # drop fully-applied WAL segments
+    w.add_argument("--wal", required=True)
+    w.add_argument("--lake", required=True)
+
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
 
@@ -101,6 +105,8 @@ def main(argv=None):
     elif a.cmd == "compact":
         out = rp.compact_lake(a.lake, parts=a.parts or None)
         print(json.dumps(out))
+    elif a.cmd == "wal-gc":
+        print(json.dumps(rp.gc_wal(a.wal, a.lake)))
     elif a.cmd == "export":
         # streaming export: fold tasks write directly, one file per
         # partition-fold block — never materialized on the driver

@@ -374,6 +374,10 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             from .sources.codecs import encode_canal_json
             with open(os.path.join(wal_dir, f"seq={s:05d}.canal.jsonl"), "w") as f:
                 f.write(encode_canal_json(seg))
+        elif fmt == "debezium":
+            from .sources.codecs import encode_debezium
+            with open(os.path.join(wal_dir, f"seq={s:05d}.dbz.jsonl"), "w") as f:
+                f.write(encode_debezium(seg))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
@@ -386,6 +390,26 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
     with open(os.path.join(wal_dir, "ddl.json"), "w") as f:
         f.write((registry or SchemaRegistry([])).to_json())
     return metas
+
+
+def write_heartbeat_segment(wal_dir: str, watermark_ts: int) -> dict:
+    """A resolved-ts-only heartbeat: a zero-row segment whose watermark
+    advances the frontier with no data (the puller's resolved-ts event,
+    cdc/model/kv.go OpTypeResolved analog) — lets downstream checkpoints
+    progress through quiet spans."""
+    from .model import event_schema
+    seqs = [int(os.path.basename(p).split("=")[1].split(".")[0])
+            for p in __import__("glob").glob(os.path.join(wal_dir, "seq=*.meta.json"))]
+    s = (max(seqs) + 1) if seqs else 0
+    empty = event_schema().empty_table()
+    pq.write_table(empty, os.path.join(wal_dir, f"seq={s:05d}.parquet"))
+    meta = {"seq": s, "watermark_ts": int(watermark_ts),
+            "min_ts": int(watermark_ts), "max_ts": int(watermark_ts),
+            "rows": 0, "format": "parquet",
+            "columns": [f.name for f in event_schema()]}
+    with open(os.path.join(wal_dir, f"seq={s:05d}.meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
 
 
 def write_base_partitioned(base: pa.Table, root: str, num_partitions: int) -> None:

@@ -545,6 +545,26 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
     return _drive_epochs(cfg, lake, registry, prev, epochs)
 
 
+def gc_wal(wal_dir: str, lake_dir: str) -> dict:
+    """Remove WAL segments fully behind the lake's committed watermark
+    (redo-log GC analog, cdc/redo meta GC): a segment is deletable only
+    when its max_ts <= the manifest watermark AND it is recorded in
+    segments_applied — resume re-planning never needs it again."""
+    lake = LakeState(lake_dir)
+    m = lake.latest()
+    assert m is not None, "no committed manifest"
+    applied = set(m.segments_applied)
+    removed = 0
+    for s in list_segments(wal_dir):
+        if s.max_ts <= m.watermark_ts and s.path in applied:
+            os.remove(s.path)
+            meta = os.path.join(wal_dir, f"seq={s.seq:05d}.meta.json")
+            if os.path.exists(meta):
+                os.remove(meta)
+            removed += 1
+    return {"segments_removed": removed, "watermark_ts": m.watermark_ts}
+
+
 def compact_lake(lake_dir: str, parts: list[int] | None = None) -> dict:
     """Offline/background MoR compaction job: fold every partition with a
     pending delta chain into a fresh base file and commit one manifest

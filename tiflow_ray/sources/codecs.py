@@ -195,17 +195,82 @@ def decode_canal_lines(lines: list[str], columns: list[str]) -> pa.Table:
     return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
 
 
+# ---------------------------------------------------------------------------
+# debezium-json
+# ---------------------------------------------------------------------------
+
+def encode_debezium(t: pa.Table, database: str = "tiflow",
+                    table: str = "documents") -> str:
+    """Event table → debezium-envelope lines (pkg/sink/codec/debezium
+    flavor): op c/u/d, before/after row images with NATIVE JSON types
+    (unlike canal's all-strings), and the TiCDC-specific source fields
+    carrying the exact commit_ts/start_ts."""
+    lines = []
+    for r in t.to_pylist():
+        op = int(r["op"])
+        img = {c: v for c, v in r.items()
+               if c not in ("op", "commit_ts", "start_ts", "schema_ver",
+                            "pre_tokens")}
+        before = None
+        if r.get("pre_tokens") is not None:
+            before = {"doc_id": r["doc_id"], "tokens": list(r["pre_tokens"])}
+        payload = {
+            "op": {OP_INSERT: "c", OP_UPDATE: "u", OP_DELETE: "d"}[op],
+            "before": ({"doc_id": r["doc_id"]} if op == OP_DELETE else before),
+            "after": None if op == OP_DELETE else img,
+            "source": {"db": database, "table": table,
+                       "commit_ts": int(r["commit_ts"]),
+                       "start_ts": int(r["start_ts"]),
+                       "schema_ver": int(r["schema_ver"])},
+            "ts_ms": int(r["commit_ts"]) // 1000,
+        }
+        lines.append(json.dumps({"payload": payload},
+                                separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def decode_debezium_lines(lines: list[str], columns: list[str]) -> pa.Table:
+    cols = {c: [] for c in columns}
+    for ln in lines:
+        if not ln:
+            continue
+        p = json.loads(ln)["payload"]
+        op = {"c": OP_INSERT, "u": OP_UPDATE, "d": OP_DELETE}[p["op"]]
+        img = p.get("after") or {}
+        before = p.get("before") or {}
+        src = p["source"]
+        for c in columns:
+            if c == "op":
+                v = op
+            elif c == "commit_ts":
+                v = int(src["commit_ts"])
+            elif c == "start_ts":
+                v = int(src["start_ts"])
+            elif c == "schema_ver":
+                v = int(src.get("schema_ver", 1))
+            elif c == "pre_tokens":
+                v = before.get("tokens") if op != OP_DELETE else None
+            elif c == "doc_id":
+                v = img.get("doc_id") or before.get("doc_id")
+            else:
+                v = img.get(c)
+            cols[c].append(v)
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
 class ChangeFileDecoder:
     """map_batches callable over `read_text` batches: decode csv/canal-json
     lines into the canonical typed event table. Constructed per epoch with
     the column order from the segment meta (the schema-file mechanism)."""
 
     def __init__(self, fmt: str, columns: list[str]):
-        assert fmt in ("csv", "canal_json"), fmt
+        assert fmt in ("csv", "canal_json", "debezium"), fmt
         self.fmt, self.columns = fmt, list(columns)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         lines = batch["text"].tolist()
         if self.fmt == "csv":
             return decode_csv_lines(lines, self.columns)
+        if self.fmt == "debezium":
+            return decode_debezium_lines(lines, self.columns)
         return decode_canal_lines(lines, self.columns)

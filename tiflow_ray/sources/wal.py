@@ -56,7 +56,8 @@ def list_segments(wal_dir: str) -> list[Segment]:
             m = json.load(f)
         fmt = m.get("format", "parquet")
         ext = {"parquet": ".parquet", "jsonl": ".jsonl",
-               "csv": ".csv", "canal_json": ".canal.jsonl"}[fmt]
+               "csv": ".csv", "canal_json": ".canal.jsonl",
+               "debezium": ".dbz.jsonl"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
                             m["max_ts"], m["rows"], fmt,
