@@ -12,14 +12,21 @@ from tiflow_ray.pipelines import replay as rp
 from tiflow_ray.sources.wal import list_segments, load_registry, plan_epochs
 
 
-@pytest.mark.parametrize("seed,mode", [(7, "mor"), (13, "cow"), (99, "mor")])
-def test_replay_matches_oracle_across_seeds(tmp_path, seed, mode):
+@pytest.mark.parametrize("seed,mode,knobs", [
+    (7, "mor", {}),
+    (13, "cow", {}),
+    (99, "mor", {"salt_shuffle": 5}),
+    (31, "mor", {"replay_mode": "two_pass"}),
+    (57, "cow", {"precompact": False, "salt_shuffle": 3}),
+])
+def test_replay_matches_oracle_across_seeds(tmp_path, seed, mode, knobs):
     root = str(tmp_path / f"fx{seed}")
     reg, metas, info = fixtures.generate_tier(
         root, "t1_noddl", seed=seed, n_docs=400, n_events=2_000,
         n_segments=3, num_partitions=4)
     cfg = ReplayConfig(wal_dir=f"{root}/wal", lake_dir=str(tmp_path / "lake"),
-                       num_partitions=4, sink_mode=mode, validate=True)
+                       num_partitions=4, sink_mode=mode, validate=True,
+                       **knobs)
     rp.bootstrap(cfg, base_dir=f"{root}/base")
     rp.run_replay(cfg)
     got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
