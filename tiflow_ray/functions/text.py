@@ -102,6 +102,41 @@ class Fingerprint:
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": vals})
 
 
+class QualityModel:
+    """Batched model-inference pattern for quality filtering: the 'model'
+    (a weight vector + compiled feature extractors) loads ONCE per actor in
+    __init__; __call__ scores a whole batch vectorized. The model is a
+    deterministic integer-weight linear scorer over text features so the
+    DuckDB oracle reproduces it bit-exactly (no float reassociation) — swap
+    the weights for a real classifier head at deployment; the Ray plumbing
+    (actor pool, batch size, feature vectorization) is the deliverable."""
+
+    #: integer "model weights" over (n_words, n_chars/10, n_stop, n_punct)
+    W = (3, -2, 5, -7)
+    THRESHOLD = 0
+
+    def __init__(self):
+        self.punct = re.compile(r"[^A-Za-z0-9 ]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        words = text.str.split(" ")
+        n_words = words.str.len().astype("int64")
+        n_chars = text.str.len().astype("int64")
+        n_punct = text.str.count(self.punct).astype("int64")
+        n_stop = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+        ).astype("int64")
+        w = self.W
+        score = (w[0] * n_words + w[1] * (n_chars // 10)
+                 + w[2] * n_stop + w[3] * n_punct)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "quality_score": score,
+            "keep": (score > self.THRESHOLD).astype("int64"),
+        })
+
+
 def chunk_checksum(df: pd.DataFrame, num_buckets: int = 16) -> pd.DataFrame:
     """Per-bucket (doc_id % B) partial row-count + XOR-of-md5 checksum —
     the chunked diff-validator aggregate (sync_diff_inspector A4). Emits one

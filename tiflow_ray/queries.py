@@ -1027,6 +1027,98 @@ GROUP BY doc_id
 """
 
 
+def q_quality_model(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality filtering: a scoring 'model' loads once per
+    actor (actor-pool map_batches), scores every batch vectorized — the
+    batched-inference pattern of a real classifier with a deterministic
+    integer-weight stand-in the SQL oracle reproduces bit-exactly."""
+    from .functions.text import QualityModel
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityModel, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_QUALITY_MODEL_SQL = """
+SELECT doc_id, quality_score,
+       CAST(quality_score > 0 AS BIGINT) AS keep
+FROM (SELECT doc_id,
+             3 * len(string_split(text, ' '))
+             - 2 * (length(text) // 10)
+             + 5 * len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('the','and','of','a','to','in','is')))
+             - 7 * length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             AS quality_score
+      FROM documents)
+"""
+
+
+def q_sample_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val split: md5(doc_id) % 100 < 90 → train —
+    the hash-based split every training pipeline needs (stable across
+    reshards/reruns because it keys on content identity, not position).
+    Partial counts per batch, tiny final merge."""
+    from .functions.text import md5_u64
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].astype(str).map(md5_u64)
+        split = np.where(h % 100 < 90, "train", "val")
+        words = df["text"].str.split(" ").str.len().astype("int64")
+        g = pd.DataFrame({"split": split, "n": 1, "n_words": words}) \
+            .groupby("split", as_index=False).agg(n=("n", "sum"),
+                                                  n_words=("n_words", "sum"))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("split", as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+_SAMPLE_SPLIT_SQL = """
+SELECT CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+FROM documents GROUP BY 1
+"""
+
+
+def q_lake_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Analytics over the REPLAYED lake (ingest → analysis, end-to-end):
+    per-source doc count + total token count of the converged table —
+    reads the lake through the MoR fold path, aggregates with the
+    partial-then-final shape."""
+    from .pipelines import replay as rp
+    q_cdc_replay(sf_dir)                      # ensure the lake is built
+    root, _ = stage_cdc_fixture(sf_dir, False)
+    lake = rp.read_lake(os.path.join(root, "lake_plain"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": np.asarray(t["source"].to_numpy(zero_copy_only=False)),
+            "n_tok": t["n_tok"].to_numpy(zero_copy_only=False).astype("int64"),
+        })
+        g = df.groupby("source", dropna=False, as_index=False) \
+              .agg(n_docs=("n_tok", "size"), sum_tok=("n_tok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = lake.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", dropna=False, as_index=False).sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tok"] = out["sum_tok"].astype("int64")
+    return out.sort_values("source", na_position="first").reset_index(drop=True)
+
+
+_LAKE_TOKEN_STATS_SQL = f"""
+WITH final AS ({_CDC_REPLAY_SQL})
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+FROM final GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup + similarity
 # ---------------------------------------------------------------------------
@@ -1373,6 +1465,9 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, _LANG_ID_SQL),
     "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
+    "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
+    "sample_split": (q_sample_split, _SAMPLE_SPLIT_SQL),
+    "lake_token_stats": (q_lake_token_stats, _LAKE_TOKEN_STATS_SQL),
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
