@@ -1199,14 +1199,34 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
         sig.groupby(["band", "bucket"])
            .map_groups(pairs_from_buckets, batch_format="pandas"))
 
-    grams = docs.map_batches(grams_to_binary, batch_format="pandas")
+    # candidate pairs are OUTPUT-scale (band buckets are capped), so
+    # collecting them is bounded by the result size, never the corpus —
+    # broadcast their doc ids to semi-join the gram table down before the
+    # verify joins (join inputs shrink from corpus-size to candidate-size)
+    cand_pd = cand.to_pandas()
+    if cand_pd.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "planted_recall_pct": pd.Series([], dtype="int64")})
+    cand_ids = ray.put(pa.array(np.unique(
+        np.concatenate([cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy()]))))
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"].cast(pa.int64()),
+                                 value_set=ray.get(cand_ids)))
+
+    # one gram pass over the corpus → filtered to candidate docs →
+    # materialized once (small) and consumed by both verify joins
+    grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
+        .map_batches(only_candidates, batch_format="pyarrow").materialize()
+    cand_ds = ray.data.from_pandas(cand_pd)
     # join parallelism sized to the cluster: each hash-join spawns
     # num_partitions aggregator actors; two chained joins at a fixed 8 would
     # deadlock a 4-cpu test session (fractional CPUs so they co-schedule)
     npart = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     jargs = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
-    j = cand.join(grams, "inner", num_partitions=npart,
-                  on=("a",), right_on=("doc_id",), **jargs)
+    j = cand_ds.join(grams, "inner", num_partitions=npart,
+                     on=("a",), right_on=("doc_id",), **jargs)
     j = j.map_batches(lambda t: t.rename_columns(
         [{"grams": "grams_a"}.get(c, c) for c in t.column_names]),
         batch_format="pyarrow")
