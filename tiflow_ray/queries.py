@@ -245,6 +245,46 @@ def q_cdc_replay_resume(sf_dir: str) -> pa.Table:
                     resume_mid=True)
 
 
+def q_cdc_replay_sharded(sf_dir: str) -> pa.Table:
+    """Shard-merge replay, oracle-checked: the derived change stream splits
+    into TWO shard WALs by key (numeric doc suffix parity — each shard owns
+    a disjoint key subspace, the DM sharding model), each re-segmented with
+    its own watermarks plus a resolved-ts heartbeat at the global max ts
+    (so both shard frontiers reach the end and the merged min-frontier
+    covers the whole stream). run_replay_sharded merges them into ONE lake
+    whose final state must equal the single-stream replay oracle."""
+    from .config import ReplayConfig
+    from .fixtures import write_heartbeat_segment, write_wal_segments
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    shard_root = os.path.join(root, "shards")
+    done = os.path.join(shard_root, "_staged")
+    if not os.path.exists(done):
+        wal = pa.concat_tables(
+            [pq.read_table(s.path)
+             for s in list_segments(os.path.join(root, "wal"))],
+            promote_options="default")
+        suffix = np.array([int(s.rsplit("-", 1)[-1]) for s in
+                           wal["doc_id"].to_pylist()], np.int64)
+        hi_ts = int(pc.max(wal["commit_ts"]).as_py())
+        for shard in (0, 1):
+            sub = wal.filter(pa.array(suffix % 2 == shard))
+            d = os.path.join(shard_root, f"wal_s{shard}")
+            write_wal_segments(sub, d, 2, registry)
+            write_heartbeat_segment(d, hi_ts)
+        os.makedirs(os.path.join(shard_root, "_staged"), exist_ok=True)
+
+    wal_dirs = [os.path.join(shard_root, f"wal_s{s}") for s in (0, 1)]
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=os.path.join(root, "lake_sharded"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay_sharded(cfg, wal_dirs)
+    return rp.lake_to_table(cfg.lake_dir, wal_dirs[0])
+
+
 def stage_cdc_typed_fixture(sf_dir: str) -> tuple[str, SchemaRegistry]:
     """CDC fixture whose evolved columns exercise the widened type lattice:
     DECIMAL(18,6), TIMESTAMP(us), BINARY added via DDL barriers placed
@@ -1466,6 +1506,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
     "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
     "cdc_replay_types": (q_cdc_replay_types, _CDC_TYPED_SQL),
+    "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
