@@ -31,7 +31,8 @@ def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
     S6)."""
     root, reg, *_ = t1_noddl_fixture
     lakes = {}
-    for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium"):
+    for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium",
+                "open_protocol"):
         if fmt == "parquet":
             wal = f"{root}/wal"
         else:

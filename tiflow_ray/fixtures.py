@@ -378,6 +378,10 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             from .sources.codecs import encode_debezium
             with open(os.path.join(wal_dir, f"seq={s:05d}.dbz.jsonl"), "w") as f:
                 f.write(encode_debezium(seg))
+        elif fmt == "open_protocol":
+            from .sources.codecs import encode_open_protocol
+            with open(os.path.join(wal_dir, f"seq={s:05d}.open.jsonl"), "w") as f:
+                f.write(encode_open_protocol(seg))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),

@@ -48,15 +48,19 @@ class MqSinkStage:
     events → (mq_partition, offset, key, payload) message rows, offsets
     dense in the event total order."""
 
-    def __init__(self, database: str = "tiflow", table: str = "documents"):
-        self.database, self.table = database, table
+    def __init__(self, database: str = "tiflow", table: str = "documents",
+                 protocol: str = "canal_json"):
+        assert protocol in ("canal_json", "open_protocol"), protocol
+        self.database, self.table, self.protocol = database, table, protocol
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..sources.codecs import encode_canal_json
+        from ..sources.codecs import encode_canal_json, encode_open_protocol
         part = int(t["mq_partition"][0].as_py()) if t.num_rows else -1
         ev = sort_events_table(t.drop_columns(["mq_partition"]),
                                with_doc=False)
-        text = encode_canal_json(ev, self.database, self.table)
+        enc = (encode_open_protocol if self.protocol == "open_protocol"
+               else encode_canal_json)
+        text = enc(ev, self.database, self.table)
         lines = text.splitlines()
         n = len(lines)
         return pa.table({

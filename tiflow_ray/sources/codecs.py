@@ -196,6 +196,88 @@ def decode_canal_lines(lines: list[str], columns: list[str]) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# open-protocol (TiCDC's native MQ protocol)
+# ---------------------------------------------------------------------------
+
+def encode_open_protocol(t: pa.Table, database: str = "tiflow",
+                         table: str = "documents") -> str:
+    """Event table → open-protocol key/value lines (pkg/sink/codec/open
+    conventions): one JSON object per line holding the message `key`
+    ({ts, scm, tbl, t:1}) and `value` — `u` (upsert row image) or `d`
+    (delete, key columns only), column values wrapped as {t: type-ish,
+    v: value}. On the wire key/value ride separate kafka fields; the file
+    form carries them as one envelope per line."""
+    lines = []
+    for r in t.to_pylist():
+        op = int(r["op"])
+        key = {"ts": int(r["commit_ts"]), "scm": database, "tbl": table,
+               "t": 1, "sts": int(r["start_ts"]),
+               "sv": int(r["schema_ver"])}
+        def wrap(c, v):
+            if v is None:
+                return {"t": 6, "v": None}
+            if c in _LIST_COLS:
+                return {"t": 245, "v": " ".join(str(int(x)) for x in v)}
+            if isinstance(v, int):
+                return {"t": 3, "v": v}
+            return {"t": 15, "v": str(v)}
+        if op == OP_DELETE:
+            value = {"d": {"doc_id": wrap("doc_id", r["doc_id"])}}
+        else:
+            img = {c: wrap(c, v) for c, v in r.items()
+                   if c not in ("op", "commit_ts", "start_ts", "schema_ver",
+                                "pre_tokens")}
+            value = {"u": img}
+            if r.get("pre_tokens") is not None:
+                value["p"] = {"tokens": wrap("tokens", r["pre_tokens"])}
+            if op == OP_INSERT:
+                value["ins"] = 1   # distinguish insert from update
+        lines.append(json.dumps({"key": key, "value": value},
+                                separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def decode_open_protocol_lines(lines: list[str],
+                               columns: list[str]) -> pa.Table:
+    cols = {c: [] for c in columns}
+    for ln in lines:
+        if not ln:
+            continue
+        obj = json.loads(ln)
+        key, value = obj["key"], obj["value"]
+        if "d" in value:
+            op, img, pre = OP_DELETE, value["d"], None
+        else:
+            op = OP_INSERT if value.get("ins") else OP_UPDATE
+            img = value["u"]
+            pre = value.get("p")
+
+        def unwrap(c, w):
+            if w is None or w["v"] is None:
+                return None
+            if c in _LIST_COLS:
+                return [int(x) for x in w["v"].split()] if w["v"] else []
+            if c in _INT_COLS:
+                return int(w["v"])
+            return w["v"]
+        for c in columns:
+            if c == "op":
+                v = op
+            elif c == "commit_ts":
+                v = int(key["ts"])
+            elif c == "start_ts":
+                v = int(key["sts"])
+            elif c == "schema_ver":
+                v = int(key.get("sv", 1))
+            elif c == "pre_tokens":
+                v = unwrap("tokens", pre.get("tokens")) if pre else None
+            else:
+                v = unwrap(c, img.get(c))
+            cols[c].append(v)
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
 # debezium-json
 # ---------------------------------------------------------------------------
 
@@ -264,7 +346,7 @@ class ChangeFileDecoder:
     the column order from the segment meta (the schema-file mechanism)."""
 
     def __init__(self, fmt: str, columns: list[str]):
-        assert fmt in ("csv", "canal_json", "debezium"), fmt
+        assert fmt in ("csv", "canal_json", "debezium", "open_protocol"), fmt
         self.fmt, self.columns = fmt, list(columns)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
@@ -273,4 +355,6 @@ class ChangeFileDecoder:
             return decode_csv_lines(lines, self.columns)
         if self.fmt == "debezium":
             return decode_debezium_lines(lines, self.columns)
+        if self.fmt == "open_protocol":
+            return decode_open_protocol_lines(lines, self.columns)
         return decode_canal_lines(lines, self.columns)

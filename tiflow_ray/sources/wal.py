@@ -57,7 +57,8 @@ def list_segments(wal_dir: str) -> list[Segment]:
         fmt = m.get("format", "parquet")
         ext = {"parquet": ".parquet", "jsonl": ".jsonl",
                "csv": ".csv", "canal_json": ".canal.jsonl",
-               "debezium": ".dbz.jsonl"}[fmt]
+               "debezium": ".dbz.jsonl",
+               "open_protocol": ".open.jsonl"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
                             m["max_ts"], m["rows"], fmt,
