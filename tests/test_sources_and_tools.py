@@ -192,6 +192,55 @@ def test_salted_shuffle_same_result_under_skew(tmp_path):
     assert tables[0].equals(oracle.replay_to_table(root, reg))
 
 
+def test_cli_lifecycle_compact_walgc_export(t1_noddl_fixture, tmp_path):
+    """Full operator lifecycle through the CLI (fresh processes, as a user
+    would): replay → show (chains) → compact → wal-gc → export; the
+    exported parquet equals the lake state."""
+    import shutil
+
+    import pyarrow.compute as _pc
+    root, reg, *_ = t1_noddl_fixture
+    lake = str(tmp_path / "lake_lc")
+    out_dir = str(tmp_path / "export_lc")
+    # wal-gc DELETES segments — run it against a private copy, never the
+    # shared session fixture (the oracle below still needs the stream)
+    wal = str(tmp_path / "wal_lc")
+    shutil.copytree(os.path.join(root, "wal"), wal)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), RAY_ADDRESS="local")
+
+    def cli(*args):
+        r = subprocess.run([sys.executable, "-m", "tiflow_ray.cli",
+                            "--num-cpus", "4", *args],
+                           capture_output=True, text=True, env=env,
+                           timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = r.stdout.strip()
+        return json.loads(out[out.index("{"):])   # `show` is multi-line json
+
+    cli("bootstrap", "--base", f"{root}/base", "--lake", lake, "-P", "8")
+    cli("replay", "--wal", wal, "--lake", lake, "-P", "8",
+        "--segments-per-epoch", "1")
+    show = cli("show", "--lake", lake)
+    assert show["delta_chains"], "expected MoR chains before compaction"
+    c = cli("compact", "--lake", lake)
+    assert c["parts_folded"] > 0
+    assert not cli("show", "--lake", lake)["delta_chains"]
+    g = cli("wal-gc", "--wal", wal, "--lake", lake)
+    assert g["segments_removed"] > 0
+    cli("export", "--lake", lake, "--out", out_dir)
+
+    from tiflow_ray import oracle as _oracle
+    exp = _oracle.replay_to_table(root, reg)
+    exported = pq.read_table(out_dir).select(exp.column_names)
+    exported = exported.take(_pc.sort_indices(
+        exported, sort_keys=[("doc_id", "ascending")]))
+    # Ray's parquet writer names list children "item" vs pyarrow's
+    # "element" — a naming difference, not a data one
+    exported = exported.cast(exp.schema)
+    assert exported.equals(exp)
+
+
 def test_cli_end_to_end(t1_noddl_fixture, tmp_path):
     """Drive the CLI as a user would (fresh process owning its Ray session)."""
     root, reg, *_ = t1_noddl_fixture
