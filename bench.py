@@ -251,9 +251,63 @@ def _record_baseline(r: dict) -> None:
         pass
 
 
+def run_weak_scaling() -> dict:
+    """Weak scaling: data grows with parallelism (2 cpus × E events vs
+    8 cpus × 4E) — the regime a fixed-size cluster actually runs in (100 TB
+    on 256 nodes ⇒ constant work per node). Ideal efficiency = t_small /
+    t_big = 1.0. Complements --scaling (strong scaling, fixed input)."""
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    base_events = int(os.environ.get("GRAFT_WEAK_EVENTS", "15000000"))
+
+    def sub(ncpu: int, events: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALE_EVENTS=str(events), GRAFT_SKIP_QUERIES="1")
+        walls = []
+        for _ in range(reps):
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            walls.append(json.loads(out.stdout.strip().splitlines()[-1])["value"])
+        return min(walls)
+
+    t_small = sub(2, base_events)
+    t_big = sub(8, 4 * base_events)
+    result = {
+        "metric": "weak_scaling_efficiency_N_to_4N",
+        "events_small": base_events, "events_big": 4 * base_events,
+        "sec_2cpu": t_small, "sec_8cpu_4x_data": t_big,
+        "weak_scaling_efficiency": round(t_small / t_big, 3),
+        "reps": reps,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BASELINE.md")) as f:
+            text = f.read()
+        marker = "\n## Weak scaling (bench.py --weak-scaling)\n"
+        section = (
+            f"{marker}\nData grows with parallelism (2 cpus × "
+            f"{base_events // 10**6}M events vs 8 cpus × "
+            f"{4 * base_events // 10**6}M) — the fixed-size-cluster regime "
+            f"(constant work per node); ideal = 1.0.\n\n"
+            f"- t(2 cpu, 1×) = {t_small}s; t(8 cpu, 4×) = {t_big}s → "
+            f"**weak-scaling efficiency {result['weak_scaling_efficiency']}**\n")
+        if marker in text:
+            text = text[:text.index(marker)] + section
+        else:
+            text += section
+        with open(os.path.join(here, "BASELINE.md"), "w") as f:
+            f.write(text)
+    except OSError:
+        pass
+    return result
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--weak-scaling" in sys.argv:
+        print(json.dumps(run_weak_scaling()))
     else:
         print(json.dumps(run_once()))
