@@ -55,6 +55,32 @@ def test_md5_u64_matches_duckdb():
         assert got == exp, s
 
 
+def test_ppm_decode_resize_real_pixels():
+    """The PPM tier is a REAL decoder: roundtrip non-constant pixels,
+    tolerate header comments, and verify nearest-neighbor resize picks the
+    exact source pixels."""
+    import numpy as np
+
+    from tiflow_ray.functions.multimodal import (decode_ppm, encode_ppm,
+                                                 resize_nearest)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n16 12\n255\n" + img.tobytes()
+    back = decode_ppm(payload)
+    assert (back == img).all()
+    small = resize_nearest(img, 4, 3)
+    assert small.shape == (3, 4, 3)
+    assert (small[0, 0] == img[0, 0]).all()
+    assert (small[2, 3] == img[(2 * 12) // 3, (3 * 16) // 4]).all()
+    # encode helper roundtrips too
+    enc = encode_ppm(5, 4, (9, 8, 7))
+    dec = decode_ppm(enc)
+    assert dec.shape == (4, 5, 3) and (dec[..., 0] == 9).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
 def test_decode_stub_contract():
     import pyarrow as pa
     from tiflow_ray.functions.multimodal import DecodeStub, to_binary_payload

@@ -1417,6 +1417,31 @@ FROM documents
 """
 
 
+def q_multimodal_ppm(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode pipeline (no codec libs needed): synthesize a
+    deterministic binary PPM per doc → actor-pool decode (header parse +
+    numpy pixel buffer) → nearest-neighbor resize → per-channel mean
+    features. Channel values are constant per image, so the features are
+    closed-form and the oracle hash-checks bytes-in→features-out."""
+    from .functions.multimodal import DecodePpm, doc_to_ppm_payload
+    ds = _ds(sf_dir, "documents", ["doc_id"])
+    out = ds.map_batches(doc_to_ppm_payload, batch_format="pyarrow") \
+            .map_batches(DecodePpm, batch_format="pyarrow", batch_size=256,
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MULTIMODAL_PPM_SQL = """
+SELECT doc_id,
+       CAST(16 + doc_id % 8 AS BIGINT) AS width,
+       CAST(12 + doc_id % 4 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r,
+       CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+       CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+FROM documents
+"""
+
+
 def q_sync_diff(sf_dir: str) -> pd.DataFrame:
     """T10/A4/O4 validator: chunk-checksum diff of two INDEPENDENTLY produced
     lakes (straight replay vs stop-and-resume replay) — must be identical.
@@ -1535,6 +1560,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embed": (q_dedup_embed, _DEDUP_EMBED_SQL),
     "knn_search": (q_knn_search, _KNN_SQL),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_SQL),
+    "multimodal_ppm": (q_multimodal_ppm, _MULTIMODAL_PPM_SQL),
     "agg_partial": (q_agg_partial, _AGG_PARTIAL_SQL),
     "broadcast_join": (q_broadcast_join, _BROADCAST_JOIN_SQL),
 }
