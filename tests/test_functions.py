@@ -81,6 +81,28 @@ def test_ppm_decode_resize_real_pixels():
         decode_ppm(b"JFIF....")
 
 
+def test_wav_decode_real_samples():
+    import numpy as np
+
+    from tiflow_ray.functions.multimodal import decode_wav, encode_wav
+    s = np.array([100, -100, 5000, -32768, 32767], np.int16)
+    rate, back = decode_wav(encode_wav(8000, s))
+    assert rate == 8000 and (back == s).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+
+
+def test_frame_split_and_sample():
+    from tiflow_ray.functions.multimodal import (FrameSample, decode_ppm,
+                                                 encode_ppm,
+                                                 split_ppm_frames)
+    frames = [encode_ppm(8, 6, (f * 10, 0, 0)) for f in range(5)]
+    parts = split_ppm_frames(b"".join(frames))
+    assert len(parts) == 5
+    assert (decode_ppm(parts[3])[..., 0] == 30).all()
+
+
 def test_decode_stub_contract():
     import pyarrow as pa
     from tiflow_ray.functions.multimodal import DecodeStub, to_binary_payload

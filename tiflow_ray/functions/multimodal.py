@@ -126,6 +126,145 @@ class DecodePpm:
         })
 
 
+# ---------------------------------------------------------------------------
+# real decode tier: WAV (RIFF/PCM16) audio — pure numpy
+# ---------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """A valid mono 16-bit PCM WAV file (RIFF header + fmt + data)."""
+    import struct
+    pcm = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt " + \
+        struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16) + \
+        b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse RIFF/PCM16 → (sample_rate, int16 samples) — a real header
+    walk over the chunk structure, no audio libs."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack("<HHI", body[:8])
+            assert fmt == 1 and ch == 1, "PCM mono only"
+        elif cid == b"data":
+            data = np.frombuffer(body, "<i2")
+        i += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def doc_to_wav_payload(t: pa.Table) -> pa.Table:
+    """Deterministic constant-amplitude square wave per doc (amplitude and
+    length are pure functions of doc_id → features are closed-form)."""
+    payloads = []
+    for d in t["doc_id"].to_numpy():
+        d = int(d)
+        n = 64 + d % 32
+        amp = 100 + d % 1000
+        s = np.full(n, amp, np.int16)
+        s[1::2] = -amp
+        payloads.append(encode_wav(16_000, s))
+    return pa.table({"doc_id": t["doc_id"],
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+class DecodeWav:
+    """Actor-pool audio featurizer: real RIFF parse → n_samples / peak /
+    mean-abs features."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, ns, peak, mean_abs = [], [], [], []
+        for p in t["payload"].to_pylist():
+            rate, s = decode_wav(p)
+            rates.append(rate)
+            ns.append(len(s))
+            a = np.abs(s.astype(np.int64))
+            peak.append(int(a.max()))
+            mean_abs.append(int(a.mean()))   # exact for constant |amp|
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+            "mean_abs": pa.array(mean_abs, pa.int64()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# real transform tier: frame sampling over multi-frame (video-like) payloads
+# ---------------------------------------------------------------------------
+
+def doc_to_frames_payload(t: pa.Table) -> pa.Table:
+    """A crude 'video': N concatenated PPM frames per doc (N = 4 + d%5),
+    frame f carrying channel value (d + f) % 256 — per-frame features stay
+    closed-form."""
+    payloads, n_frames = [], []
+    for d in t["doc_id"].to_numpy():
+        d = int(d)
+        n = 4 + d % 5
+        frames = b"".join(encode_ppm(8, 6, ((d + f) % 256, 0, 0))
+                          for f in range(n))
+        payloads.append(frames)
+        n_frames.append(n)
+    return pa.table({"doc_id": t["doc_id"],
+                     "payload": pa.array(payloads, pa.binary()),
+                     "n_frames": pa.array(n_frames, pa.int64())})
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split concatenated P6 frames by walking each header + pixel size."""
+    out, i = [], 0
+    while i < len(payload):
+        assert payload[i:i + 2] == b"P6", "corrupt frame boundary"
+        j, fields = i + 2, []
+        while len(fields) < 3:
+            while payload[j:j + 1].isspace():
+                j += 1
+            k = j
+            while not payload[k:k + 1].isspace():
+                k += 1
+            fields.append(int(payload[j:k]))
+            j = k
+        j += 1
+        end = j + fields[0] * fields[1] * 3
+        out.append(payload[i:end])
+        i = end
+    return out
+
+
+class FrameSample:
+    """Actor-pool frame sampler: decode every `stride`-th frame of each
+    multi-frame payload, feature = mean red channel of the FIRST sampled
+    frame + sampled-frame count (the frame-sample → per-frame-featurize
+    shape of a video preprocessing pipeline)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_sampled, first_r = [], []
+        for p in t["payload"].to_pylist():
+            frames = split_ppm_frames(p)[::self.stride]
+            n_sampled.append(len(frames))
+            img = decode_ppm(frames[0])
+            first_r.append(int(round(img[..., 0].mean())))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_frames": t["n_frames"],
+            "n_sampled": pa.array(n_sampled, pa.int64()),
+            "first_frame_mean_r": pa.array(first_r, pa.int64()),
+        })
+
+
 class DecodeStub:
     """Actor-pool decode stage. A real deployment drops in PIL/ffmpeg here
     (loaded once per actor in __init__); this stub extracts deterministic

@@ -1442,6 +1442,49 @@ FROM documents
 """
 
 
+def q_multimodal_wav(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode: deterministic RIFF/PCM16 payload per doc →
+    actor-pool chunk-walk decode → n_samples/peak/mean-abs features
+    (constant-|amplitude| square wave ⇒ closed-form oracle)."""
+    from .functions.multimodal import DecodeWav, doc_to_wav_payload
+    ds = _ds(sf_dir, "documents", ["doc_id"])
+    out = ds.map_batches(doc_to_wav_payload, batch_format="pyarrow") \
+            .map_batches(DecodeWav, batch_format="pyarrow", batch_size=256,
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MULTIMODAL_WAV_SQL = """
+SELECT doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS peak,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS mean_abs
+FROM documents
+"""
+
+
+def q_multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Frame sampling over multi-frame (video-like) payloads: every 2nd
+    frame decoded, first sampled frame featurized — the video
+    preprocessing shape with a closed-form oracle."""
+    from .functions.multimodal import FrameSample, doc_to_frames_payload
+    ds = _ds(sf_dir, "documents", ["doc_id"])
+    out = ds.map_batches(doc_to_frames_payload, batch_format="pyarrow") \
+            .map_batches(FrameSample, batch_format="pyarrow", batch_size=256,
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST((4 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(doc_id % 256 AS BIGINT) AS first_frame_mean_r
+FROM documents
+"""
+
+
 def q_sync_diff(sf_dir: str) -> pd.DataFrame:
     """T10/A4/O4 validator: chunk-checksum diff of two INDEPENDENTLY produced
     lakes (straight replay vs stop-and-resume replay) — must be identical.
@@ -1561,6 +1604,8 @@ REGISTRY: dict[str, tuple] = {
     "knn_search": (q_knn_search, _KNN_SQL),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_SQL),
     "multimodal_ppm": (q_multimodal_ppm, _MULTIMODAL_PPM_SQL),
+    "multimodal_wav": (q_multimodal_wav, _MULTIMODAL_WAV_SQL),
+    "multimodal_frames": (q_multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "agg_partial": (q_agg_partial, _AGG_PARTIAL_SQL),
     "broadcast_join": (q_broadcast_join, _BROADCAST_JOIN_SQL),
 }
