@@ -137,6 +137,32 @@ class QualityModel:
         })
 
 
+class HashEmbed:
+    """Feature-hashing vectorizer (the HashingVectorizer / embedding-
+    generation staple): doc → fixed-dim bag-of-words vector where
+    dimension j counts words hashing to bucket j. Integer counts + the
+    DuckDB-identical md5 hash keep the oracle bit-exact; per-batch the
+    word→bucket map is computed once over the DISTINCT words of the batch
+    (C-speed merge back), not per occurrence."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        dim = self.dim
+        words = df["text"].str.split(" ")
+        flat = words.explode()
+        uniq = pd.Index(flat.unique())
+        bucket_of = pd.Series([md5_u64(w) % dim for w in uniq], index=uniq)
+        b = flat.map(bucket_of)
+        counts = (pd.crosstab(b.index, b)
+                  .reindex(index=df.index, columns=range(dim), fill_value=0))
+        out = {"doc_id": df["doc_id"].to_numpy()}
+        for j in range(dim):
+            out[f"f{j}"] = counts[j].to_numpy().astype("int64")
+        return pd.DataFrame(out)
+
+
 def chunk_checksum(df: pd.DataFrame, num_buckets: int = 16) -> pd.DataFrame:
     """Per-bucket (doc_id % B) partial row-count + XOR-of-md5 checksum —
     the chunked diff-validator aggregate (sync_diff_inspector A4). Emits one

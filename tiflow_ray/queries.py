@@ -880,25 +880,32 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     min_us = int(_read(sf_dir, "events", ["ts"])["ts"]
                  .cast(pa.int64()).to_numpy().min())
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["k"] = ((g["ts"].astype("int64") - min_us) * (1 << 20)) + g["event_id"]
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE call per hash partition; pd.merge_asof(by=user) does the
+        # per-user backward as-of match fully vectorized (a per-USER
+        # map_groups would pay Python per key — 50k calls at sf0.1)
+        g = g.assign(k=((g["ts"].astype("int64") - min_us) * (1 << 20))
+                     + g["event_id"])
         clicks = g[g["event_type"] == "click"].sort_values("k")
         buys = g[g["event_type"] == "purchase"].sort_values("k")
-        if buys.empty:
+        if buys.empty or clicks.empty:
             return pd.DataFrame({"purchase_event_id": pd.Series([], dtype="int64"),
                                  "click_event_id": pd.Series([], dtype="int64")})
-        idx = np.searchsorted(clicks["k"].to_numpy(), buys["k"].to_numpy(),
-                              side="right") - 1
-        click_ids = np.where(idx >= 0,
-                             clicks["event_id"].to_numpy()[np.maximum(idx, 0)],
-                             -1)
-        out = pd.DataFrame({"purchase_event_id": buys["event_id"].to_numpy(),
-                            "click_event_id": click_ids})
-        return out[out["click_event_id"] >= 0].astype("int64")
+        m = pd.merge_asof(buys[["k", "user_id", "event_id"]],
+                          clicks[["k", "user_id", "event_id"]],
+                          on="k", by="user_id", direction="backward",
+                          suffixes=("_p", "_c"))
+        m = m[m["event_id_c"].notna()]
+        return pd.DataFrame({
+            "purchase_event_id": m["event_id_p"].astype("int64").to_numpy(),
+            "click_event_id": m["event_id_c"].astype("int64").to_numpy(),
+        })
 
-    out = ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas").to_pandas()
+    out = ds.map_batches(lambda df: df.assign(
+            part=(pd.util.hash_array(df["user_id"].to_numpy()) % 64)
+            .astype("int64")), batch_format="pandas") \
+        .groupby("part").map_groups(per_part, batch_format="pandas") \
+        .to_pandas()
     return out.sort_values("purchase_event_id").reset_index(drop=True)
 
 
@@ -921,21 +928,34 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     GAP_US = 3_600_000_000
     ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE call per hash partition, vectorized across every user in it:
+        # sort by (user, ts, event_id); a session break is a >gap silence
+        # OR a user change; per-user session ids come from a global cumsum
+        # minus its value at each user's first row (C-speed transform)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
         new = np.ones(len(us), dtype=np.int64)
-        new[1:] = (us[1:] - us[:-1] > GAP_US).astype(np.int64)
-        sess = np.cumsum(new)
-        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                           "session_id": sess, "us": us})
+        if len(us) > 1:
+            new[1:] = ((us[1:] - us[:-1] > GAP_US)
+                       | (uid[1:] != uid[:-1])).astype(np.int64)
+        s = np.cumsum(new)
+        first = np.ones(len(us), bool)
+        first[1:] = uid[1:] != uid[:-1]
+        sess = s - np.repeat(s[first], np.diff(
+            np.append(np.flatnonzero(first), len(us)))) + 1
+        df = pd.DataFrame({"user_id": uid, "session_id": sess, "us": us})
         out = df.groupby(["user_id", "session_id"], as_index=False).agg(
             n=("us", "size"), start_us=("us", "min"), end_us=("us", "max"))
         out["n"] = out["n"].astype("int64")
         return out
 
-    out = ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas").to_pandas()
+    out = ds.map_batches(lambda df: df.assign(
+            part=(pd.util.hash_array(df["user_id"].to_numpy()) % 64)
+            .astype("int64")), batch_format="pandas") \
+        .groupby("part").map_groups(per_part, batch_format="pandas") \
+        .to_pandas()
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
@@ -1417,6 +1437,26 @@ FROM documents
 """
 
 
+def q_hash_embed(sf_dir: str) -> pd.DataFrame:
+    """Embedding generation via feature hashing: doc → 8-dim bag-of-words
+    count vector (md5-bucketed words) — the vectorizer stage a training
+    pipeline runs before ANN/dedup; exact integer counts ⇒ SQL oracle."""
+    from .functions.text import HashEmbed
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(HashEmbed, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_HASH_EMBED_SQL = """
+SELECT doc_id, """ + ", ".join(
+    f"CAST(len(list_filter(string_split(text, ' '), "
+    f"w -> md5_number_lower(w) % 8 = {j})) AS BIGINT) AS f{j}"
+    for j in range(8)) + """
+FROM documents
+"""
+
+
 def q_multimodal_ppm(sf_dir: str) -> pd.DataFrame:
     """REAL image decode pipeline (no codec libs needed): synthesize a
     deterministic binary PPM per doc → actor-pool decode (header parse +
@@ -1597,6 +1637,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
     "sample_split": (q_sample_split, _SAMPLE_SPLIT_SQL),
     "lake_token_stats": (q_lake_token_stats, _LAKE_TOKEN_STATS_SQL),
+    "hash_embed": (q_hash_embed, _HASH_EMBED_SQL),
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
