@@ -1190,13 +1190,21 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
     keyed = ds.map_batches(exact_dedup_key, batch_format="pandas")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"dedup_key": [g["dedup_key"].iloc[0]],
-                             "keep_doc_id": [int(g["doc_id"].min())],
-                             "dups": [len(g)]})
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["dedup_key"].to_numpy(), categorize=False)
+        return df.assign(part=(h % 64).astype("int64"))
 
-    out = keyed.groupby("dedup_key").map_groups(first,
-                                                batch_format="pandas").to_pandas()
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash partition, vectorized over its keys (key
+        # cardinality ≈ corpus at scale — per-key map_groups would pay
+        # Python per key)
+        out = g.groupby("dedup_key", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), dups=("doc_id", "size"))
+        out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+        return out[["dedup_key", "keep_doc_id", "dups"]]
+
+    out = keyed.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(first, batch_format="pandas").to_pandas()
     out["dups"] = out["dups"].astype("int64")
     return out.sort_values("dedup_key").reset_index(drop=True)
 
@@ -1231,11 +1239,19 @@ def _planted_ds(sf_dir: str) -> ray.data.Dataset:
 
 
 def _dedupe_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Distributed (a, b) pair dedup: one groupby shuffle, first row wins."""
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    """Distributed (a, b) pair dedup: hash-partition on the pair, ONE
+    vectorized drop_duplicates per partition (a per-pair map_groups would
+    pay Python per pair)."""
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = (pd.util.hash_array(df["a"].to_numpy())
+             ^ pd.util.hash_array(df["b"].to_numpy()))
+        return df.assign(part=(h % 64).astype("int64"))
 
-    return ds.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["part"])
+
+    return ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(dedupe, batch_format="pandas")
 
 
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
