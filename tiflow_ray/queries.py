@@ -47,6 +47,17 @@ CDC_SEGMENTS = 4
 # helpers
 # ---------------------------------------------------------------------------
 
+def _shuffle_parts() -> int:
+    """Hash-partition count for query-layer reduce shuffles: ~1 per core
+    (keeps per-partition fixed cost low at test scale, grows with the
+    cluster; the minhash/simhash band-bucket counts stay fixed because the
+    lake layout does not depend on them)."""
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 16
+
+
 def _read(sf_dir: str, table: str, columns=None) -> pa.Table:
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
                          columns=columns)
@@ -514,8 +525,9 @@ def q_lww_compact(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(partial, batch_format="pandas") \
             .map_batches(lambda df: df.assign(
-                part=(pd.util.hash_array(df["user_id"].to_numpy()) % 64)
-                .astype("int64")), batch_format="pandas") \
+                part=(pd.util.hash_array(df["user_id"].to_numpy())
+                      % _shuffle_parts()).astype("int64")),
+                batch_format="pandas") \
             .groupby("part").map_groups(final, batch_format="pandas") \
             .to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
@@ -902,8 +914,8 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
         })
 
     out = ds.map_batches(lambda df: df.assign(
-            part=(pd.util.hash_array(df["user_id"].to_numpy()) % 64)
-            .astype("int64")), batch_format="pandas") \
+            part=(pd.util.hash_array(df["user_id"].to_numpy())
+                  % _shuffle_parts()).astype("int64")), batch_format="pandas") \
         .groupby("part").map_groups(per_part, batch_format="pandas") \
         .to_pandas()
     return out.sort_values("purchase_event_id").reset_index(drop=True)
@@ -952,8 +964,8 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
         return out
 
     out = ds.map_batches(lambda df: df.assign(
-            part=(pd.util.hash_array(df["user_id"].to_numpy()) % 64)
-            .astype("int64")), batch_format="pandas") \
+            part=(pd.util.hash_array(df["user_id"].to_numpy())
+                  % _shuffle_parts()).astype("int64")), batch_format="pandas") \
         .groupby("part").map_groups(per_part, batch_format="pandas") \
         .to_pandas()
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
@@ -1192,7 +1204,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df["dedup_key"].to_numpy(), categorize=False)
-        return df.assign(part=(h % 64).astype("int64"))
+        return df.assign(part=(h % _shuffle_parts()).astype("int64"))
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         # one call per hash partition, vectorized over its keys (key
@@ -1245,7 +1257,7 @@ def _dedupe_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         h = (pd.util.hash_array(df["a"].to_numpy())
              ^ pd.util.hash_array(df["b"].to_numpy()))
-        return df.assign(part=(h % 64).astype("int64"))
+        return df.assign(part=(h % _shuffle_parts()).astype("int64"))
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"]).drop(columns=["part"])
