@@ -1283,15 +1283,17 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     sig = sig.map_batches(
         lambda df: df.assign(bucket=(df["band_hash"] % 64).astype("int64")),
         batch_format="pandas")
-    cand = _dedupe_pairs(
-        sig.groupby(["band", "bucket"])
-           .map_groups(pairs_from_buckets, batch_format="pandas"))
+    cand = sig.groupby(["band", "bucket"]) \
+              .map_groups(pairs_from_buckets, batch_format="pandas")
 
     # candidate pairs are OUTPUT-scale (band buckets are capped), so
     # collecting them is bounded by the result size, never the corpus —
     # broadcast their doc ids to semi-join the gram table down before the
-    # verify joins (join inputs shrink from corpus-size to candidate-size)
-    cand_pd = cand.to_pandas()
+    # verify joins (join inputs shrink from corpus-size to candidate-size).
+    # Cross-band duplicate pairs (≤ #bands per pair) are deduped HERE
+    # rather than via an extra shuffle — verify work is cheap relative to
+    # a whole exchange
+    cand_pd = cand.to_pandas().drop_duplicates(["a", "b"])
     if cand_pd.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
@@ -1308,10 +1310,10 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
         .map_batches(only_candidates, batch_format="pyarrow").materialize()
     cand_ds = ray.data.from_pandas(cand_pd)
-    # join parallelism sized to the cluster: each hash-join spawns
-    # num_partitions aggregator actors; two chained joins at a fixed 8 would
-    # deadlock a 4-cpu test session (fractional CPUs so they co-schedule)
-    npart = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    # join parallelism stays SMALL: the inputs are candidate-sized (already
+    # semi-joined down), so aggregator-actor spin-up dominates a wide join;
+    # fractional CPUs so chained joins co-schedule on tiny test sessions
+    npart = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
     jargs = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
     j = cand_ds.join(grams, "inner", num_partitions=npart,
                      on=("a",), right_on=("doc_id",), **jargs)
