@@ -112,6 +112,39 @@ def test_lagging_shard_holds_barrier_then_catches_up(tmp_path):
         assert got[name] == (d * 10 + 2, "xx"), name   # post-barrier image won
 
 
+def test_empty_shard_holds_frontier(tmp_path):
+    """A declared shard with ZERO delivered segments must hold the merged
+    frontier at nothing-committed — committing past it would silently lose
+    its (later-arriving) pre-watermark events to the from_ts predicate."""
+    root, registry = _setup(tmp_path)
+    _shard_wal(root, 0, registry, hi_ts=10**9)
+    _shard_wal(root, 1, registry, hi_ts=10**9)
+    # shard 2 declared (dir + DDL schedule present) but nothing delivered
+    empty = os.path.join(root, "wal_s2")
+    os.makedirs(empty)
+    shutil.copy(os.path.join(root, "wal_s0", "ddl.json"),
+                os.path.join(empty, "ddl.json"))
+
+    wal_dirs = [os.path.join(root, f"wal_s{s}") for s in range(3)]
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=os.path.join(root, "lake"), num_partitions=8)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    watermark0 = LakeState(cfg.lake_dir).latest().watermark_ts
+
+    res = rp.run_replay_sharded(cfg, wal_dirs)
+    assert res.epochs == []                        # nothing committed
+    assert LakeState(cfg.lake_dir).latest().watermark_ts == watermark0
+
+    # shard 2 delivers → everything replays, nothing was lost
+    _shard_wal(root, 2, registry, hi_ts=10**9)
+    rp.run_replay_sharded(cfg, wal_dirs)
+    final = rp.lake_to_table(cfg.lake_dir)
+    got = {d: t[0] for d, t in zip(final["doc_id"].to_pylist(),
+                                   final["tokens"].to_pylist())}
+    for d in range(3 * N_PER_SHARD):
+        assert got[f"doc-{d:012d}"] == d * 10 + 2
+
+
 def test_divergent_shard_ddl_schedule_rejected(tmp_path):
     root, registry = _setup(tmp_path)
     _shard_wal(root, 0, registry, hi_ts=10**9)

@@ -73,6 +73,52 @@ def test_csv_codec_roundtrip_quoting():
     assert back.equals(t)
 
 
+def test_csv_codec_roundtrips_embedded_newlines():
+    """A doc_id/source containing '\\n' must survive read_text/splitlines:
+    encode escapes \\, \\n, \\r inside quoted cells; decode reverses."""
+    from tiflow_ray.sources.codecs import decode_csv_lines, encode_csv
+    t = pa.table({
+        "op": pa.array([3, 3], pa.uint8()),
+        "commit_ts": pa.array([10, 11], pa.uint64()),
+        "start_ts": pa.array([9, 10], pa.uint64()),
+        "doc_id": pa.array(["line1\nline2", "tab\\n-literal\r"]),
+        "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], pa.int32()),
+        "source": pa.array(["a\nb\nc", None]),
+        "pre_tokens": pa.array([None, None], pa.list_(pa.int32())),
+        "new_doc_id": pa.array([None, None], pa.string()),
+        "schema_ver": pa.array([1, 1], pa.int32()),
+    })
+    text, cols = encode_csv(t)
+    lines = text.splitlines()          # exactly what the WAL reader does
+    assert len([ln for ln in lines if ln]) == 2
+    back = decode_csv_lines(lines, cols)
+    assert back.equals(t)
+
+
+def test_canal_json_empty_pre_tokens_roundtrip():
+    """old.tokens == [] must round-trip as [], not collapse to None."""
+    from tiflow_ray.sources.codecs import (decode_canal_lines,
+                                           encode_canal_json)
+    t = pa.table({
+        "op": pa.array([2], pa.uint8()),
+        "commit_ts": pa.array([10], pa.uint64()),
+        "start_ts": pa.array([9], pa.uint64()),
+        "doc_id": pa.array(["a"]),
+        "tokens": pa.array([[1]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1], pa.int32()),
+        "source": pa.array(["web"]),
+        "pre_tokens": pa.array([[]], pa.list_(pa.int32())),
+        "new_doc_id": pa.array([None], pa.string()),
+        "schema_ver": pa.array([1], pa.int32()),
+    })
+    text = encode_canal_json(t)
+    obj = json.loads(text.splitlines()[0])
+    assert obj["old"][0]["tokens"] == ""           # present, empty
+    back = decode_canal_lines(text.splitlines(), t.column_names)
+    assert back.equals(t)
+
+
 def test_canal_json_roundtrip_op_mapping():
     from tiflow_ray.sources.codecs import (decode_canal_lines,
                                            encode_canal_json)

@@ -531,10 +531,14 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
     assert prev is not None, "call bootstrap() first"
 
     shard_segs = [list_segments(d) for d in wal_dirs]
-    nonempty = [s for s in shard_segs if s]
-    if not nonempty:
+    # A shard with ZERO segments is frontier-holding, not ignorable: its
+    # data (at unknown commit_ts) has simply not been delivered yet, and
+    # committing past it would let plan_epochs' from_ts predicate filter
+    # those events out forever on catch-up (silent loss). The pessimist
+    # min-over-spans rule applies to every declared shard, delivered or not.
+    if any(not s for s in shard_segs):
         return ReplayResult()
-    frontier = min(s[-1].watermark_ts for s in nonempty)
+    frontier = min(s[-1].watermark_ts for s in shard_segs)
     if upto_ts is not None:
         frontier = min(frontier, upto_ts)
     merged = sorted((seg for segs in shard_segs for seg in segs),

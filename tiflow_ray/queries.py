@@ -635,13 +635,17 @@ FROM events
 
 def q_binlog_filter(sf_dir: str) -> pa.Table:
     """M7: declarative schema/table-regex × event-kind filter matrix
-    (pkg/binlog-filter/filter.go analog, last-matching-rule-wins). Events
-    map to a two-database, table-per-event-type topology; three overlapping
-    rules exercise Ignore, re-allow (Do), and kind-scoped matching."""
+    (pkg/binlog-filter/filter.go Filter:324-391 analog — first matching
+    Ignore short-circuits, a Do rule is an event whitelist). Events map to
+    a two-database, table-per-event-type topology with kinds cycling by
+    event_id so every table sees all three kinds; the three overlapping
+    rules exercise Ignore priority (db1/click/update is dropped by rule 1
+    even though rule 2 is a Do on the same table) and the Do whitelist
+    (db1/click non-insert kinds are dropped by rule 2)."""
     from .stages.binlog_filter import BinlogFilter, FilterRule
     rules = [
         FilterRule("db.*", "click|view", ("update",), "Ignore"),
-        FilterRule("db1", "click", ("all",), "Do"),
+        FilterRule("db1", "click", ("insert",), "Do"),
         FilterRule("db0", "purchase", ("delete", "update"), "Ignore"),
     ]
     filt = BinlogFilter(rules)
@@ -649,8 +653,7 @@ def q_binlog_filter(sf_dir: str) -> pa.Table:
     def apply(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy()
         etype = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
-        op = np.where(etype == "error", 1,
-                      np.where(etype == "signup", 3, 2)).astype(np.uint8)
+        op = (t["event_id"].to_numpy() % 3 + 1).astype(np.uint8)
         schemas = np.char.add("db", (uid % 2).astype("U1"))
         d = pa.table({"event_id": t["event_id"],
                       "schema_name": pa.array(schemas),
@@ -669,20 +672,16 @@ _BINLOG_FILTER_SQL = """
 WITH d AS (
   SELECT event_id, 'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
          event_type AS table_name,
-         CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 3 ELSE 2 END AS op,
-         CASE event_type WHEN 'error' THEN 'delete' WHEN 'signup' THEN 'insert'
-              ELSE 'update' END AS kind
+         event_id % 3 + 1 AS op,
+         CASE event_id % 3 + 1 WHEN 1 THEN 'delete' WHEN 2 THEN 'update'
+              ELSE 'insert' END AS kind
   FROM events)
 SELECT event_id, schema_name, table_name, CAST(op AS UTINYINT) AS op
 FROM d
-WHERE CASE
-  WHEN schema_name = 'db0' AND table_name = 'purchase'
-       AND kind IN ('delete', 'update') THEN FALSE
-  WHEN schema_name = 'db1' AND table_name = 'click' THEN TRUE
-  WHEN regexp_full_match(schema_name, 'db.*')
-       AND regexp_full_match(table_name, 'click|view')
-       AND kind = 'update' THEN FALSE
-  ELSE TRUE END
+WHERE NOT (regexp_full_match(table_name, 'click|view') AND kind = 'update')
+  AND NOT (schema_name = 'db1' AND table_name = 'click' AND kind <> 'insert')
+  AND NOT (schema_name = 'db0' AND table_name = 'purchase'
+           AND kind IN ('delete', 'update'))
 """
 
 

@@ -23,6 +23,7 @@ codecs exist so reference-shaped change files replay bit-identically
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -54,7 +55,12 @@ def _cell_to_text(v, col: str) -> str:
         return '"' + " ".join(str(int(x)) for x in v) + '"'
     if isinstance(v, (int, np.integer)):
         return str(int(v))
-    return '"' + str(v).replace('"', '""') + '"'
+    # Escape backslash FIRST, then newlines: decode reads the change file
+    # via read_text/splitlines, so an embedded '\n' would split a record
+    # mid-row. Every backslash in the encoded cell is an escape prefix.
+    s = (str(v).replace("\\", "\\\\").replace("\n", "\\n")
+         .replace("\r", "\\r"))
+    return '"' + s.replace('"', '""') + '"'
 
 
 def _text_to_value(s: str, col: str):
@@ -66,7 +72,13 @@ def _text_to_value(s: str, col: str):
         body = s[1:-1] if s.startswith('"') else s
         return [int(x) for x in body.split()] if body else []
     if s.startswith('"'):
-        return s[1:-1].replace('""', '"')
+        body = s[1:-1].replace('""', '"')
+        if "\\" in body:
+            body = re.sub(r"\\(.)",
+                          lambda m: {"n": "\n", "r": "\r",
+                                     "\\": "\\"}.get(m.group(1), m.group(0)),
+                          body)
+        return body
     return int(s)
 
 
@@ -153,7 +165,10 @@ def encode_canal_json(t: pa.Table, database: str = "tiflow",
         obj = {"database": database, "table": table, "pkNames": ["doc_id"],
                "isDdl": False, "type": typ, "es": int(r["commit_ts"]),
                "ts": int(r["start_ts"]), "schemaVer": int(r["schema_ver"]),
-               "data": [data], "old": [old] if old.get("tokens") else None}
+               "data": [data],
+               # explicit None check: an empty-but-present pre_tokens list
+               # ("") must round-trip as [], not collapse to no-old → None
+               "old": [old] if old.get("tokens") is not None else None}
         lines.append(json.dumps(obj, separators=(",", ":")))
     return "\n".join(lines) + ("\n" if lines else "")
 

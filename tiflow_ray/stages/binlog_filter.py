@@ -3,12 +3,15 @@ event-kind rules, the analog of the reference's binlog filter
 (pkg/binlog-filter/filter.go:1-436 — BinlogEventRule with SchemaPattern /
 TablePattern / Events / Action Do|Ignore).
 
-Semantics mirrored: a rule matches when its schema and table regexes both
-full-match AND the event kind is in the rule's event set ("all" matches
-every kind); rules are evaluated in order and the LAST matching rule's
-action decides (Do = keep, Ignore = drop); an event no rule matches is
-kept. Patterns are anchored full-matches, case-insensitive by default
-(the reference lower-cases unless case-sensitive is set).
+Semantics mirrored (filter.go Filter, lines 324-391): rules whose schema
+AND table regexes full-match are walked in order; an Ignore rule whose
+event set contains the kind short-circuits to drop (Ignore has highest
+priority — a later Do cannot resurrect it), and a Do rule whose event set
+does NOT contain the kind also drops (a Do rule is an event whitelist for
+the tables it matches); any other matched rule falls through. An event no
+schema/table rule matches — or that survives every matched rule — is kept.
+Patterns are anchored full-matches, case-insensitive by default (the
+reference lower-cases unless case-sensitive is set).
 
 The mask is vectorized over the DISTINCT (schema, table) pairs of a batch —
 the rule regexes run once per pair, never per row.
@@ -51,12 +54,17 @@ class BinlogFilter:
                       for r in rules]
 
     def keep(self, schema: str, table: str, kind: str) -> bool:
-        """Last matching rule wins; unmatched events are kept."""
-        decision = True
+        """Reference priority walk: first matching Ignore drops; a Do rule
+        whose event list excludes the kind drops (whitelist); default keep."""
         for s_re, t_re, kinds, is_do in self.rules:
-            if kind in kinds and s_re.fullmatch(schema) and t_re.fullmatch(table):
-                decision = is_do
-        return decision
+            if not (s_re.fullmatch(schema) and t_re.fullmatch(table)):
+                continue
+            if kind in kinds:
+                if not is_do:          # Ignore has highest priority
+                    return False
+            elif is_do:                # Do whitelist excludes this kind
+                return False
+        return True
 
     def mask(self, schemas: np.ndarray, tables: np.ndarray,
              ops: np.ndarray) -> np.ndarray:
