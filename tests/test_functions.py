@@ -21,6 +21,20 @@ def test_minhash_recall_of_planted_dups():
     assert recall >= 0.95, f"minhash recall {recall}"
 
 
+def test_minhash_distributed_pair_path_matches_fast_path(monkeypatch):
+    """Force the size gate to the fully distributed candidate route
+    (TIFLOW_MINHASH_COLLECT_MAX=0) and require the exact same verified
+    pair set as the driver-collect fast path."""
+    from tiflow_ray.queries import q_dedup_minhash
+    fast = q_dedup_minhash(SF)
+    monkeypatch.setenv("TIFLOW_MINHASH_COLLECT_MAX", "0")
+    dist = q_dedup_minhash(SF)
+    f = sorted(zip(fast["a"], fast["b"]))
+    d = sorted(zip(dist["a"], dist["b"]))
+    assert f == d
+    assert (dist["planted_recall_pct"] >= 95).all()
+
+
 def test_exact_jaccard_bounds():
     from tiflow_ray.functions.dedup import exact_jaccard
     assert exact_jaccard("a b c d e", "a b c d e") == 1.0

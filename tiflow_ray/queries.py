@@ -1265,15 +1265,49 @@ def _dedupe_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("part").map_groups(dedupe, batch_format="pandas")
 
 
+def _minhash_collect_max() -> int:
+    """Candidate-pair count above which q_dedup_minhash abandons the
+    driver-side collect for the fully distributed pair path. Env-tunable
+    so tests can force the distributed route at tiny scale."""
+    return int(os.environ.get("TIFLOW_MINHASH_COLLECT_MAX", 2_000_000))
+
+
+def _distinct_ids_ds(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed distinct over the union of pair id columns (a, b):
+    per-batch unique → hash-partition on the id → ONE vectorized unique
+    per partition. Never materializes the id set on the driver."""
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([df["a"].to_numpy(),
+                                        df["b"].to_numpy()]))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "part": (pd.util.hash_array(ids) % _shuffle_parts())
+            .astype("int64"),
+        })
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.unique(g["doc_id"].to_numpy())})
+
+    return pairs.map_batches(explode, batch_format="pandas") \
+        .groupby("part").map_groups(uniq, batch_format="pandas")
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.6 —
     fully distributed: signatures vectorized per batch → explode to
     (band, bucket=band_hash%64, doc_id) → groupby the coarse buckets →
-    vectorized pair scan inside each → pair dedup (groupby) → TWO hash
-    joins ship each side's sorted-distinct gram SET (binary-encoded) to the
-    pair → vectorized exact-Jaccard verify. No driver-side corpus dict at
-    any point. Not SQL-expressible (permutation hashing) → rows-only
-    oracle; planted-pair recall asserted in pytest."""
+    vectorized pair scan inside each → pair dedup → TWO hash joins ship
+    each side's sorted-distinct gram SET (binary-encoded) to the pair →
+    vectorized exact-Jaccard verify. No driver-side corpus dict at any
+    point, and the candidate-pair hand-off is SIZE-GATED: a cheap count of
+    the (materialized, distributed) candidate set picks between a driver
+    collect + broadcast semi-join (small: join spin-up dominates) and the
+    distributed pair-dedup + join semi-join path (large: on a dup-heavy
+    crawl corpus candidate pairs are O(corpus × dup-rate) and must never
+    land on the driver — the chunk→drill-down shape of
+    sync_diff_inspector/utils/utils.go:860-918). Not SQL-expressible
+    (permutation hashing) → rows-only oracle; planted-pair recall asserted
+    in pytest for BOTH routes."""
     from .functions.dedup import (MinHashStage, grams_to_binary,
                                   jaccard_verify_batch, pairs_from_buckets)
     docs = _planted_ds(sf_dir)
@@ -1283,37 +1317,52 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
         lambda df: df.assign(bucket=(df["band_hash"] % 64).astype("int64")),
         batch_format="pandas")
     cand = sig.groupby(["band", "bucket"]) \
-              .map_groups(pairs_from_buckets, batch_format="pandas")
-
-    # candidate pairs are OUTPUT-scale (band buckets are capped), so
-    # collecting them is bounded by the result size, never the corpus —
-    # broadcast their doc ids to semi-join the gram table down before the
-    # verify joins (join inputs shrink from corpus-size to candidate-size).
-    # Cross-band duplicate pairs (≤ #bands per pair) are deduped HERE
-    # rather than via an extra shuffle — verify work is cheap relative to
-    # a whole exchange
-    cand_pd = cand.to_pandas().drop_duplicates(["a", "b"])
-    if cand_pd.empty:
+              .map_groups(pairs_from_buckets, batch_format="pandas") \
+              .materialize()
+    n_cand = cand.count()          # metadata-cheap after materialize
+    if n_cand == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "planted_recall_pct": pd.Series([], dtype="int64")})
-    cand_ids = ray.put(pa.array(np.unique(
-        np.concatenate([cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy()]))))
 
-    def only_candidates(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"].cast(pa.int64()),
-                                 value_set=ray.get(cand_ids)))
-
-    # one gram pass over the corpus → filtered to candidate docs →
-    # materialized once (small) and consumed by both verify joins
-    grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
-        .map_batches(only_candidates, batch_format="pyarrow").materialize()
-    cand_ds = ray.data.from_pandas(cand_pd)
-    # join parallelism stays SMALL: the inputs are candidate-sized (already
-    # semi-joined down), so aggregator-actor spin-up dominates a wide join;
-    # fractional CPUs so chained joins co-schedule on tiny test sessions
-    npart = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
     jargs = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
+    if n_cand <= _minhash_collect_max():
+        # FAST PATH (candidate set provably small): driver collect +
+        # cross-band dedup in one pandas call; broadcast the candidate ids
+        # once and semi-join the gram table down with a per-batch is_in —
+        # join inputs shrink from corpus-size to candidate-size.
+        cand_pd = cand.to_pandas().drop_duplicates(["a", "b"])
+        cand_ids = ray.put(pa.array(np.unique(np.concatenate(
+            [cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy()]))))
+
+        def only_candidates(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"].cast(pa.int64()),
+                                     value_set=ray.get(cand_ids)))
+
+        grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
+            .map_batches(only_candidates, batch_format="pyarrow") \
+            .materialize()
+        cand_ds = ray.data.from_pandas(cand_pd)
+        # join parallelism stays SMALL: inputs are candidate-sized, so
+        # aggregator-actor spin-up dominates a wide join; fractional CPUs
+        # so chained joins co-schedule on tiny test sessions
+        npart = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+    else:
+        # DISTRIBUTED PATH: pairs never touch the driver. Cross-band pair
+        # dedup via the hash-partition exchange, candidate ids via a
+        # distributed distinct, and the gram-table semi-join becomes a
+        # real join against the (distributed) id set.
+        cand_ds = _dedupe_pairs(cand).materialize()
+        ids_ds = _distinct_ids_ds(cand_ds)
+        # two verify joins run CHAINED in one streaming execution: cap the
+        # combined aggregator reservation (2·npart·0.25 CPUs) well under
+        # the cluster or the join actors starve the map tasks (deadlocks a
+        # 4-CPU test session); grows linearly with the cluster
+        npart = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
+            .join(ids_ds.select_columns(["doc_id"]), "inner",
+                  num_partitions=npart, on=("doc_id",), **jargs) \
+            .materialize()
     j = cand_ds.join(grams, "inner", num_partitions=npart,
                      on=("a",), right_on=("doc_id",), **jargs)
     j = j.map_batches(lambda t: t.rename_columns(
@@ -1332,7 +1381,7 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     # (d, d+100000) near-dups, expected count computed by a distributed
     # partial-sum — the rows-only oracle still sees a quality signal
     n_planted = sum(
-        b["n"].to_pylist()[0] for b in ray.data.read_parquet(
+        sum(b["n"].to_pylist()) for b in ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
         .map_batches(lambda t: pa.table(
             {"n": [int((t["doc_id"].to_numpy() % 10 == 0).sum())]}),
