@@ -35,6 +35,51 @@ def test_minhash_distributed_pair_path_matches_fast_path(monkeypatch):
     assert (dist["planted_recall_pct"] >= 95).all()
 
 
+def test_dedup_embed_screen_path_matches_exact(monkeypatch):
+    """Force the size gate to the LSH screen + exact rescore route and
+    compare against the exact block-nested-loop result (seeds are fixed →
+    deterministic)."""
+    from tiflow_ray.queries import q_dedup_embed
+    exact = q_dedup_embed(SF)
+    monkeypatch.setenv("TIFLOW_EMBED_EXACT_MAX", "0")
+    screened = q_dedup_embed(SF)
+    e = set(zip(exact["a"], exact["b"]))
+    s = set(zip(screened["a"], screened["b"]))
+    assert s <= e                    # rescore is exact → precision 1.0
+    assert len(s & e) / max(len(e), 1) >= 0.85
+
+
+def test_lsh_pair_screen_recall_on_planted_high_sim_dups():
+    """The regime the screen exists for: planted near-dups at sim≈0.95,
+    tau=0.9 — choose_lsh_params lands at a many-bits/many-tables point
+    with a >100× compute win, and recall must still hit the target."""
+    import ray.data
+    from tiflow_ray.functions.similarity import (choose_lsh_params,
+                                                 lsh_pair_screen,
+                                                 normalize_rows)
+    rng = np.random.default_rng(7)
+    n, d, n_dup = 1000, 64, 80
+    base = rng.standard_normal((n, d))
+    dup = base[:n_dup] + 0.25 * rng.standard_normal((n_dup, d))  # sim≈0.97
+    m = np.vstack([base, dup]).astype(np.float32)
+    ids = np.arange(len(m), dtype=np.int64)
+    ds = ray.data.from_items(
+        [{"vec_id": int(i), "embedding": m[i].tolist()} for i in ids],
+        override_num_blocks=8)
+    pairs = lsh_pair_screen(ds, tau=0.9, target_recall=0.9).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].drop_duplicates().to_numpy()))
+    # ground truth by brute force
+    mn = normalize_rows(m.astype(np.float64))
+    sims = mn @ mn.T
+    ai, bi = np.nonzero(np.triu(sims >= 0.9, 1))
+    truth = set(zip(ai.tolist(), bi.tolist()))
+    assert truth, "planted dups must qualify"
+    assert got <= truth              # exact rescore → precision 1.0
+    assert len(got & truth) / len(truth) >= 0.9
+    bits, tables = choose_lsh_params(0.9, 0.9)
+    assert tables / (1 << bits) < 0.01   # >100× less pair work than exact
+
+
 def test_exact_jaccard_bounds():
     from tiflow_ray.functions.dedup import exact_jaccard
     assert exact_jaccard("a b c d e", "a b c d e") == 1.0

@@ -238,3 +238,99 @@ class BlockPairCosine:
         b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
         return pa.table({"a": pa.array(a, pa.int64()),
                          "b": pa.array(b, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup pair screen (the dedup_embed scale path)
+# ---------------------------------------------------------------------------
+
+def choose_lsh_params(tau: float, target_recall: float = 0.9,
+                      max_tables: int = 32) -> tuple[int, int]:
+    """Pick (bits, tables) for a random-hyperplane AND-OR screen at cosine
+    threshold `tau`: a pair at sim tau collides in one table with
+    p(tau)^bits where p = 1 - arccos(tau)/pi; `tables` OR-amplifies to the
+    target recall. Among configurations meeting the recall with tables <=
+    max_tables, minimize expected pair-scoring work ~ tables / 2^bits
+    (uniform buckets). More bits = smaller buckets but more tables; at low
+    tau the optimum degenerates toward few bits (LSH fundamentally cannot
+    cheaply separate near-random pairs — that regime belongs to the exact
+    block path)."""
+    p = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+    best = (4, max_tables, float("inf"))
+    for bits in range(2, 21):
+        pb = p ** bits
+        if pb >= 1.0 - 1e-12:
+            continue
+        t = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - pb)))
+        if t < 1 or t > max_tables:
+            continue
+        cost = t / (1 << bits)
+        if cost < best[2]:
+            best = (bits, t, cost)
+    return best[0], best[1]
+
+
+def bucketize_for_screen(t: pa.Table, tau: float, target_recall: float,
+                         seed0: int = 101) -> pa.Table:
+    """Explode a batch into (tbl, bucket, vec_id, emb) rows, one per hash
+    table. The embedding travels as fixed-width float32 bytes
+    (large_binary) because sort-based groupby exchanges ship binary far
+    cheaper than list<float>, and acero kernels reject list columns."""
+    bits, tables = choose_lsh_params(tau, target_recall)
+    m = normalize_rows(_stack(t["embedding"]))
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    emb = m.astype(np.float32).tobytes()
+    n, d = m.shape
+    emb_col = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(4 * d), n, [None, pa.py_buffer(emb)])
+    parts = []
+    for ti in range(tables):
+        b = lsh_buckets(m, seed=seed0 + ti, bits=bits)
+        parts.append(pa.table({
+            "tbl": pa.array(np.full(n, ti, np.int32)),
+            "bucket": pa.array(b),
+            "vec_id": pa.array(ids),
+            "emb": emb_col.cast(pa.large_binary()),
+        }))
+    return pa.concat_tables(parts)
+
+
+def rescore_bucket(g: pd.DataFrame, tau: float,
+                   chunk: int = 4096) -> pd.DataFrame:
+    """EXACT cosine rescore inside one (tbl, bucket) group: decode the
+    float32 bytes, chunked matmul (memory bounded to chunk x group), emit
+    a<b pairs with sim >= tau. Precision of the whole screen is therefore
+    1.0 — only recall is approximate."""
+    ids = g["vec_id"].to_numpy()
+    raw = g["emb"].to_numpy()
+    m = np.frombuffer(b"".join(raw), dtype=np.float32) \
+        .reshape(len(ids), -1).astype(np.float64)
+    a_out, b_out = [], []
+    for lo in range(0, len(ids), chunk):
+        sims = m[lo:lo + chunk] @ m.T
+        ai, bi = np.nonzero(sims >= tau)
+        a, b = ids[ai + lo], ids[bi]
+        keep = a < b
+        a_out.append(a[keep])
+        b_out.append(b[keep])
+    a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+
+def lsh_pair_screen(ds: "ray.data.Dataset", tau: float,
+                    target_recall: float = 0.9) -> "ray.data.Dataset":
+    """Distributed LSH screen + exact in-bucket rescore: bucketize per
+    batch (tables x rows explode), ONE groupby exchange on (tbl, bucket),
+    vectorized rescore per bucket. Output pairs may repeat across tables —
+    the caller dedups with a pair-keyed exchange. Expected compute is
+    tables/2^bits of the all-pairs matmul (choose_lsh_params picks the
+    operating point); at 100x data this is the path that replaces the
+    O(N^2) block-nested loop."""
+    import functools
+    buck = ds.map_batches(
+        functools.partial(bucketize_for_screen, tau=tau,
+                          target_recall=target_recall),
+        batch_format="pyarrow")
+    return buck.groupby(["tbl", "bucket"]).map_groups(
+        functools.partial(rescore_bucket, tau=tau), batch_format="pandas")
