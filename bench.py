@@ -94,7 +94,10 @@ def bench_queries(sf_dir: str) -> dict:
                  "agg_partial", "lww_compact"]:
         fn = Q.REGISTRY[name][0]
         t0 = time.perf_counter()
-        fn(sf_dir)
+        if name == "knn_lsh":
+            fn(sf_dir, with_recall=False)   # skip the diagnostic brute pass
+        else:
+            fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

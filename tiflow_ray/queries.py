@@ -985,14 +985,19 @@ GROUP BY 1, 2
 """
 
 
-def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
+def q_knn_lsh(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     """ANN scale path, fully distributed: random-hyperplane LSH buckets over
-    4 hash tables — each batch probes only same-bucket rows and emits a
-    partial top-k per query (O(k·Q) rows per batch, candidates never leave
-    the worker); a tiny per-query final merge ranks them. Rows-only oracle
-    (approximate by design); the output carries `recall_pct` vs the
-    brute-force truth as a self-validating quality column (also asserted in
-    pytest)."""
+    8 hash tables × 6 bits with hamming-1 multiprobe over all 6 positions —
+    each batch probes only matching-bucket rows and emits a partial top-k
+    per query (O(k·Q) rows per batch, candidates never leave the worker); a
+    tiny per-query final merge ranks them. The operating point is tuned to
+    ≥0.8 per-query recall on UNIFORM-RANDOM embeddings (the LSH worst case:
+    top-k neighbors sit barely above the background, so recall costs a
+    ~0.6 candidate fraction here; on clustered real corpora the same
+    config prunes far harder). Rows-only oracle (approximate by design);
+    with_recall=True (the driver default) appends `recall_pct` vs the
+    brute-force truth as a self-validating quality column — pass False to
+    skip that second, purely diagnostic pass (bench does)."""
     from .functions.similarity import (LshProbe, _stack, finalize_topk, knn,
                                        normalize_rows)
     Q_IDS = [0, 1, 2, 3, 4]
@@ -1004,21 +1009,23 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     ref = ray.put((qt["vec_id"].to_numpy().astype(np.int64),
                    np.stack(qt["embedding"].to_numpy())))
 
-    seeds = tuple(11 + t for t in range(4))
+    seeds = tuple(11 + t for t in range(8))
     ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = ds.map_batches(LshProbe,
-                           fn_constructor_args=(ref, 10, seeds, 6, 4),
+                           fn_constructor_args=(ref, 10, seeds, 6, 6),
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=2).to_pandas()
     out = finalize_topk(parts, 10)
 
-    brute = knn(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]), Q_IDS, k=10)
-    truth = brute.groupby("query_id")["vec_id"].agg(set)
-    got = out.groupby("query_id")["vec_id"].agg(set)
-    recall = {q: int(round(100 * len(got.get(q, set()) & truth[q])
-                           / max(len(truth[q]), 1)))
-              for q in truth.index}
-    out["recall_pct"] = out["query_id"].map(recall).astype("int64")
+    if with_recall:
+        brute = knn(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    Q_IDS, k=10)
+        truth = brute.groupby("query_id")["vec_id"].agg(set)
+        got = out.groupby("query_id")["vec_id"].agg(set)
+        recall = {q: int(round(100 * len(got.get(q, set()) & truth[q])
+                               / max(len(truth[q]), 1)))
+                  for q in truth.index}
+        out["recall_pct"] = out["query_id"].map(recall).astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
