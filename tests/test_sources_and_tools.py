@@ -178,6 +178,76 @@ def test_event_predicate_hook(t1_noddl_fixture, tmp_path):
         assert got_map[k] == v["tokens"], k
 
 
+def test_expr_filter_rules_replay(t1_noddl_fixture, tmp_path):
+    """Declarative M6 (expr_filter.go analog): SQL IGNORE expressions on
+    the insert/update-new images, DuckDB-evaluated per batch inside the
+    replay; deletes (no new image) must survive."""
+    from tiflow_ray.stages.expr_filter import ExprFilterRule
+    root, reg, *_ = t1_noddl_fixture
+    rules = (ExprFilterRule(matcher="documents",
+                            ignore_insert="n_tok >= 40",
+                            ignore_update_new="n_tok >= 40"),)
+    cfg = ReplayConfig(wal_dir=f"{root}/wal", lake_dir=str(tmp_path / "lake"),
+                       num_partitions=8, expr_filter_rules=rules)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    # python-side oracle with the same filter semantics (NULL ⇒ keep)
+    rows = oracle.load_base_rows(root)
+    evs = [e for e in oracle.load_wal_events(root)
+           if e["op"] == 1 or e["n_tok"] is None or e["n_tok"] < 40]
+    evs.sort(key=lambda e: (e["commit_ts"], e["start_ts"], e["op"]))
+    for e in evs:
+        if e["op"] == 1:
+            rows.pop(e["doc_id"], None)
+        else:
+            doc = e["new_doc_id"] if (e["op"] == 2 and e.get("new_doc_id")) else e["doc_id"]
+            if e["op"] == 2 and e.get("new_doc_id"):
+                rows.pop(e["doc_id"], None)
+            rows[doc] = {"doc_id": doc, "tokens": e["tokens"],
+                         "n_tok": e["n_tok"], "source": e["source"]}
+    assert got.num_rows == len(rows)
+    got_map = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    for k, v in rows.items():
+        assert got_map[k] == v["tokens"], k
+
+
+def test_expr_filter_pre_image_and_matcher():
+    """Unit semantics: update-old fires on the PRE image (pre_map rename),
+    uncarried pre columns are NULL ⇒ keep, non-matching table ⇒ no-op,
+    and update skip is OR(old, new)."""
+    from tiflow_ray.stages.expr_filter import ExprFilter, ExprFilterRule
+    t = pa.table({
+        "op": pa.array([2, 2, 2, 1, 3], pa.uint8()),
+        "commit_ts": pa.array([1, 2, 3, 4, 5], pa.uint64()),
+        "start_ts": pa.array([0] * 5, pa.uint64()),
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "tokens": pa.array([[1], [2], [3], None, [5]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1, 1, None, 1], pa.int32()),
+        "source": pa.array(["w", "w", "w", None, "w"]),
+        "pre_tokens": pa.array([[9, 9], [1], None, None, None],
+                               pa.list_(pa.int32())),
+        "new_doc_id": pa.array([None] * 5, pa.string()),
+        "schema_ver": pa.array([1] * 5, pa.int32()),
+    })
+    rule = ExprFilterRule(matcher="documents",
+                          ignore_update_old="len(tokens) >= 2",
+                          ignore_update_new="n_tok >= 7",
+                          ignore_delete="source = 'w'")
+    keep = ExprFilter([rule])(t).to_pylist()
+    # row0: pre image [9,9] → old fires → skip; row1: pre [1] → keep;
+    # row2: pre NULL → keep; row3 delete: source not carried pre → NULL
+    # ⇒ keep; row4 insert: no insert expr → keep
+    assert keep == [False, True, True, True, True]
+    # non-matching table: every rule inert
+    other = ExprFilter([rule], table="orders")(t).to_pylist()
+    assert other == [True] * 5
+    # update OR-semantics: new-image expression alone also skips
+    rule2 = ExprFilterRule(matcher="doc.*", ignore_update_new="n_tok >= 1")
+    keep2 = ExprFilter([rule2])(t).to_pylist()
+    assert keep2 == [False, False, False, True, True]
+
+
 def test_diff_validator_finds_planted_differences(t1_noddl_fixture, tmp_path):
     import ray.data
     from tiflow_ray.functions.diff import diff_tables

@@ -77,3 +77,9 @@ class ReplayConfig:
     # user-extension hooks (§2.10): expression/UDF filter evaluated per batch
     # after decode — fn(pa.Table) -> boolean mask (M6 expr-filter analog)
     event_predicate: object | None = None
+
+    # declarative M6 (pkg/filter/expr_filter.go analog): tuple of
+    # stages.expr_filter.ExprFilterRule — per-table SQL IGNORE expressions
+    # for insert/update-old/update-new/delete images, DuckDB-evaluated per
+    # batch; composes (AND) with event_predicate when both are set
+    expr_filter_rules: tuple = ()

@@ -237,12 +237,14 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     """Run one epoch's data pipeline (read → normalize → split → combine →
     shuffle → merge-write) and return the per-partition stats rows. NO
     manifest side effects — commit happens in _commit_epoch."""
-    if cfg.replay_mode == "two_pass" and cfg.event_predicate is not None:
+    if cfg.replay_mode == "two_pass" and (cfg.event_predicate is not None
+                                          or cfg.expr_filter_rules):
         raise ValueError(
-            "replay_mode='two_pass' cannot be combined with event_predicate: "
-            "the thin pass does not read payload columns, so a predicate that "
-            "filters a winner there would silently drop that doc's surviving "
-            "events; use single_pass or fold the predicate into ignore_sources")
+            "replay_mode='two_pass' cannot be combined with event_predicate/"
+            "expr_filter_rules: the thin pass does not read payload columns, "
+            "so a predicate that filters a winner there would silently drop "
+            "that doc's surviving events; use single_pass or fold the "
+            "predicate into ignore_sources")
     if not ep.files:
         # a barrier-only epoch (DDL lands before any event in range): no
         # data moves; the commit alone advances schema_ver + watermark
@@ -280,10 +282,25 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                                 batch_format="pandas",
                                 batch_size=cfg.batch_size)
             enforce_range = True
+    predicate = cfg.event_predicate
+    if cfg.expr_filter_rules:
+        from ..stages.expr_filter import ExprFilter
+        expr_pred = ExprFilter(list(cfg.expr_filter_rules))
+        if predicate is None:
+            predicate = expr_pred
+        else:
+            user_pred = predicate
+
+            def predicate(t, _u=user_pred, _e=expr_pred):   # AND-compose
+                import numpy as _np
+                import pyarrow as _pa
+                return _pa.array(
+                    _np.asarray(_u(t), dtype=bool)
+                    & _np.asarray(_e(t), dtype=bool))
     ds = ds.map_batches(Normalize(image_fields, ep.lo, ep.hi,
                                   cfg.ignore_sources, cfg.validate,
                                   enforce_range=enforce_range,
-                                  predicate=cfg.event_predicate),
+                                  predicate=predicate),
                         batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(split_updates, batch_format="pyarrow",
                         batch_size=cfg.batch_size)

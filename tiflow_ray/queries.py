@@ -685,6 +685,53 @@ WHERE NOT (regexp_full_match(table_name, 'click|view') AND kind = 'update')
 """
 
 
+def q_expr_filter(sf_dir: str) -> pa.Table:
+    """M6 proper: declarative per-table SQL expression filter
+    (pkg/filter/expr_filter.go analog — four IGNORE expressions per rule,
+    insert/update-old/update-new/delete, evaluated on the matching image;
+    update skips when old OR new fires; NULL ⇒ keep). Events map to an
+    event-image frame with ops cycling by event_id and a synthetic pre
+    image (pre_value = value - 25) so every branch is exercised; the
+    whole matrix is pushed into the SQL twin for the hash check."""
+    from .stages.expr_filter import ExprFilter, ExprFilterRule
+    rule = ExprFilterRule(matcher="events_img",
+                          ignore_insert="value > 100",
+                          ignore_update_old="value < 20",
+                          ignore_update_new="value > 150",
+                          ignore_delete="value < 5")
+    filt = ExprFilter([rule], table="events_img",
+                      pre_map={"value": "pre_value"},
+                      key_cols=("op", "event_id", "user_id"))
+
+    def apply(t: pa.Table) -> pa.Table:
+        op = (t["event_id"].to_numpy() % 3 + 1).astype(np.uint8)
+        d = pa.table({"event_id": t["event_id"],
+                      "op": pa.array(op),
+                      "user_id": t["user_id"],
+                      "value": t["value"],
+                      "pre_value": pc.subtract(t["value"], 25.0)})
+        return d.filter(filt(d)).select(["event_id", "op", "value"])
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id", "value"])
+    return pa.concat_tables(list(ds.map_batches(apply, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_EXPR_FILTER_SQL = """
+WITH d AS (
+  SELECT event_id, event_id % 3 + 1 AS op, value, value - 25 AS pre_value
+  FROM events)
+SELECT event_id, CAST(op AS UTINYINT) AS op, value
+FROM d
+WHERE NOT (
+     (op = 3 AND COALESCE(value > 100, FALSE))
+  OR (op = 2 AND (COALESCE(pre_value < 20, FALSE)
+                  OR COALESCE(value > 150, FALSE)))
+  OR (op = 1 AND COALESCE(pre_value < 5, FALSE)))
+"""
+
+
 def q_mq_dispatch(sf_dir: str) -> pd.DataFrame:
     """K4 (MQ sink): events dispatch to topic partitions (index-value
     dispatcher — SQL-expressible; the default key-hash dispatcher is
@@ -1718,6 +1765,7 @@ REGISTRY: dict[str, tuple] = {
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
     "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
+    "expr_filter": (q_expr_filter, _EXPR_FILTER_SQL),
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
     "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
