@@ -164,3 +164,40 @@ def test_json_roundtrip():
     assert r2.barriers() == r.barriers()
     assert r2.schema(3) == r.schema(3)
     assert r2.defaults(2) == r.defaults(2)
+
+
+def test_enum_set_json_lattice():
+    """ENUM dict-encodes, SET is list<string>, JSON is a validated string
+    passthrough; defaults are typed and membership-checked
+    (table_definition.go:39-102 tail of the lattice)."""
+    import pytest
+    r = SchemaRegistry([
+        DDL(10, "add_column", "cat:enum('a','b','c')", "b", 2),
+        DDL(20, "add_column", "tags:set<string>", "x,y", 3),
+        DDL(30, "add_column", "meta:json", '{"k":1}', 4),
+    ])
+    s = r.schema(4)
+    assert pa.types.is_dictionary(s.field("cat").type)
+    assert s.field("tags").type == pa.list_(pa.string())
+    assert s.field("meta").type == pa.string()
+    assert r.defaults(4) == {"cat": "b", "tags": ["x", "y"],
+                             "meta": '{"k":1}'}
+    # backfill casts the defaults onto a v1 table
+    base = pa.table({"doc_id": pa.array(["d"]),
+                     "tokens": pa.array([[1]], pa.list_(pa.int32())),
+                     "n_tok": pa.array([1], pa.int32()),
+                     "source": pa.array(["web"])})
+    out = r.cast_table(base, 1, 4)
+    assert out["cat"].to_pylist() == ["b"]
+    assert pa.types.is_dictionary(out.schema.field("cat").type)
+    assert out["tags"].to_pylist() == [["x", "y"]]
+    assert out["meta"].to_pylist() == ['{"k":1}']
+    # enum default outside the declared elements must refuse
+    with pytest.raises(AssertionError, match="enum default"):
+        SchemaRegistry([DDL(10, "add_column", "cat:enum('a','b')", "z", 2)])
+    # declared-element set validates membership too
+    with pytest.raises(AssertionError, match="set default"):
+        SchemaRegistry([DDL(10, "add_column", "s:set('a','b')", "a,q", 2)])
+    # json default must parse
+    with pytest.raises(Exception):
+        SchemaRegistry([DDL(10, "add_column", "m:json", "{broken", 2)])

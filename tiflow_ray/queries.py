@@ -439,6 +439,142 @@ WHERE win.op IS NULL OR win.op <> 1
 """
 
 
+def stage_cdc_enum_fixture(sf_dir: str) -> tuple[str, SchemaRegistry]:
+    """CDC fixture for the ENUM/SET/JSON tail of the reference lattice
+    (table_definition.go:39-102): DDL barriers add category:enum(...) —
+    dict-encoded string in the lake — tags:set<string> (list<string>) and
+    meta:json (string passthrough), each with a typed default backfilled
+    onto the v1 base."""
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|enum".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"cdc_enum_{key}")
+    done = os.path.join(root, "_staged.json")
+    if os.path.exists(done):
+        with open(done) as f:
+            return root, SchemaRegistry.from_json(json.load(f)["registry"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    n_docs = docs.num_rows
+    dnum = docs["doc_id"].to_numpy().astype(np.int64)
+    toks, lens = _tokens_list(dnum, 17, 13)
+    base = pa.table({
+        "doc_id": pa.array(_doc_names(dnum)),
+        "tokens": toks,
+        "n_tok": pa.array(lens),
+        "source": docs["source"],
+    })
+    write_base_partitioned(base, root, CDC_P)
+
+    eid = events["event_id"].to_numpy().astype(np.int64)
+    etype = np.asarray(events["event_type"].to_numpy(zero_copy_only=False))
+    cts = events["ts"].cast(pa.int64()).to_numpy().astype(np.int64)
+    ts_lo = int(cts.min())
+    registry = SchemaRegistry([
+        DDL(ts_lo - 3, "add_column",
+            "category:enum('click','view','purchase','signup','error')",
+            "click", 2),
+        DDL(ts_lo - 2, "add_column", "tags:set<string>", "t0,u0", 3),
+        DDL(ts_lo - 1, "add_column", "meta:json", "{}", 4),
+    ])
+    op = np.where(etype == "error", 1,
+                  np.where(etype == "signup", 3, 2)).astype(np.uint8)
+    docnum = eid % n_docs
+    has_img = op != 1
+    wtoks, wlens = _tokens_list(eid, 31, 7)
+    wtoks = pa.ListArray.from_arrays(wtoks.offsets, wtoks.values,
+                                     mask=pa.array(~has_img))
+    tags = pa.array([[f"t{e % 4}", f"u{e % 5}"] if i else None
+                     for e, i in zip(eid, has_img)], pa.list_(pa.string()))
+    meta = pa.array([f'{{"k":{e % 7}}}' if i else None
+                     for e, i in zip(eid, has_img)], pa.string())
+    wal = pa.table({
+        "op": pa.array(op),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(eid.astype(np.uint64)),
+        "doc_id": pa.array(_doc_names(docnum)),
+        "tokens": wtoks,
+        "n_tok": pa.array(wlens, mask=~has_img),
+        "source": pa.array(np.where(has_img, etype, None), pa.string()),
+        # WAL carries the enum as plain string; Normalize casts it to the
+        # epoch schema's dictionary type (the mounter's datum2Value analog)
+        "category": pa.array(np.where(has_img, etype, None), pa.string()),
+        "tags": tags,
+        "meta": meta,
+        "pre_tokens": pa.nulls(len(eid), pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(len(eid), pa.string()),
+        "schema_ver": pa.array(np.full(len(eid), 4, np.int32)),
+    })
+    write_wal_segments(wal, os.path.join(root, "wal"), CDC_SEGMENTS, registry)
+    tmp = done + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"registry": registry.to_json()}, f)
+    os.replace(tmp, done)
+    return root, registry
+
+
+def q_cdc_replay_enum(sf_dir: str) -> pa.Table:
+    """cdc_replay over the ENUM/SET/JSON lattice tail. The lake stores
+    category dict-encoded; the output projects it back to plain string
+    (and ships tags/meta as-is) so the DuckDB twin hash-matches."""
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+
+    root, registry = stage_cdc_enum_fixture(sf_dir)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake_enum"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    t = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert pa.types.is_dictionary(t.schema.field("category").type), \
+        "enum column must be dict-encoded in the lake"
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "tokens": t["tokens"],
+        "n_tok": t["n_tok"],
+        "source": t["source"],
+        "category": t["category"].cast(pa.string()),
+        "tags": t["tags"],
+        "meta": t["meta"],
+    })
+
+
+_CDC_ENUM_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS (
+  SELECT CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 3 ELSE 2 END AS op,
+         epoch_us(ts) AS commit_ts,
+         event_id AS start_ts,
+         'doc-' || lpad(CAST(event_id % (SELECT count(*) FROM documents) AS VARCHAR), 12, '0') AS doc_id,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE [CAST((event_id*31 + i*7) % 50257 AS INTEGER)
+                    for i in range(0, CAST(8 + event_id % 57 AS BIGINT))] END AS tokens,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(8 + event_id % 57 AS INTEGER) END AS n_tok,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS category,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE ['t' || CAST(event_id % 4 AS VARCHAR),
+                    'u' || CAST(event_id % 5 AS VARCHAR)] END AS tags,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE '{{"k":' || CAST(event_id % 7 AS VARCHAR) || '}}' END AS meta
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT COALESCE(win.doc_id, base.doc_id) AS doc_id,
+       CASE WHEN win.doc_id IS NULL THEN base.tokens ELSE win.tokens END AS tokens,
+       CASE WHEN win.doc_id IS NULL THEN base.n_tok ELSE win.n_tok END AS n_tok,
+       CASE WHEN win.doc_id IS NULL THEN base.source ELSE win.source END AS source,
+       CASE WHEN win.doc_id IS NULL THEN 'click' ELSE win.category END AS category,
+       CASE WHEN win.doc_id IS NULL THEN ['t0', 'u0'] ELSE win.tags END AS tags,
+       CASE WHEN win.doc_id IS NULL THEN '{{}}' ELSE win.meta END AS meta
+FROM base FULL OUTER JOIN win ON base.doc_id = win.doc_id
+WHERE win.op IS NULL OR win.op <> 1
+"""
+
+
 def q_sql_apply(sf_dir: str) -> pa.Table:
     """K3 (MySQL txn sink) made real: the engine's compaction front-end
     (normalize → split → combine → per-partition final reduce) feeds the
@@ -1760,6 +1896,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
     "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
     "cdc_replay_types": (q_cdc_replay_types, _CDC_TYPED_SQL),
+    "cdc_replay_enum": (q_cdc_replay_enum, _CDC_ENUM_SQL),
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),

@@ -25,8 +25,12 @@ import pyarrow as pa
 
 #: DDL-spellable column types — the lattice the reference's storage sink
 #: serializes (pkg/sink/cloudstorage/table_definition.go:39-102: INT/BIGINT,
-#: FLOAT/DOUBLE, VARCHAR, TIMESTAMP, BINARY/BLOB, DECIMAL(p,s)); the
-#: mounter's datum2Value covers the same set (cdc/entry/mounter.go:75-91)
+#: FLOAT/DOUBLE, VARCHAR, TIMESTAMP, BINARY/BLOB, DECIMAL(p,s), plus
+#: ENUM/SET/JSON); the mounter's datum2Value covers the same set
+#: (cdc/entry/mounter.go:75-91). ENUM is dict-encoded string (the Arrow
+#: analog of MySQL's small-domain string), SET is list<string>, JSON rides
+#: as a string passthrough — parametric spellings are parsed in
+#: `_parse_type`, e.g. "enum('web','books')", "set<string>", "json".
 _TYPES = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
           "float64": pa.float64(), "list<int32>": pa.list_(pa.int32()),
           "bool": pa.bool_(),
@@ -34,8 +38,24 @@ _TYPES = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
           "timestamp_us_tz": pa.timestamp("us", tz="UTC"),
           "binary": pa.binary(),
           "decimal(18,6)": pa.decimal128(18, 6),
-          "decimal(38,10)": pa.decimal128(38, 10)}
+          "decimal(38,10)": pa.decimal128(38, 10),
+          "json": pa.string(),
+          "set<string>": pa.list_(pa.string())}
 _TYPE_NAMES = {v: k for k, v in _TYPES.items()}
+
+
+def _enum_elements(spec: str) -> tuple[str, ...]:
+    """Parse "enum('a','b',...)" → its declared element tuple."""
+    inner = spec[len("enum("):-1]
+    return tuple(s.strip().strip("'\"") for s in inner.split(",") if s.strip())
+
+
+def _parse_type(spec: str) -> pa.DataType:
+    if spec.startswith("enum("):
+        return pa.dictionary(pa.int32(), pa.string())
+    if spec.startswith("set("):          # "set('a','b')" also accepted
+        return pa.list_(pa.string())
+    return _TYPES[spec]
 
 
 @dataclass(frozen=True)
@@ -52,11 +72,32 @@ class DDL:
 
     @property
     def col_type(self) -> pa.DataType:
-        return _TYPES[self.column.split(":", 1)[1]] if ":" in self.column else pa.string()
+        return _parse_type(self.column.split(":", 1)[1]) \
+            if ":" in self.column else pa.string()
+
+    @property
+    def type_spec(self) -> str:
+        return self.column.split(":", 1)[1] if ":" in self.column else "string"
 
     def typed_default(self):
         if self.default is None:
             return None
+        spec = self.type_spec
+        if spec.startswith("enum("):
+            els = _enum_elements(spec)
+            assert self.default in els, \
+                f"enum default {self.default!r} outside declared {els}"
+            return self.default
+        if spec.startswith("set(") or spec == "set<string>":
+            if spec.startswith("set("):
+                els = _enum_elements("enum(" + spec[4:])
+                vals = [v for v in self.default.split(",") if v]
+                assert all(v in els for v in vals), \
+                    f"set default {self.default!r} outside declared {els}"
+            return [v for v in self.default.split(",") if v]
+        if spec == "json":
+            json.loads(self.default)      # must at least parse
+            return self.default
         t = self.col_type
         if pa.types.is_integer(t):
             return int(self.default)
