@@ -308,6 +308,42 @@ def test_salted_shuffle_same_result_under_skew(tmp_path):
     assert tables[0].equals(oracle.replay_to_table(root, reg))
 
 
+def test_auto_salt_detects_hot_keys_and_matches_oracle(tmp_path):
+    """Dynamic hot-key salting (splitter_write.go analog): with 90% of
+    events on ~3 docs the combiner must DETECT the hot keys (per-batch
+    share counts), route them through salted pre-reduce groups — evidenced
+    by manifest stats salted_events > 0 — and still produce the exact
+    unsalted oracle state."""
+    from tiflow_ray.state.checkpoint import LakeState
+    root = str(tmp_path / "hot_auto")
+    reg, metas, info = fixtures.generate_tier(
+        root, "t1_noddl", hot_frac=0.002, hot_share=0.9)
+    cfg = ReplayConfig(wal_dir=f"{root}/wal",
+                       lake_dir=str(tmp_path / "lake_auto"),
+                       num_partitions=8, auto_salt=True, validate=True)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert got.equals(oracle.replay_to_table(root, reg))
+    salted = sum(LakeState(cfg.lake_dir).load(e).stats.get("salted_events", 0)
+                 for e in LakeState(cfg.lake_dir).committed_epochs())
+    assert salted > 0, "hot keys must engage the salted route"
+
+    # no skew → detection must stay quiet (salt column all zero)
+    root2 = str(tmp_path / "flat_auto")
+    reg2, *_ = fixtures.generate_tier(root2, "t1_noddl")
+    cfg2 = ReplayConfig(wal_dir=f"{root2}/wal",
+                        lake_dir=str(tmp_path / "lake_flat"),
+                        num_partitions=8, auto_salt=True)
+    rp.bootstrap(cfg2, base_dir=f"{root2}/base")
+    rp.run_replay(cfg2)
+    assert rp.lake_to_table(cfg2.lake_dir, cfg2.wal_dir).equals(
+        oracle.replay_to_table(root2, reg2))
+    salted2 = sum(LakeState(cfg2.lake_dir).load(e).stats.get("salted_events", 0)
+                  for e in LakeState(cfg2.lake_dir).committed_epochs())
+    assert salted2 == 0, "uniform keys must not be salted"
+
+
 def test_cli_lifecycle_compact_walgc_export(t1_noddl_fixture, tmp_path):
     """Full operator lifecycle through the CLI (fresh processes, as a user
     would): replay → show (chains) → compact → wal-gc → export; the

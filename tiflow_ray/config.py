@@ -66,6 +66,19 @@ class ReplayConfig:
     # itself when one key dominates entire partitions).
     salt_shuffle: int = 0
 
+    # DYNAMIC hot-key salting (splitter_write.go:54-149 analog — the
+    # reference MEASURES written keys and splits hot spans; the static knob
+    # above salts everything blindly): the combiner counts each batch's
+    # keys and salts ONLY keys whose within-batch share exceeds
+    # auto_salt_share; everything else keeps salt 0, so the pre-reduce
+    # exchange degenerates to a plain per-part pre-reduce when no key is
+    # hot. Detection evidence (salted_events) lands in the manifest stats.
+    # Opt-in like salt_shuffle — the extra exchange only pays for itself
+    # under real skew; salt_shuffle>1 (static) wins when both are set.
+    auto_salt: bool = False
+    auto_salt_share: float = 0.25     # batch-share above which a key is hot
+    auto_salt_factor: int = 8         # S sub-partitions for a hot key
+
     # behavior toggles
     precompact: bool = True           # per-batch LWW combiner before shuffle (DM compactor, T6)
     validate: bool = False            # extra per-batch invariant checks (tests)

@@ -36,6 +36,7 @@ import os
 import threading
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -314,29 +315,45 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
 
         ds = ds.map_batches(keep_winners, batch_format="pyarrow",
                             batch_size=cfg.batch_size)
+    dynamic_salt = cfg.auto_salt and cfg.salt_shuffle <= 1 and cfg.precompact
+    if cfg.replay_mode == "two_pass" and ep.fmt == "parquet":
+        dynamic_salt = False          # thin pass handled above; no combiner
     elif cfg.precompact:
-        # combiner + partition column in one fused pass (hash computed once)
-        ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions),
-                            batch_format="pyarrow", batch_size=cfg.batch_size)
+        # combiner + partition column in one fused pass (hash computed
+        # once); under auto_salt the same pass also measures per-key batch
+        # shares and salts ONLY detected-hot keys (splitter_write.go analog)
+        hot_share = cfg.auto_salt_share if dynamic_salt else None
+        ds = ds.map_batches(
+            lambda t: compact_batch(t, cfg.num_partitions,
+                                    hot_share=hot_share,
+                                    salt_factor=cfg.auto_salt_factor),
+            batch_format="pyarrow", batch_size=cfg.batch_size)
     else:
+        dynamic_salt = False
         ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
                             batch_format="pyarrow", batch_size=cfg.batch_size)
 
-    if cfg.salt_shuffle > 1:
+    if cfg.salt_shuffle > 1 or dynamic_salt:
         from ..stages.compact import compact_partition
         S = cfg.salt_shuffle
 
-        def add_salt(t: pa.Table) -> pa.Table:
+        def add_salt(t: pa.Table) -> pa.Table:   # static: salt every row
             import numpy as _np
             salt = (t["start_ts"].to_numpy(zero_copy_only=False)
                     % _np.uint64(S)).astype(_np.uint32)
             return t.append_column("salt", pa.array(salt))
 
         def presalt_reduce(t: pa.Table) -> pa.Table:
-            return compact_partition(t.drop_columns(["salt"]))
+            # carry detection evidence to the merge stats: rows arriving
+            # through a salted (hot-key) group are counted in the manifest
+            salted = bool(t.num_rows) and t["salt"][0].as_py() != 0
+            out = compact_partition(t.drop_columns(["salt"]))
+            return out.append_column(
+                "from_salted", pa.array(np.full(out.num_rows, salted)))
 
-        ds = ds.map_batches(add_salt, batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
+        if not dynamic_salt:
+            ds = ds.map_batches(add_salt, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
         ds = ds.groupby(["part", "salt"]).map_groups(presalt_reduce,
                                                      batch_format="pyarrow")
 
@@ -394,6 +411,8 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
                  segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
                  stats={"events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
+                        "salted_events": sum(r.get("salted_events", 0)
+                                             for r in stats_rows),
                         "lo": ep.lo, "hi": ep.hi},
                  hash_fingerprint=prev.hash_fingerprint)
     lake.commit(m)  # THE commit point: epoch becomes durable exactly here

@@ -61,18 +61,36 @@ def _winner_indices(t: pa.Table, h: np.ndarray) -> np.ndarray:
     return order[last]
 
 
-def compact_batch(t: pa.Table, num_partitions: int | None = None) -> pa.Table:
+def compact_batch(t: pa.Table, num_partitions: int | None = None,
+                  hot_share: float | None = None,
+                  salt_factor: int = 8) -> pa.Table:
     """Pre-shuffle combiner: collapse each doc's events within one batch and
     (optionally, in the same pass) attach the shuffle partition column —
     part = hash(doc_id) % P, the span/causality-slot analog
     (pkg/causality/conflict_detector.go:26-118): all events of one key land
-    in one partition ⇒ serialized per key, parallel across keys."""
+    in one partition ⇒ serialized per key, parallel across keys.
+
+    `hot_share` enables DYNAMIC hot-key detection (splitter_write.go
+    analog): the PRE-combine per-key counts of this batch — computed from
+    the same hash pass the winner scan already does — flag keys whose
+    share exceeds the threshold, and ONLY their surviving rows get a
+    nonzero `salt` (hash(start_ts) % salt_factor) for the salted
+    pre-reduce; everything else carries salt 0."""
     if t.num_rows == 0:
         out = t
         h = np.empty(0, np.uint64)
+        hot = np.empty(0, bool)
     else:
         h = key_hash(t["doc_id"])
         win = _winner_indices(t, h)
+        hot = np.zeros(len(h), bool)
+        if hot_share is not None and len(win) < t.num_rows:
+            # per-key counts over the RAW batch (pre-combine — the only
+            # place the skew signal still exists)
+            uniq, counts = np.unique(h, return_counts=True)
+            hk = uniq[counts > hot_share * t.num_rows]
+            if len(hk):
+                hot = np.isin(h, hk)
         # adaptive: gathering winners copies every surviving payload — only
         # worth it when the batch actually collapses; low-dup batches pass
         # through untouched (the final reduce handles them)
@@ -82,9 +100,16 @@ def compact_batch(t: pa.Table, num_partitions: int | None = None) -> pa.Table:
             win.sort()
             out = t.take(pa.array(win))
             h = h[win]
+            hot = hot[win]
     if num_partitions is not None:
         part = (h % np.uint64(num_partitions)).astype(np.uint32)
         out = out.append_column("part", pa.array(part))
+    if hot_share is not None:
+        salt = np.zeros(out.num_rows, np.uint32)
+        if hot.any():
+            sts = out["start_ts"].to_numpy(zero_copy_only=False)
+            salt[hot] = (sts[hot] % np.uint64(salt_factor)).astype(np.uint32)
+        out = out.append_column("salt", pa.array(salt))
     return out
 
 
