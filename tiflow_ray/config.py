@@ -79,6 +79,14 @@ class ReplayConfig:
     auto_salt_share: float = 0.25     # batch-share above which a key is hot
     auto_salt_factor: int = 8         # S sub-partitions for a hot key
 
+    # online (tailing) validation, dm/syncer/data_validator.go analog made
+    # incremental: every committed file's md5 rides in the manifest, and
+    # each epoch's merge tasks re-verify the chains of exactly the
+    # partitions they touch before writing on top — lake corruption
+    # between commits fails the NEXT epoch loudly instead of replaying
+    # onto bad bytes. Off by default (one extra read of touched chains).
+    online_validate: bool = False
+
     # behavior toggles
     precompact: bool = True           # per-batch LWW combiner before shuffle (DM compactor, T6)
     validate: bool = False            # extra per-batch invariant checks (tests)

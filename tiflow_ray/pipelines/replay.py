@@ -362,7 +362,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                        epoch_ver=ep.schema_ver, watermark_ts=ep.hi,
                        lake_data_dir=os.path.join(cfg.lake_dir, "data"),
                        sink_mode=cfg.sink_mode, compact_every=cfg.compact_every,
-                       allow_fold=allow_fold)
+                       allow_fold=allow_fold,
+                       online_validate=cfg.online_validate)
     if cfg.shuffle_mode == "direct":
         stats_rows = _direct_exchange(ds, merge, cfg.num_partitions)
     else:
@@ -394,12 +395,15 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
                        "rows": 0, "bytes": 0, "deltas": []})
             pm["deltas"] = list(pm.get("deltas", [])) + [
                 {"path": r["path"], "schema_ver": r["schema_ver"],
-                 "epoch": epoch_no}]
+                 "epoch": epoch_no,
+                 **({"checksum": r["checksum"]} if r.get("checksum") else {})}]
             pm["watermark_ts"] = r["watermark_ts"]
         else:
             pm = {"path": r["path"], "schema_ver": r["schema_ver"],
                   "rows": r["rows"], "watermark_ts": r["watermark_ts"],
                   "bytes": r["bytes"], "deltas": []}
+            if r.get("checksum"):
+                pm["checksum"] = r["checksum"]
         parts[key] = pm
         n_winners += r["delta_events"]
     for meta in parts.values():

@@ -65,6 +65,35 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)  # idempotent under task retry (deterministic content)
 
 
+def _file_md5(path: str) -> str:
+    import hashlib
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def verify_chain(meta: dict, part: int) -> None:
+    """Online-validator read-side check (dm/syncer/data_validator.go
+    analog, made incremental): re-hash THIS partition's base + delta files
+    against the checksums the committing epoch recorded; a mismatch means
+    the lake was corrupted between commits — fail loudly before replaying
+    on top of bad bytes. Runs inside the (distributed) merge task, so each
+    epoch pays verification only for the partitions it touches."""
+    for label, m in ([("base", meta)] if meta.get("path") else []) + \
+            [("delta", d) for d in meta.get("deltas", [])]:
+        want = m.get("checksum")
+        if not want:
+            continue                     # pre-flag files: nothing recorded
+        got = _file_md5(m["path"])
+        if got != want:
+            raise ValueError(
+                f"online validation failed: part={part} {label} file "
+                f"{m['path']} checksum {got} != committed {want} — lake "
+                "corrupted since its epoch was committed")
+
+
 def fold_part(meta: dict, registry: SchemaRegistry, to_ver: int) -> pa.Table:
     """Materialize one partition's current state: base ⊕ delta chain in
     epoch order, cast to `to_ver`, sorted by doc_id. The read half of MoR
@@ -91,7 +120,8 @@ class MergeApply:
     def __init__(self, *, registry_json: str, prev_parts: dict[str, dict],
                  epoch: int, epoch_ver: int, watermark_ts: int,
                  lake_data_dir: str, sink_mode: str = "mor",
-                 compact_every: int = 8, allow_fold: bool = True):
+                 compact_every: int = 8, allow_fold: bool = True,
+                 online_validate: bool = False):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.prev_parts = prev_parts
         self.epoch = epoch
@@ -103,6 +133,7 @@ class MergeApply:
         # pipelined (concurrent) epochs must not read lake state: folds are
         # deferred so every epoch's writes are independent delta appends
         self.allow_fold = allow_fold
+        self.online_validate = online_validate
 
     def __call__(self, deltas: pa.Table) -> pa.Table:
         part = int(deltas["part"][0].as_py())
@@ -115,6 +146,8 @@ class MergeApply:
             deltas = deltas.drop_columns(["from_salted"])
         winners = compact_partition(deltas)
         prev = self.prev_parts.get(str(part), {})
+        if self.online_validate and prev:
+            verify_chain(prev, part)
 
         chain = prev.get("deltas", [])
         fold = self.allow_fold and (
@@ -141,9 +174,11 @@ class MergeApply:
             _atomic_write(out, path)
             rows, nbytes = -1, out.nbytes  # live row count unknown without a fold
 
+        checksum = _file_md5(path) if self.online_validate else ""
         ups = winners.filter(pc.not_equal(winners["op"], OP_DELETE))
         return pa.table({
             "part": pa.array([part], pa.int32()),
+            "checksum": pa.array([checksum]),
             "path": pa.array([path]),
             "is_delta": pa.array([not fold]),
             "rows": pa.array([rows], pa.int64()),
