@@ -26,13 +26,13 @@ def _wal_as(src_root, dst_root, reg, fmt):
 
 
 def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
-    """M9/M10: jsonl, csv, canal-json, and debezium change files replay to
-    the exact same lake state as the parquet WAL (reference-format compat,
-    S6)."""
+    """M9/M10: jsonl, csv, canal-json, debezium, open-protocol, maxwell and
+    simple change files all replay to the exact same lake state as the
+    parquet WAL (reference-format compat, S6) — 8-format parity."""
     root, reg, *_ = t1_noddl_fixture
     lakes = {}
     for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium",
-                "open_protocol"):
+                "open_protocol", "maxwell", "simple"):
         if fmt == "parquet":
             wal = f"{root}/wal"
         else:

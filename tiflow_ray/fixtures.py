@@ -382,6 +382,14 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             from .sources.codecs import encode_open_protocol
             with open(os.path.join(wal_dir, f"seq={s:05d}.open.jsonl"), "w") as f:
                 f.write(encode_open_protocol(seg))
+        elif fmt == "maxwell":
+            from .sources.codecs import encode_maxwell
+            with open(os.path.join(wal_dir, f"seq={s:05d}.maxwell.jsonl"), "w") as f:
+                f.write(encode_maxwell(seg))
+        elif fmt == "simple":
+            from .sources.codecs import encode_simple
+            with open(os.path.join(wal_dir, f"seq={s:05d}.simple.jsonl"), "w") as f:
+                f.write(encode_simple(seg))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),

@@ -355,21 +355,142 @@ def decode_debezium_lines(lines: list[str], columns: list[str]) -> pa.Table:
     return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
 
 
+def encode_maxwell(t: pa.Table, database: str = "tiflow",
+                   table: str = "documents") -> str:
+    """Event table → maxwell lines (pkg/sink/codec/maxwell/
+    maxwell_message.go:29-44 message shape): type insert/update/delete,
+    ts in SECONDS of the commit physical time, native-JSON `data` image,
+    `old` carrying the pre image on updates. Maxwell's second-precision ts
+    cannot round-trip commit_ts exactly, so — like real maxwell identifies
+    the event by its binlog position — the exact
+    `commit_ts:start_ts:schema_ver` rides in `position` and `xid` carries
+    start_ts for consumers that only read ints."""
+    lines = []
+    for r in t.to_pylist():
+        op = int(r["op"])
+        typ = {OP_INSERT: "insert", OP_UPDATE: "update",
+               OP_DELETE: "delete"}[op]
+        data = {c: v for c, v in r.items()
+                if c not in ("op", "commit_ts", "start_ts", "schema_ver",
+                             "pre_tokens")}
+        if op == OP_DELETE:
+            data = {"doc_id": r["doc_id"]}
+        old = None
+        if op == OP_UPDATE and r.get("pre_tokens") is not None:
+            old = {"tokens": list(r["pre_tokens"])}
+        obj = {"database": database, "table": table, "type": typ,
+               "ts": int(r["commit_ts"]) // 1_000_000,
+               "xid": int(r["start_ts"]),
+               "position": f"{int(r['commit_ts'])}:{int(r['start_ts'])}:"
+                           f"{int(r['schema_ver'])}",
+               "data": data}
+        if old is not None:
+            obj["old"] = old
+        lines.append(json.dumps(obj, separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def decode_maxwell_lines(lines: list[str], columns: list[str]) -> pa.Table:
+    cols = {c: [] for c in columns}
+    for ln in lines:
+        if not ln:
+            continue
+        obj = json.loads(ln)
+        op = {"insert": OP_INSERT, "update": OP_UPDATE,
+              "delete": OP_DELETE}[obj["type"]]
+        cts, sts, sver = (int(x) for x in obj["position"].split(":"))
+        data = obj.get("data") or {}
+        old = obj.get("old") or {}
+        for c in columns:
+            if c == "op":
+                v = op
+            elif c == "commit_ts":
+                v = cts
+            elif c == "start_ts":
+                v = sts
+            elif c == "schema_ver":
+                v = sver
+            elif c == "pre_tokens":
+                v = old.get("tokens")
+            else:
+                v = data.get(c)
+            cols[c].append(v)
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
+def encode_simple(t: pa.Table, database: str = "tiflow",
+                  table: str = "documents") -> str:
+    """Event table → simple-protocol DML lines (pkg/sink/codec/simple/
+    message.go:470-501 field shape): version, type INSERT/UPDATE/DELETE,
+    commitTs (exact uint64), schemaVersion, native-JSON data/old. The
+    reference's buildTs is an encode-time wall clock; the file form reuses
+    it to carry start_ts so the LWW tiebreaker survives the round-trip
+    (documented deviation — simple has no other int64 slot for it)."""
+    lines = []
+    for r in t.to_pylist():
+        op = int(r["op"])
+        typ = {OP_INSERT: "INSERT", OP_UPDATE: "UPDATE",
+               OP_DELETE: "DELETE"}[op]
+        data = {c: v for c, v in r.items()
+                if c not in ("op", "commit_ts", "start_ts", "schema_ver",
+                             "pre_tokens")}
+        if op == OP_DELETE:
+            data = {"doc_id": r["doc_id"]}
+        obj = {"version": 1, "database": database, "table": table,
+               "type": typ, "commitTs": int(r["commit_ts"]),
+               "buildTs": int(r["start_ts"]),
+               "schemaVersion": int(r["schema_ver"]),
+               "data": data}
+        if op == OP_UPDATE and r.get("pre_tokens") is not None:
+            obj["old"] = {"tokens": list(r["pre_tokens"])}
+        lines.append(json.dumps(obj, separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def decode_simple_lines(lines: list[str], columns: list[str]) -> pa.Table:
+    cols = {c: [] for c in columns}
+    for ln in lines:
+        if not ln:
+            continue
+        obj = json.loads(ln)
+        op = {"INSERT": OP_INSERT, "UPDATE": OP_UPDATE,
+              "DELETE": OP_DELETE}[obj["type"]]
+        data = obj.get("data") or {}
+        old = obj.get("old") or {}
+        for c in columns:
+            if c == "op":
+                v = op
+            elif c == "commit_ts":
+                v = int(obj["commitTs"])
+            elif c == "start_ts":
+                v = int(obj["buildTs"])
+            elif c == "schema_ver":
+                v = int(obj.get("schemaVersion", 1))
+            elif c == "pre_tokens":
+                v = old.get("tokens")
+            else:
+                v = data.get(c)
+            cols[c].append(v)
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
 class ChangeFileDecoder:
     """map_batches callable over `read_text` batches: decode csv/canal-json
     lines into the canonical typed event table. Constructed per epoch with
     the column order from the segment meta (the schema-file mechanism)."""
 
+    _DECODERS = {
+        "csv": decode_csv_lines,
+        "canal_json": decode_canal_lines,
+        "debezium": decode_debezium_lines,
+        "open_protocol": decode_open_protocol_lines,
+        "maxwell": decode_maxwell_lines,
+        "simple": decode_simple_lines,
+    }
+
     def __init__(self, fmt: str, columns: list[str]):
-        assert fmt in ("csv", "canal_json", "debezium", "open_protocol"), fmt
+        assert fmt in self._DECODERS, fmt
         self.fmt, self.columns = fmt, list(columns)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        lines = batch["text"].tolist()
-        if self.fmt == "csv":
-            return decode_csv_lines(lines, self.columns)
-        if self.fmt == "debezium":
-            return decode_debezium_lines(lines, self.columns)
-        if self.fmt == "open_protocol":
-            return decode_open_protocol_lines(lines, self.columns)
-        return decode_canal_lines(lines, self.columns)
+        return self._DECODERS[self.fmt](batch["text"].tolist(), self.columns)

@@ -58,7 +58,9 @@ def list_segments(wal_dir: str) -> list[Segment]:
         ext = {"parquet": ".parquet", "jsonl": ".jsonl",
                "csv": ".csv", "canal_json": ".canal.jsonl",
                "debezium": ".dbz.jsonl",
-               "open_protocol": ".open.jsonl"}[fmt]
+               "open_protocol": ".open.jsonl",
+               "maxwell": ".maxwell.jsonl",
+               "simple": ".simple.jsonl"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
                             m["max_ts"], m["rows"], fmt,
