@@ -80,6 +80,38 @@ def test_lsh_pair_screen_recall_on_planted_high_sim_dups():
     assert tables / (1 << bits) < 0.01   # >100× less pair work than exact
 
 
+def test_fast_fingerprint_matches_md5_equality_structure():
+    """fast=True swaps the hash fn, not the semantics: the partition of
+    docs into equal-fingerprint groups must be identical to the md5 path
+    (same distinct-word sets ⇒ same fp, different ⇒ different)."""
+    from tiflow_ray.functions.text import Fingerprint
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c", "c b a a", "a b", "x y z", "z y x x"],
+    })
+    slow = Fingerprint()(df)["fingerprint"].to_numpy()
+    fast = Fingerprint(fast=True)(df)["fingerprint"].to_numpy()
+
+    def groups(v):
+        seen = {}
+        return [seen.setdefault(x, len(seen)) for x in v]
+    assert groups(slow) == groups(fast) == [0, 0, 1, 2, 2]
+
+
+def test_fast_hash_embed_preserves_counts():
+    """Bucket assignment differs (xxhash vs md5) but each doc's total
+    word count and the vectorizer shape must be identical."""
+    from tiflow_ray.functions.text import HashEmbed
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a b c a", "the quick fox"]})
+    slow = HashEmbed()(df)
+    fast = HashEmbed(fast=True)(df)
+    assert list(slow.columns) == list(fast.columns)
+    fcols = [c for c in slow.columns if c.startswith("f")]
+    assert (slow[fcols].sum(axis=1) == fast[fcols].sum(axis=1)).all()
+    assert fast[fcols].sum(axis=1).tolist() == [4, 3]
+
+
 def test_exact_jaccard_bounds():
     from tiflow_ray.functions.dedup import exact_jaccard
     assert exact_jaccard("a b c d e", "a b c d e") == 1.0

@@ -27,6 +27,17 @@ LANG_MARKERS = (("en", " the "), ("de", " der "), ("fr", " le "),
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def _exploded_word_hashes(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, xxhash64) per word occurrence — the shared C-speed
+    front half of the fast text kernels: polars split+explode+hash, zero
+    Python per word."""
+    import polars as pl
+    s = pl.DataFrame({"text": text.to_numpy()}).with_row_index("i")
+    ex = s.with_columns(pl.col("text").str.split(" ")).explode("text")
+    return (ex["i"].to_numpy().astype(np.int64),
+            ex["text"].hash(seed=0).to_numpy().astype(np.uint64))
+
+
 def md5_u64(s: str) -> int:
     """Lower 64 bits of md5, little-endian — EXACTLY DuckDB's
     md5_number_lower(), so checksums cross-verify."""
@@ -87,19 +98,45 @@ class LangId:
 
 
 class Fingerprint:
-    """Order-insensitive 64-bit document fingerprint: XOR of md5_u64 over
-    the DISTINCT space-separated words (set-hash; the per-chunk
+    """Order-insensitive 64-bit document fingerprint: XOR of a word hash
+    over the DISTINCT space-separated words (set-hash; the per-chunk
     BIT_XOR(MD5(row)) idea of sync_diff_inspector/utils/utils.go:860-918
-    applied within a document)."""
+    applied within a document).
+
+    Two hash backends behind one flag:
+    - fast=False (default, the ORACLE contract): per-word md5_u64 ==
+      DuckDB md5_number_lower, bit-identical cross-engine — but a Python
+      loop per distinct word.
+    - fast=True (the production path): ONE vectorized xxhash pass over the
+      batch's exploded distinct (doc, word) pairs (polars, C-speed) +
+      contiguous-run XOR reduce; same set-hash semantics, different hash
+      function, so it is NOT cross-engine-checkable — self-consistency is
+      tested against the md5 path's equality structure instead."""
+
+    def __init__(self, fast: bool = False):
+        self.fast = fast
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        def fp(text: str) -> int:
-            acc = 0
-            for w in set(text.split(" ")):
-                acc ^= md5_u64(w)
-            return acc
-        vals = df["text"].map(fp).astype("uint64")
-        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": vals})
+        if not self.fast:
+            def fp(text: str) -> int:
+                acc = 0
+                for w in set(text.split(" ")):
+                    acc ^= md5_u64(w)
+                return acc
+            vals = df["text"].map(fp).astype("uint64")
+            return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": vals})
+        pos, h = _exploded_word_hashes(df["text"])
+        # DISTINCT (doc, word-hash) via numeric lexsort — no object dedup
+        acc = np.zeros(len(df), np.uint64)
+        if len(pos):
+            order = np.lexsort((h, pos))
+            pos, h = pos[order], h[order]
+            first = np.r_[True, (pos[1:] != pos[:-1]) | (h[1:] != h[:-1])]
+            pos, h = pos[first], h[first]
+            starts = np.flatnonzero(np.r_[True, pos[1:] != pos[:-1]])
+            acc[pos[starts]] = np.bitwise_xor.reduceat(h, starts)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "fingerprint": acc})
 
 
 class QualityModel:
@@ -143,13 +180,30 @@ class HashEmbed:
     dimension j counts words hashing to bucket j. Integer counts + the
     DuckDB-identical md5 hash keep the oracle bit-exact; per-batch the
     word→bucket map is computed once over the DISTINCT words of the batch
-    (C-speed merge back), not per occurrence."""
+    (C-speed merge back), not per occurrence.
 
-    def __init__(self, dim: int = 8):
+    `fast=True` swaps the per-distinct-word Python md5 for one vectorized
+    polars xxhash pass (production path; different hash → different
+    buckets → not oracle-checkable, same vectorizer semantics)."""
+
+    def __init__(self, dim: int = 8, fast: bool = False):
         self.dim = dim
+        self.fast = fast
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         dim = self.dim
+        if self.fast:
+            # fully numeric path: explode+hash in polars, counts via ONE
+            # bincount over doc*dim+bucket — no crosstab, no object maps
+            pos, h = _exploded_word_hashes(df["text"])
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            flatidx = pos * dim + bucket
+            counts = np.bincount(flatidx, minlength=len(df) * dim) \
+                .reshape(len(df), dim)
+            out = {"doc_id": df["doc_id"].to_numpy()}
+            for j in range(dim):
+                out[f"f{j}"] = counts[:, j].astype("int64")
+            return pd.DataFrame(out)
         words = df["text"].str.split(" ")
         flat = words.explode()
         uniq = pd.Index(flat.unique())

@@ -1288,6 +1288,29 @@ GROUP BY doc_id
 """
 
 
+def q_doc_fingerprint_fast(sf_dir: str) -> pd.DataFrame:
+    """Production fingerprint path (VERDICT r2 #9): identical set-hash
+    semantics, but ONE vectorized xxhash pass instead of per-word Python
+    md5 (~10× on wide batches). Different hash function ⇒ rows-only check;
+    the md5 twin (doc_fingerprint) remains the oracle contract, and pytest
+    asserts the two paths agree on the doc-equality structure."""
+    from .functions.text import Fingerprint
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, fn_constructor_kwargs={"fast": True},
+                         batch_format="pandas", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_hash_embed_fast(sf_dir: str) -> pd.DataFrame:
+    """Production feature-hashing path: vectorized xxhash bucket map
+    (rows-only; hash_embed keeps the md5 oracle contract)."""
+    from .functions.text import HashEmbed
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(HashEmbed, fn_constructor_kwargs={"fast": True},
+                         batch_format="pandas", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality_model(sf_dir: str) -> pd.DataFrame:
     """Model-based quality filtering: a scoring 'model' loads once per
     actor (actor-pool map_batches), scores every batch vectorized — the
@@ -1918,10 +1941,12 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, _LANG_ID_SQL),
     "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
+    "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
     "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
     "sample_split": (q_sample_split, _SAMPLE_SPLIT_SQL),
     "lake_token_stats": (q_lake_token_stats, _LAKE_TOKEN_STATS_SQL),
     "hash_embed": (q_hash_embed, _HASH_EMBED_SQL),
+    "hash_embed_fast": (q_hash_embed_fast, None),
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
