@@ -307,6 +307,28 @@ def jaccard_verify_batch(t: pa.Table, tau: float,
                      "b": t["b"].filter(pa.array(keep))})
 
 
+class BroadcastJaccardVerify:
+    """map_batches actor for the SMALL-candidate verify route: the
+    candidate docs' gram sets (output-scale, already semi-joined down)
+    are broadcast ONCE via ray.put; each task fetches the map in __init__
+    and verifies its pair batch with the same exact-Jaccard kernel — no
+    join exchange at all (two hash joins cost ~4s of aggregator spin-up
+    at sf0.1 for candidate-sized inputs)."""
+
+    def __init__(self, gram_ref, tau: float):
+        import ray
+        self.grams = ray.get(gram_ref)
+        self.tau = tau
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        g = self.grams
+        t = t.append_column("grams_a", pa.array(
+            [g[a] for a in t["a"].to_pylist()], pa.large_binary()))
+        t = t.append_column("grams_b", pa.array(
+            [g[b] for b in t["b"].to_pylist()], pa.large_binary()))
+        return jaccard_verify_batch(t, self.tau)
+
+
 def exact_dedup_key(df: pd.DataFrame, first_words: int = 5) -> pd.DataFrame:
     """Exact-dedup key: the first `first_words` words (normalized prefix) —
     the hash-partition + per-group-first exact dedup's key column."""

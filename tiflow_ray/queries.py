@@ -1509,20 +1509,26 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.6 —
     fully distributed: signatures vectorized per batch → explode to
     (band, bucket=band_hash%64, doc_id) → groupby the coarse buckets →
-    vectorized pair scan inside each → pair dedup → TWO hash joins ship
-    each side's sorted-distinct gram SET (binary-encoded) to the pair →
-    vectorized exact-Jaccard verify. No driver-side corpus dict at any
-    point, and the candidate-pair hand-off is SIZE-GATED: a cheap count of
-    the (materialized, distributed) candidate set picks between a driver
-    collect + broadcast semi-join (small: join spin-up dominates) and the
-    distributed pair-dedup + join semi-join path (large: on a dup-heavy
-    crawl corpus candidate pairs are O(corpus × dup-rate) and must never
-    land on the driver — the chunk→drill-down shape of
-    sync_diff_inspector/utils/utils.go:860-918). Not SQL-expressible
-    (permutation hashing) → rows-only oracle; planted-pair recall asserted
-    in pytest for BOTH routes."""
-    from .functions.dedup import (MinHashStage, grams_to_binary,
-                                  jaccard_verify_batch, pairs_from_buckets)
+    vectorized pair scan inside each → pair dedup → exact-Jaccard verify.
+    The candidate hand-off is SIZE-GATED on a cheap count of the
+    (materialized, distributed) candidate set:
+
+    - SMALL: pairs collect to the driver, the candidate docs' gram sets
+      (also output-scale) broadcast once via ray.put, and a distributed
+      map verifies pair batches against the broadcast map — zero join
+      exchanges (two candidate-sized hash joins cost ~4s of aggregator
+      spin-up at sf0.1).
+    - LARGE (dup-heavy crawl corpora: pairs are O(corpus × dup-rate) and
+      must never land on the driver — the chunk→drill-down shape of
+      sync_diff_inspector/utils/utils.go:860-918): distributed pair-dedup
+      exchange, distributed distinct over pair ids, gram semi-join +
+      TWO hash joins ship each side's gram set to the pair.
+
+    Not SQL-expressible (permutation hashing) → rows-only oracle;
+    planted-pair recall asserted in pytest for BOTH routes."""
+    from .functions.dedup import (BroadcastJaccardVerify, MinHashStage,
+                                  grams_to_binary, jaccard_verify_batch,
+                                  pairs_from_buckets)
     docs = _planted_ds(sf_dir)
     sig = docs.map_batches(MinHashStage, batch_format="pandas",
                            batch_size=4096, concurrency=2)
@@ -1539,11 +1545,13 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
                              "planted_recall_pct": pd.Series([], dtype="int64")})
 
     jargs = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     if n_cand <= _minhash_collect_max():
         # FAST PATH (candidate set provably small): driver collect +
-        # cross-band dedup in one pandas call; broadcast the candidate ids
-        # once and semi-join the gram table down with a per-batch is_in —
-        # join inputs shrink from corpus-size to candidate-size.
+        # cross-band dedup in one pandas call; the gram table is
+        # semi-joined down per batch with a broadcast is_in, then the
+        # candidate-sized gram map broadcasts once and a distributed map
+        # verifies pair batches against it — no join exchange at all.
         cand_pd = cand.to_pandas().drop_duplicates(["a", "b"])
         cand_ids = ray.put(pa.array(np.unique(np.concatenate(
             [cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy()]))))
@@ -1553,13 +1561,18 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
                                      value_set=ray.get(cand_ids)))
 
         grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
-            .map_batches(only_candidates, batch_format="pyarrow") \
-            .materialize()
-        cand_ds = ray.data.from_pandas(cand_pd)
-        # join parallelism stays SMALL: inputs are candidate-sized, so
-        # aggregator-actor spin-up dominates a wide join; fractional CPUs
-        # so chained joins co-schedule on tiny test sessions
-        npart = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+            .map_batches(only_candidates, batch_format="pyarrow")
+        gram_map: dict[int, bytes] = {}
+        for b in grams.iter_batches(batch_size=1 << 16,
+                                    batch_format="pyarrow"):
+            gram_map.update(zip(b["doc_id"].to_pylist(),
+                                b["grams"].to_pylist()))
+        gref = ray.put(gram_map)
+        out = ray.data.from_pandas(cand_pd) \
+            .repartition(max(2, min(ncpu // 2, 1 + len(cand_pd) // 512))) \
+            .map_batches(BroadcastJaccardVerify,
+                         fn_constructor_args=(gref, 0.6),
+                         batch_format="pyarrow", concurrency=2).to_pandas()
     else:
         # DISTRIBUTED PATH: pairs never touch the driver. Cross-band pair
         # dedup via the hash-partition exchange, candidate ids via a
@@ -1571,23 +1584,23 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
         # combined aggregator reservation (2·npart·0.25 CPUs) well under
         # the cluster or the join actors starve the map tasks (deadlocks a
         # 4-CPU test session); grows linearly with the cluster
-        npart = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        npart = max(2, ncpu // 4)
         grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
             .join(ids_ds.select_columns(["doc_id"]), "inner",
                   num_partitions=npart, on=("doc_id",), **jargs) \
             .materialize()
-    j = cand_ds.join(grams, "inner", num_partitions=npart,
-                     on=("a",), right_on=("doc_id",), **jargs)
-    j = j.map_batches(lambda t: t.rename_columns(
-        [{"grams": "grams_a"}.get(c, c) for c in t.column_names]),
-        batch_format="pyarrow")
-    j = j.join(grams, "inner", num_partitions=npart,
-               on=("b",), right_on=("doc_id",), **jargs)
-    j = j.map_batches(lambda t: t.rename_columns(
-        [{"grams": "grams_b"}.get(c, c) for c in t.column_names]),
-        batch_format="pyarrow")
-    out = j.map_batches(lambda t: jaccard_verify_batch(t, 0.6),
-                        batch_format="pyarrow").to_pandas()
+        j = cand_ds.join(grams, "inner", num_partitions=npart,
+                         on=("a",), right_on=("doc_id",), **jargs)
+        j = j.map_batches(lambda t: t.rename_columns(
+            [{"grams": "grams_a"}.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow")
+        j = j.join(grams, "inner", num_partitions=npart,
+                   on=("b",), right_on=("doc_id",), **jargs)
+        j = j.map_batches(lambda t: t.rename_columns(
+            [{"grams": "grams_b"}.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow")
+        out = j.map_batches(lambda t: jaccard_verify_batch(t, 0.6),
+                            batch_format="pyarrow").to_pandas()
     out = out.astype("int64")
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     # self-validating quality column (VERDICT r1 #8): recall of the planted
