@@ -334,3 +334,23 @@ def exact_dedup_key(df: pd.DataFrame, first_words: int = 5) -> pd.DataFrame:
     the hash-partition + per-group-first exact dedup's key column."""
     key = df["text"].str.split(" ").str[:first_words].str.join(" ")
     return pd.DataFrame({"doc_id": df["doc_id"], "dedup_key": key})
+
+
+# Task-mode wrappers (see functions/text.py rationale): the signature
+# stages' state is a few hundred permutation coefficients — per-worker
+# lazy singletons beat actor-pool spin-up at fixed cost.
+_SINGLETONS: dict = {}
+
+
+def minhash_stage_batch(df: pd.DataFrame) -> pd.DataFrame:
+    obj = _SINGLETONS.get("minhash")
+    if obj is None:
+        obj = _SINGLETONS["minhash"] = MinHashStage()
+    return obj(df)
+
+
+def simhash_stage_batch(df: pd.DataFrame) -> pd.DataFrame:
+    obj = _SINGLETONS.get("simhash")
+    if obj is None:
+        obj = _SINGLETONS["simhash"] = SimHashStage()
+    return obj(df)

@@ -231,3 +231,51 @@ def chunk_checksum(df: pd.DataFrame, num_buckets: int = 16) -> pd.DataFrame:
     out["cnt"] = out["cnt"].astype("int64")
     out["checksum"] = out["checksum"].astype("uint64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Task-mode wrappers: these kernels hold only trivial constant state (a
+# compiled regex, a flag), so running them as TASKS with a lazily-built
+# per-worker singleton starts instantly, while an actor pool pays ~1s of
+# spin-up per query at test scale for no benefit. Stages with REAL state
+# (QualityModel's weights, BruteForceKnn's broadcast query matrix, the
+# multimodal decoders) stay actor pools — that pattern is demonstrated
+# there, where it earns its cost.
+# ---------------------------------------------------------------------------
+
+_SINGLETONS: dict = {}
+
+
+def _one(key, factory):
+    obj = _SINGLETONS.get(key)
+    if obj is None:
+        obj = _SINGLETONS[key] = factory()
+    return obj
+
+
+def text_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("stats", TextStats)(df)
+
+
+def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("lang", LangId)(df)
+
+
+def bpe_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("bpe", BpeTokenCount)(df)
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("fp", Fingerprint)(df)
+
+
+def fingerprint_fast_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("fpf", lambda: Fingerprint(fast=True))(df)
+
+
+def hash_embed_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("he", HashEmbed)(df)
+
+
+def hash_embed_fast_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _one("hef", lambda: HashEmbed(fast=True))(df)

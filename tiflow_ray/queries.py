@@ -1217,10 +1217,9 @@ def q_knn_lsh(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_stats(sf_dir: str) -> pd.DataFrame:
-    from .functions.text import TextStats
+    from .functions.text import text_stats_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(TextStats, batch_format="pandas",
-                         concurrency=2).to_pandas()
+    out = ds.map_batches(text_stats_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1238,10 +1237,9 @@ FROM documents
 
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
-    from .functions.text import LangId
+    from .functions.text import lang_id_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pandas",
-                         concurrency=2).to_pandas()
+    out = ds.map_batches(lang_id_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1258,10 +1256,9 @@ FROM documents
 
 
 def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
-    from .functions.text import BpeTokenCount
+    from .functions.text import bpe_count_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(BpeTokenCount, batch_format="pandas",
-                         concurrency=2).to_pandas()
+    out = ds.map_batches(bpe_count_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1273,10 +1270,9 @@ FROM documents
 
 
 def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
-    from .functions.text import Fingerprint
+    from .functions.text import fingerprint_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pandas",
-                         concurrency=2).to_pandas()
+    out = ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1294,20 +1290,18 @@ def q_doc_fingerprint_fast(sf_dir: str) -> pd.DataFrame:
     md5 (~10× on wide batches). Different hash function ⇒ rows-only check;
     the md5 twin (doc_fingerprint) remains the oracle contract, and pytest
     asserts the two paths agree on the doc-equality structure."""
-    from .functions.text import Fingerprint
+    from .functions.text import fingerprint_fast_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, fn_constructor_kwargs={"fast": True},
-                         batch_format="pandas", concurrency=2).to_pandas()
+    out = ds.map_batches(fingerprint_fast_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_hash_embed_fast(sf_dir: str) -> pd.DataFrame:
     """Production feature-hashing path: vectorized xxhash bucket map
     (rows-only; hash_embed keeps the md5 oracle contract)."""
-    from .functions.text import HashEmbed
+    from .functions.text import hash_embed_fast_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(HashEmbed, fn_constructor_kwargs={"fast": True},
-                         batch_format="pandas", concurrency=2).to_pandas()
+    out = ds.map_batches(hash_embed_fast_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1526,12 +1520,12 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
     Not SQL-expressible (permutation hashing) → rows-only oracle;
     planted-pair recall asserted in pytest for BOTH routes."""
-    from .functions.dedup import (BroadcastJaccardVerify, MinHashStage,
-                                  grams_to_binary, jaccard_verify_batch,
+    from .functions.dedup import (BroadcastJaccardVerify, grams_to_binary,
+                                  jaccard_verify_batch, minhash_stage_batch,
                                   pairs_from_buckets)
     docs = _planted_ds(sf_dir)
-    sig = docs.map_batches(MinHashStage, batch_format="pandas",
-                           batch_size=4096, concurrency=2)
+    sig = docs.map_batches(minhash_stage_batch, batch_format="pandas",
+                           batch_size=4096)
     sig = sig.map_batches(
         lambda df: df.assign(bucket=(df["band_hash"] % 64).astype("int64")),
         batch_format="pandas")
@@ -1627,10 +1621,11 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     so simhash distances concentrate (random pairs can hit 0) — the query
     validates the mechanism; MinHash-Jaccard is the discriminating dedup
     here (see q_dedup_minhash's planted-pair recall test)."""
-    from .functions.dedup import SimHashStage, pairs_from_buckets, popcount64
+    from .functions.dedup import (pairs_from_buckets, popcount64,
+                                  simhash_stage_batch)
     docs = _planted_ds(sf_dir)
-    sig = docs.map_batches(SimHashStage, batch_format="pandas",
-                           batch_size=4096, concurrency=2)
+    sig = docs.map_batches(simhash_stage_batch, batch_format="pandas",
+                           batch_size=4096)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         parts = [pd.DataFrame({"doc_id": df["doc_id"],
@@ -1759,10 +1754,9 @@ def q_hash_embed(sf_dir: str) -> pd.DataFrame:
     """Embedding generation via feature hashing: doc → 8-dim bag-of-words
     count vector (md5-bucketed words) — the vectorizer stage a training
     pipeline runs before ANN/dedup; exact integer counts ⇒ SQL oracle."""
-    from .functions.text import HashEmbed
+    from .functions.text import hash_embed_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(HashEmbed, batch_format="pandas",
-                         concurrency=2).to_pandas()
+    out = ds.map_batches(hash_embed_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
