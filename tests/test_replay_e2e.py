@@ -265,3 +265,34 @@ def test_pipelined_epochs_match_oracle(t1_fixture, tmp_path):
     assert got.equals(exp)
     # idempotent rerun still no-ops
     assert rp.run_replay(cfg).epochs == []
+
+
+def test_syncpoint_consistent_snapshots(t1_noddl_fixture, tmp_path):
+    """Sync-point barriers (cdc/owner syncpoint analog): with an interval
+    configured, the planner cuts epochs at every aligned ts, the committed
+    manifest's watermark EQUALS the sync ts, and time-traveling the lake to
+    that manifest reproduces the sequential oracle at exactly that ts."""
+    from tiflow_ray.sources.wal import list_segments
+    root, reg, *_ = t1_noddl_fixture
+    segs = list_segments(os.path.join(root, "wal"))
+    hi = segs[-1].watermark_ts
+    interval = max(1, hi // 4)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=str(tmp_path / "lake_sp"),
+                       num_partitions=8, syncpoint_interval=interval)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+
+    sps = rp.list_syncpoints(cfg.lake_dir)
+    assert len(sps) >= 2, sps
+    for sp in sps:
+        assert sp["ts"] % interval == 0          # aligned
+    # each syncpoint manifest is a CONSISTENT snapshot: lake state pinned
+    # at that epoch equals the oracle replayed to exactly that ts
+    for sp in sps[:3]:
+        snap = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir, epoch=sp["epoch"])
+        exp = oracle.replay_to_table(root, reg, max_watermark=sp["ts"])
+        assert snap.equals(exp), f"snapshot at ts={sp['ts']} diverged"
+    # final state unaffected by the extra barriers
+    assert rp.lake_to_table(cfg.lake_dir, cfg.wal_dir).equals(
+        oracle.replay_to_table(root, reg))

@@ -79,6 +79,13 @@ class ReplayConfig:
     auto_salt_share: float = 0.25     # batch-share above which a key is hot
     auto_salt_factor: int = 8         # S sub-partitions for a hot key
 
+    # sync-point (cdc/owner syncpoint analog): emit a consistent-snapshot
+    # manifest at every multiple of this ts interval — the epoch planner
+    # cuts an extra boundary there, so the committed manifest's watermark
+    # EQUALS the aligned ts and downstream consistency checkers can pin
+    # the lake state at exactly that point. 0 = off.
+    syncpoint_interval: int = 0
+
     # online (tailing) validation, dm/syncer/data_validator.go analog made
     # incremental: every committed file's md5 rides in the manifest, and
     # each epoch's merge tasks re-verify the chains of exactly the

@@ -380,8 +380,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
 
 
 def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
-                  ep: Epoch, epoch_no: int,
-                  stats_rows: list[dict]) -> tuple[Manifest, EpochResult]:
+                  ep: Epoch, epoch_no: int, stats_rows: list[dict],
+                  syncpoint_interval: int = 0) -> tuple[Manifest, EpochResult]:
     n_winners = 0  # surviving per-key winners, counted from per-part stats
     # build the next manifest: touched parts get a new base file (fold/cow)
     # or an appended delta (MoR); untouched parts carry over untouched
@@ -417,6 +417,10 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
                         "parts_touched": len(stats_rows),
                         "salted_events": sum(r.get("salted_events", 0)
                                              for r in stats_rows),
+                        # consistent-snapshot tag (cdc/owner syncpoint):
+                        # this manifest's watermark IS the aligned ts
+                        "syncpoint": bool(syncpoint_interval
+                                          and ep.hi % syncpoint_interval == 0),
                         "lo": ep.lo, "hi": ep.hi},
                  hash_fingerprint=prev.hash_fingerprint)
     lake.commit(m)  # THE commit point: epoch becomes durable exactly here
@@ -427,7 +431,8 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
 def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
               prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
     stats_rows = _execute_epoch(cfg, registry, prev.parts, ep, epoch_no)
-    return _commit_epoch(lake, registry, prev, ep, epoch_no, stats_rows)
+    return _commit_epoch(lake, registry, prev, ep, epoch_no, stats_rows,
+                         syncpoint_interval=cfg.syncpoint_interval)
 
 
 def _split_block_by_part(t: pa.Table, num_partitions: int) -> tuple:
@@ -482,7 +487,8 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
     segments = list_segments(cfg.wal_dir)
     epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
-                         upto_ts=upto_ts)
+                         upto_ts=upto_ts,
+                         syncpoint_interval=cfg.syncpoint_interval)
     if max_epochs is not None:
         epochs = epochs[:max_epochs]
     return _drive_epochs(cfg, lake, registry, prev, epochs)
@@ -532,7 +538,8 @@ def _drive_epochs(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
                 stats_lists = [f.result() for f in futs]
             for j, (ep, stats_rows) in enumerate(zip(group, stats_lists)):
                 prev, er = _commit_epoch(lake, registry, prev, ep,
-                                         next_no + j, stats_rows)
+                                         next_no + j, stats_rows,
+                                         syncpoint_interval=cfg.syncpoint_interval)
                 result.epochs.append(er)
             next_no += len(group)
         i += len(group)
@@ -585,7 +592,8 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
                     key=lambda s: (s.watermark_ts, s.path))
     epochs = plan_epochs(merged, registry, from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
-                         upto_ts=frontier)
+                         upto_ts=frontier,
+                         syncpoint_interval=cfg.syncpoint_interval)
     return _drive_epochs(cfg, lake, registry, prev, epochs)
 
 
@@ -672,16 +680,34 @@ def compact_lake(lake_dir: str, parts: list[int] | None = None) -> dict:
     return {"parts_folded": len(stats), "epoch": epoch_no}
 
 
-def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
-    """Current lake table as a Dataset: one fold task per partition applies
-    the MoR delta chain (and any pending schema cast) — the read half of the
-    merge-on-read sink. CoW lakes (empty chains) reduce to a plain read."""
+def list_syncpoints(lake_dir: str) -> list[dict]:
+    """Committed consistent-snapshot points (cdc/owner syncpoint analog):
+    every manifest whose epoch was cut at an aligned ts. Each entry pins a
+    manifest whose watermark EQUALS the sync ts — `read_lake(...,
+    epoch=entry['epoch'])` materializes exactly that snapshot."""
+    lake = LakeState(lake_dir)
+    out = []
+    for e in lake.committed_epochs():
+        m = lake.load(e)
+        if m.stats.get("syncpoint"):
+            out.append({"ts": m.watermark_ts, "epoch": m.epoch,
+                        "schema_ver": m.schema_ver})
+    return out
+
+
+def read_lake(lake_dir: str, wal_dir: str | None = None,
+              epoch: int | None = None) -> ray.data.Dataset:
+    """Lake table as a Dataset: one fold task per partition applies the
+    MoR delta chain (and any pending schema cast) — the read half of the
+    merge-on-read sink. CoW lakes (empty chains) reduce to a plain read.
+    `epoch` pins a specific committed manifest (time travel to a
+    syncpoint); default = latest."""
     import json as _json
 
     from ..stages.merge import fold_part
 
     lake = LakeState(lake_dir)
-    m = lake.latest()
+    m = lake.latest() if epoch is None else lake.load(epoch)
     assert m is not None
     # the manifest's own registry makes the lake self-describing; a wal_dir
     # override only matters for pre-registry manifests
@@ -708,10 +734,11 @@ def read_lake(lake_dir: str, wal_dir: str | None = None) -> ray.data.Dataset:
                                                   batch_size=1)
 
 
-def lake_to_table(lake_dir: str, wal_dir: str | None = None) -> pa.Table:
+def lake_to_table(lake_dir: str, wal_dir: str | None = None,
+                  epoch: int | None = None) -> pa.Table:
     """Materialize the lake (tests/small outputs only), sorted by doc_id."""
     tbls = [pa.Table.from_pandas(b.to_pandas()) if not isinstance(b, pa.Table) else b
-            for b in read_lake(lake_dir, wal_dir).iter_batches(
+            for b in read_lake(lake_dir, wal_dir, epoch=epoch).iter_batches(
                 batch_size=1 << 18, batch_format="pyarrow")]
     if not tbls:
         raise ValueError("empty lake")

@@ -575,6 +575,57 @@ WHERE win.op IS NULL OR win.op <> 1
 """
 
 
+def q_cdc_syncpoint(sf_dir: str) -> pd.DataFrame:
+    """Sync-point barriers (cdc/owner syncpoint analog): replay with
+    syncpoint_interval = final_watermark // 4, then read back every
+    consistent-snapshot manifest and report (sync_ts, n_rows) of the lake
+    pinned AT that manifest. The SQL twin recomputes each snapshot's row
+    count from the same event stream (base docs minus the docs whose
+    winner at the sync ts is a delete), so the oracle hash-checks barrier
+    placement AND snapshot consistency."""
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, with_ddl=False)
+    segs = list_segments(os.path.join(root, "wal"))
+    hi = segs[-1].watermark_ts
+    interval = max(1, hi // 4)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake_syncpoint"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2,
+                       syncpoint_interval=interval)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    rows = []
+    for sp in rp.list_syncpoints(cfg.lake_dir):
+        snap = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir, epoch=sp["epoch"])
+        rows.append({"sync_ts": sp["ts"], "n_rows": snap.num_rows})
+    return pd.DataFrame(rows).astype("int64") \
+        .sort_values("sync_ts").reset_index(drop=True)
+
+
+_CDC_SYNCPOINT_SQL = f"""
+WITH m AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+iv AS (SELECT greatest(hi // 4, 1) AS i, hi FROM m),
+sp AS (SELECT CAST(i * g AS BIGINT) AS ts
+       FROM iv, (SELECT unnest(range(1, 1000)) AS g)
+       WHERE i * g <= hi),
+wal AS ({_WAL_SQL}),
+sel AS (SELECT sp.ts, w.doc_id, w.op,
+               row_number() OVER (PARTITION BY sp.ts, w.doc_id
+                                  ORDER BY w.commit_ts DESC, w.start_ts DESC,
+                                           w.op DESC) AS rn
+        FROM wal w JOIN sp ON w.commit_ts <= sp.ts),
+del AS (SELECT ts, count(*) FILTER (WHERE op = 1) AS d
+        FROM sel WHERE rn = 1 GROUP BY ts)
+SELECT sp.ts AS sync_ts,
+       (SELECT count(*) FROM documents) - COALESCE(del.d, 0) AS n_rows
+FROM sp LEFT JOIN del ON sp.ts = del.ts
+ORDER BY sync_ts
+"""
+
+
 def q_sql_apply(sf_dir: str) -> pa.Table:
     """K3 (MySQL txn sink) made real: the engine's compaction front-end
     (normalize → split → combine → per-partition final reduce) feeds the
@@ -1927,6 +1978,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
     "cdc_replay_types": (q_cdc_replay_types, _CDC_TYPED_SQL),
     "cdc_replay_enum": (q_cdc_replay_enum, _CDC_ENUM_SQL),
+    "cdc_syncpoint": (q_cdc_syncpoint, _CDC_SYNCPOINT_SQL),
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),

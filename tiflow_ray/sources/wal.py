@@ -78,25 +78,35 @@ def load_registry(wal_dir: str) -> SchemaRegistry:
 
 def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
                 from_ts: int = 0, max_segments_per_epoch: int = 8,
-                upto_ts: int | None = None) -> list[Epoch]:
+                upto_ts: int | None = None,
+                syncpoint_interval: int = 0) -> list[Epoch]:
     """Deterministic epoch plan for events in (from_ts, upto_ts].
 
     Resume safety: the plan is a pure function of (segment metas, DDL
-    schedule, from_ts) — a restarted driver with the same checkpoint
-    reproduces exactly the remaining epochs (redo-applier analog,
-    pkg/applier/redo.go:162-230).
+    schedule, from_ts, syncpoint interval) — a restarted driver with the
+    same checkpoint reproduces exactly the remaining epochs (redo-applier
+    analog, pkg/applier/redo.go:162-230).
+
+    `syncpoint_interval` > 0 additionally cuts an epoch at every multiple
+    of the interval (cdc/owner syncpoint analog): each such boundary
+    commits a manifest whose watermark equals the aligned ts — a
+    consistent snapshot downstream checkers can pin.
     """
     if not segments:
         return []
     max_w = segments[-1].watermark_ts if upto_ts is None else upto_ts
     barriers = [b for b in registry.barriers() if from_ts < b <= max_w]
+    syncs = []
+    if syncpoint_interval > 0:
+        first = (from_ts // syncpoint_interval + 1) * syncpoint_interval
+        syncs = list(range(first, max_w + 1, syncpoint_interval))
 
-    # candidate boundaries: coalesced segment watermarks + all barriers
+    # candidate boundaries: coalesced segment watermarks + barriers + syncs
     wm = [s.watermark_ts for s in segments if from_ts < s.watermark_ts <= max_w]
     coalesced = wm[min(max_segments_per_epoch, len(wm)) - 1::max_segments_per_epoch]
     if wm and (not coalesced or coalesced[-1] != wm[-1]):
         coalesced.append(wm[-1])
-    bounds = sorted(set(coalesced) | set(barriers))
+    bounds = sorted(set(coalesced) | set(barriers) | set(syncs))
 
     epochs = []
     lo = from_ts
