@@ -228,6 +228,49 @@ def test_knn_lsh_recall_and_validity():
     assert set(zip(lean["query_id"], lean["vec_id"])) == a
 
 
+def test_knn_ivf_recall_and_validity():
+    """IVF ANN: valid ids, contiguous ranks, ≥0.8 per-query recall even on
+    uniform-random embeddings (deterministic: fixed kmeans/query seeds)."""
+    from tiflow_ray.queries import q_knn_ivf, q_knn_search
+    approx = q_knn_ivf(SF)
+    exact = q_knn_search(SF)
+    for q, grp in approx.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["vec_id"] != q).all()
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    assert len(a & e) / len(e) >= 0.8
+    assert (approx["recall_pct"] >= 70).all()
+
+
+def test_ivf_clustered_prunes_hard():
+    """The regime IVF exists for: clustered corpus → tiny nprobe/cells
+    scans a small fraction and still recovers the true neighbors."""
+    from tiflow_ray.functions.similarity import kmeans_cosine, normalize_rows
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)) * 4
+    x = np.vstack([c + rng.standard_normal((200, 32)) for c in centers])
+    c = kmeans_cosine(x[rng.choice(len(x), 400, replace=False)], 8)
+    xn = normalize_rows(x)
+    assign = np.argmax(xn @ c.T, axis=1)
+    # probe only the single nearest cell per query → scan ~1/8 of corpus
+    recs, fracs = [], []
+    for q in range(5):
+        qc = np.argmax(xn[q] @ c.T)
+        hit = (assign == qc)
+        hit[q] = False
+        cand = np.flatnonzero(hit)
+        fracs.append(len(cand) / len(x))
+        sims = xn[cand] @ xn[q]
+        got = set(cand[np.argsort(-sims)[:10]])
+        s = xn @ xn[q]
+        s[q] = -2
+        truth = set(np.argsort(-s)[:10])
+        recs.append(len(got & truth) / 10)
+    assert np.mean(fracs) < 0.25          # scans a small fraction
+    assert np.mean(recs) >= 0.9           # and still finds the neighbors
+
+
 def test_asof_and_sessionize_shapes():
     from tiflow_ray.queries import q_asof_join, q_sessionize
     asof = q_asof_join(SF)
