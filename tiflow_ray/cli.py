@@ -48,6 +48,12 @@ def main(argv=None):
     r.add_argument("--max-epochs", type=int, default=None)
     r.add_argument("--sink-mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--segments-per-epoch", type=int, default=8)
+    r.add_argument("--syncpoint-interval", type=int, default=0,
+                   help="emit a consistent-snapshot manifest every N ts")
+    r.add_argument("--online-validate", action="store_true",
+                   help="md5-verify touched partition chains each epoch")
+    r.add_argument("--auto-salt", action="store_true",
+                   help="dynamic hot-key detection + salted pre-reduce")
 
     c = sub.add_parser("compact")   # offline/background MoR compaction
     c.add_argument("--lake", required=True)
@@ -98,7 +104,10 @@ def main(argv=None):
     elif a.cmd == "replay":
         cfg = ReplayConfig(wal_dir=a.wal, lake_dir=a.lake,
                            num_partitions=a.partitions, sink_mode=a.sink_mode,
-                           max_segments_per_epoch=a.segments_per_epoch)
+                           max_segments_per_epoch=a.segments_per_epoch,
+                           syncpoint_interval=a.syncpoint_interval,
+                           online_validate=a.online_validate,
+                           auto_salt=a.auto_salt)
         rp.bootstrap(cfg)  # no-op if already bootstrapped
         res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
         print(json.dumps({"epochs": len(res.epochs), "events": res.events}))

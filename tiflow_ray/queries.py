@@ -671,8 +671,18 @@ def q_sql_apply(sf_dir: str) -> pa.Table:
     con.execute("INSERT INTO target SELECT doc_id, tokens, n_tok, source "
                 f"FROM read_parquet('{os.path.join(root, 'base')}"
                 "/part=*/*.parquet', hive_partitioning=false)")
-    for s in stmts["stmt"]:
-        con.execute(s)
+    # Statement streams apply per partition, in (part, seq) order — the
+    # reference's dmlWorkers each flush their batch inside a txn
+    # (mysql.go:525-608) and partitions touch disjoint key sets (hash
+    # co-partitioning), so per-partition transactions are the real-target
+    # design. DuckDB however cannot run the duckdb-dialect REPLACE
+    # emulation (delete-then-insert of the SAME pk) inside one txn — its
+    # documented ART-index limitation raises a spurious duplicate-key —
+    # so this harness applies autocommit; the safe-mode statements are
+    # individually idempotent, which is what a retry relies on anyway.
+    for _, grp in stmts.groupby("part", sort=True):
+        for s in grp["stmt"]:
+            con.execute(s)
     return con.execute("SELECT doc_id, tokens, n_tok, source FROM target "
                        "ORDER BY doc_id").arrow()
 
