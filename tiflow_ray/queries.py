@@ -1097,6 +1097,57 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: hopping window: 3-day windows sliding by 1 day (size = 3 × step keeps
+#: membership exact: every event falls in exactly 3 windows)
+_HOP_STEP_US = 86_400_000_000
+_HOP_K = 3
+
+
+def q_window_hopping(sf_dir: str) -> pd.DataFrame:
+    """§2.9 windows, hopping/sliding form: 3-day windows every 1 day —
+    each event explodes into its 3 covering windows IN THE BATCH (numpy
+    tile, no join), partial (count, sum) combine per batch, then ONE
+    groupby of thin partials. The overlap factor is a constant (size/step),
+    so shuffle volume is 3× the tumbling case, never O(size) — the
+    standard hopping-window decomposition."""
+    ds = _ds(sf_dir, "events", ["ts", "value"])
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        val = t["value"].to_numpy()
+        base = us // _HOP_STEP_US
+        starts = np.concatenate([(base - g) * _HOP_STEP_US
+                                 for g in range(_HOP_K)])
+        # integer cents: float sums re-associate differently across
+        # engines and break the hash compare; cents sum exactly
+        vals = np.tile(np.round(val * 100).astype(np.int64), _HOP_K)
+        df = pd.DataFrame({"wstart": starts, "v": vals})
+        g = df.groupby("wstart", sort=False)
+        return pa.table({
+            "wstart": pa.array(list(g.groups), pa.int64()),
+            "n": pa.array(g["v"].size().to_numpy(), pa.int64()),
+            "total_cents": pa.array(g["v"].sum().to_numpy(), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(explode_partial, batch_format="pyarrow") \
+            .groupby("wstart") \
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("total_cents", alias_name="total_cents")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values("wstart").reset_index(drop=True)
+
+
+_WINDOW_HOP_SQL = f"""
+SELECT (epoch_us(ts) // {_HOP_STEP_US} - g) * {_HOP_STEP_US} AS wstart,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events, (SELECT unnest(range(0, {_HOP_K})) AS g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_chunk_checksum(sf_dir: str) -> pd.DataFrame:
     """A4 (sync_diff): per-bucket row count + XOR-of-md5 checksum — partials
     per batch, exact merge (XOR/+ associative)."""
@@ -2044,6 +2095,7 @@ REGISTRY: dict[str, tuple] = {
     "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),
     "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
     "window_tumbling": (q_window_tumbling, _WINDOW_SQL),
+    "window_hopping": (q_window_hopping, _WINDOW_HOP_SQL),
     "asof_join": (q_asof_join, _ASOF_SQL),
     "sessionize": (q_sessionize, _SESSION_SQL),
     "knn_lsh": (q_knn_lsh, None),
