@@ -248,6 +248,58 @@ def test_expr_filter_pre_image_and_matcher():
     assert keep2 == [False, False, False, True, True]
 
 
+def test_declarative_toml_config(t1_noddl_fixture, tmp_path):
+    """§2.10: the TOML surface users actually write — expr-filter +
+    binlog-filter rule tables load into typed rule objects; a replay
+    driven by the file equals one driven by the equivalent Python rules."""
+    from tiflow_ray.config import load_config
+    from tiflow_ray.stages.expr_filter import ExprFilterRule
+    root, reg, *_ = t1_noddl_fixture
+    toml = tmp_path / "changefeed.toml"
+    toml.write_text(f"""
+wal_dir = "{root}/wal"
+num_partitions = 8
+ignore_sources = ["web"]
+syncpoint_interval = 0
+
+[[expr_filter_rules]]
+matcher = "documents"
+ignore_insert = "n_tok >= 40"
+ignore_update_new = "n_tok >= 40"
+
+[[binlog_filter_rules]]
+schema_pattern = "db.*"
+table_pattern = "click"
+events = ["update"]
+action = "Ignore"
+""")
+    cfg = load_config(str(toml), lake_dir=str(tmp_path / "lake_toml"))
+    assert cfg.num_partitions == 8
+    assert cfg.ignore_sources == frozenset({"web"})
+    assert cfg.expr_filter_rules[0].ignore_insert == "n_tok >= 40"
+    assert not cfg.binlog_filter.keep("db1", "click", "update")
+    assert cfg.binlog_filter.keep("db1", "view", "update")
+
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay(cfg)
+    ref_cfg = ReplayConfig(
+        wal_dir=f"{root}/wal", lake_dir=str(tmp_path / "lake_py"),
+        num_partitions=8, ignore_sources=frozenset({"web"}),
+        expr_filter_rules=(ExprFilterRule(matcher="documents",
+                                          ignore_insert="n_tok >= 40",
+                                          ignore_update_new="n_tok >= 40"),))
+    rp.bootstrap(ref_cfg, base_dir=f"{root}/base")
+    rp.run_replay(ref_cfg)
+    assert rp.lake_to_table(cfg.lake_dir, cfg.wal_dir).equals(
+        rp.lake_to_table(ref_cfg.lake_dir, ref_cfg.wal_dir))
+
+    import pytest
+    bad = tmp_path / "bad.toml"
+    bad.write_text("wal_dri = 'typo'\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        load_config(str(bad))
+
+
 def test_diff_validator_finds_planted_differences(t1_noddl_fixture, tmp_path):
     import ray.data
     from tiflow_ray.functions.diff import diff_tables

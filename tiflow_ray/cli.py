@@ -54,6 +54,9 @@ def main(argv=None):
                    help="md5-verify touched partition chains each epoch")
     r.add_argument("--auto-salt", action="store_true",
                    help="dynamic hot-key detection + salted pre-reduce")
+    r.add_argument("--config", default=None,
+                   help="TOML/JSON declarative config (changefeed/task "
+                        "config analog); CLI flags override file values")
 
     c = sub.add_parser("compact")   # offline/background MoR compaction
     c.add_argument("--lake", required=True)
@@ -102,12 +105,16 @@ def main(argv=None):
         m = rp.bootstrap(cfg, base_dir=a.base)
         print(json.dumps({"epoch": m.epoch, "parts": len(m.parts)}))
     elif a.cmd == "replay":
-        cfg = ReplayConfig(wal_dir=a.wal, lake_dir=a.lake,
-                           num_partitions=a.partitions, sink_mode=a.sink_mode,
-                           max_segments_per_epoch=a.segments_per_epoch,
-                           syncpoint_interval=a.syncpoint_interval,
-                           online_validate=a.online_validate,
-                           auto_salt=a.auto_salt)
+        kw = dict(wal_dir=a.wal, lake_dir=a.lake,
+                  num_partitions=a.partitions, sink_mode=a.sink_mode,
+                  max_segments_per_epoch=a.segments_per_epoch,
+                  syncpoint_interval=a.syncpoint_interval,
+                  online_validate=a.online_validate, auto_salt=a.auto_salt)
+        if a.config:
+            from .config import load_config
+            cfg = load_config(a.config, **kw)
+        else:
+            cfg = ReplayConfig(**kw)
         rp.bootstrap(cfg)  # no-op if already bootstrapped
         res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
         print(json.dumps({"epochs": len(res.epochs), "events": res.events}))

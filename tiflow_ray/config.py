@@ -111,3 +111,66 @@ class ReplayConfig:
     # for insert/update-old/update-new/delete images, DuckDB-evaluated per
     # batch; composes (AND) with event_predicate when both are set
     expr_filter_rules: tuple = ()
+
+    # declarative M7 (pkg/binlog-filter analog): a stages.binlog_filter
+    # .BinlogFilter for pipelines routing multi-table streams (the replay
+    # engine's single-table frames carry no schema/table columns; mq/router
+    # pipelines consume this)
+    binlog_filter: object | None = None
+
+
+def load_config(path: str, **overrides) -> ReplayConfig:
+    """Declarative config file → ReplayConfig (the TOML/JSON surface users
+    of the reference actually write — changefeed/task config analog,
+    pkg/config/ + dm task YAML). Supports .toml (stdlib tomllib) and
+    .json. Nested rule tables become typed rule objects:
+
+        [[expr_filter_rules]]                 # pkg/filter/expr_filter.go
+        matcher = "documents"
+        ignore_insert = "n_tok >= 40"
+
+        [[binlog_filter_rules]]               # pkg/binlog-filter
+        schema_pattern = "db.*"
+        table_pattern = "click|view"
+        events = ["update"]
+        action = "Ignore"
+
+    binlog_filter_rules compile into cfg.binlog_filter (a BinlogFilter)
+    for pipelines that route multi-table streams. Keyword `overrides` win
+    over file values (CLI flags)."""
+    import json as _json
+    import os as _os
+
+    if path.endswith(".toml"):
+        import tomllib
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+    elif path.endswith(".json"):
+        with open(path) as f:
+            raw = _json.load(f)
+    else:
+        raise ValueError(f"config must be .toml or .json: {path}")
+
+    from .stages.binlog_filter import BinlogFilter, FilterRule
+    from .stages.expr_filter import ExprFilterRule
+
+    expr_rules = tuple(ExprFilterRule(**r)
+                       for r in raw.pop("expr_filter_rules", []))
+    blg = raw.pop("binlog_filter_rules", [])
+    binlog = BinlogFilter([FilterRule(r["schema_pattern"], r["table_pattern"],
+                                      tuple(r.get("events", ("all",))),
+                                      r.get("action", "Ignore"))
+                           for r in blg]) if blg else None
+    if "ignore_sources" in raw:
+        raw["ignore_sources"] = frozenset(raw["ignore_sources"])
+    raw.update(overrides)
+    known = {f for f in ReplayConfig.__dataclass_fields__}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"unknown config keys in {_os.path.basename(path)}: "
+                         f"{sorted(unknown)}")
+    if expr_rules:
+        raw["expr_filter_rules"] = expr_rules
+    if binlog is not None:
+        raw["binlog_filter"] = binlog
+    return ReplayConfig(**raw)
