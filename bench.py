@@ -92,10 +92,10 @@ def bench_queries(sf_dir: str) -> dict:
     for name in ["text_stats", "doc_fingerprint", "doc_fingerprint_fast",
                  "hash_embed", "hash_embed_fast", "dedup_minhash",
                  "dedup_simhash", "dedup_embed", "knn_search", "knn_lsh",
-                 "agg_partial", "lww_compact"]:
+                 "knn_ivf", "agg_partial", "lww_compact"]:
         fn = Q.REGISTRY[name][0]
         t0 = time.perf_counter()
-        if name == "knn_lsh":
+        if name in ("knn_lsh", "knn_ivf"):
             fn(sf_dir, with_recall=False)   # skip the diagnostic brute pass
         else:
             fn(sf_dir)
