@@ -26,13 +26,13 @@ def _wal_as(src_root, dst_root, reg, fmt):
 
 
 def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
-    """M9/M10: jsonl, csv, canal-json, debezium, open-protocol, maxwell and
-    simple change files all replay to the exact same lake state as the
-    parquet WAL (reference-format compat, S6) — 8-format parity."""
+    """M9/M10: jsonl, csv, canal-json, debezium, open-protocol, maxwell,
+    simple and avro change files all replay to the exact same lake state as
+    the parquet WAL (reference-format compat, S6) — 9-format parity."""
     root, reg, *_ = t1_noddl_fixture
     lakes = {}
     for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium",
-                "open_protocol", "maxwell", "simple"):
+                "open_protocol", "maxwell", "simple", "avro"):
         if fmt == "parquet":
             wal = f"{root}/wal"
         else:
@@ -47,6 +47,33 @@ def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
     exp = oracle.replay_to_table(root, reg)
     for fmt, t in lakes.items():
         assert t.equals(exp), f"{fmt} lake diverged from oracle"
+
+
+def test_avro_codec_roundtrip():
+    """Self-contained Avro OCF (public 1.11 spec byte layout): zigzag
+    varints, null-union branches, array blocks, embedded writer schema,
+    sync markers — bit-exact table roundtrip incl. nulls, negatives,
+    empty arrays and embedded newlines (binary format: no line framing)."""
+    from tiflow_ray.sources.codecs import decode_avro, encode_avro
+    t = pa.table({
+        "op": pa.array([3, 1, 2], pa.uint8()),
+        "commit_ts": pa.array([10, 11, 12], pa.uint64()),
+        "start_ts": pa.array([9, 10, 11], pa.uint64()),
+        "doc_id": pa.array(['d"q', None, "d3"]),
+        "tokens": pa.array([[1, 2, 3], [], None], pa.list_(pa.int32())),
+        "pre_tokens": pa.array([None, [5], None], pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 0, None], pa.int32()),
+        "source": pa.array(["web", None, "x\ny"]),
+        "schema_ver": pa.array([1, 1, 2], pa.int32()),
+    })
+    blob = encode_avro(t, block_rows=2)   # force multi-block
+    assert blob[:4] == b"Obj\x01"
+    got = decode_avro(blob, list(t.column_names))
+    assert got.equals(t)
+    # schema-file consistency check: wrong column order fails loudly
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        decode_avro(blob, list(reversed(t.column_names)))
 
 
 def test_csv_codec_roundtrip_quoting():

@@ -390,6 +390,10 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             from .sources.codecs import encode_simple
             with open(os.path.join(wal_dir, f"seq={s:05d}.simple.jsonl"), "w") as f:
                 f.write(encode_simple(seg))
+        elif fmt == "avro":
+            from .sources.codecs import encode_avro
+            with open(os.path.join(wal_dir, f"seq={s:05d}.avro"), "wb") as f:
+                f.write(encode_avro(seg))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),

@@ -474,6 +474,214 @@ def decode_simple_lines(lines: list[str], columns: list[str]) -> pa.Table:
     return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
 
 
+# ---------------------------------------------------------------------------
+# avro (Object Container File, self-contained — no avro library in sandbox)
+# ---------------------------------------------------------------------------
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def _avro_zigzag_write(buf: bytearray, n: int) -> None:
+    """Avro long: zigzag + base-128 varint (Avro 1.11 spec, 'Binary
+    encoding / primitive types' — public spec, not reference code)."""
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _avro_zigzag_read(data: bytes, pos: int) -> tuple[int, int]:
+    shift = z = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _avro_field_type(col: str, arrow_type: pa.DataType | None) -> object:
+    """Column → avro schema type. Key columns fixed; others inferred from
+    the arrow type (matching _typed_column's decode contract)."""
+    if col == "op":
+        return "int"
+    if col in ("commit_ts", "start_ts"):
+        return "long"
+    if col == "schema_ver":
+        return "int"
+    if col in _LIST_COLS:
+        return ["null", {"type": "array", "items": "int"}]
+    if col in _INT_COLS:
+        return ["null", "long"]
+    # everything else travels as nullable string — the same canonical
+    # contract _typed_column applies on every decode path
+    return ["null", "string"]
+
+
+def _avro_schema_json(columns: list[str], schema: pa.Schema | None) -> str:
+    fields = []
+    for c in columns:
+        at = schema.field(c).type if schema is not None else None
+        fields.append({"name": c, "type": _avro_field_type(c, at)})
+    return json.dumps({"type": "record", "name": "ChangeEvent",
+                       "namespace": "tiflow_ray", "fields": fields},
+                      sort_keys=True)
+
+
+def encode_avro(t: pa.Table, block_rows: int = 4096) -> bytes:
+    """Event table → one Avro Object Container File (null codec).
+
+    Mirrors the reference's avro protocol slot
+    (pkg/sink/codec/avro/avro.go; protocol enum
+    pkg/config/sink_protocol.go:33-42) at the format level: self-describing
+    binary change file whose schema travels in the file header — the
+    schema-registry mechanism collapsed to the embedded-writer-schema form
+    the OCF spec defines. Byte layout follows the PUBLIC Avro 1.11 spec
+    only. The sync marker is derived deterministically from the schema so
+    encode is reproducible."""
+    import hashlib
+
+    cols = list(t.column_names)
+    schema_json = _avro_schema_json(cols, t.schema)
+    sync = hashlib.md5(schema_json.encode()).digest()
+
+    out = bytearray()
+    out += _AVRO_MAGIC
+    # file metadata: map<string, bytes> — one block of 2 entries, then 0
+    meta = {"avro.schema": schema_json.encode(),
+            "avro.codec": b"null"}
+    _avro_zigzag_write(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _avro_zigzag_write(out, len(kb)); out += kb
+        _avro_zigzag_write(out, len(v)); out += v
+    out.append(0)            # end of metadata map
+    out += sync
+
+    rows = t.to_pylist()
+    ftypes = [(c, _avro_field_type(c, t.schema.field(c).type))
+              for c in cols]
+    for a in range(0, len(rows) or 1, block_rows):
+        chunk = rows[a:a + block_rows]
+        if not chunk:
+            break
+        block = bytearray()
+        for row in chunk:
+            for c, ft in ftypes:
+                v = row.get(c)
+                if ft == "int" or ft == "long":
+                    _avro_zigzag_write(block, int(v))
+                elif isinstance(ft, list):            # ["null", T]
+                    if v is None:
+                        block.append(0)               # union branch 0 = null
+                        continue
+                    _avro_zigzag_write(block, 1)      # union branch 1
+                    inner = ft[1]
+                    if inner == "long" or inner == "int":
+                        _avro_zigzag_write(block, int(v))
+                    elif inner == "string":
+                        sb = str(v).encode()
+                        _avro_zigzag_write(block, len(sb)); block += sb
+                    else:                             # array<int>
+                        if len(v):
+                            _avro_zigzag_write(block, len(v))
+                            for x in v:
+                                _avro_zigzag_write(block, int(x))
+                        block.append(0)               # array terminator
+                else:
+                    raise AssertionError(f"unhandled avro type {ft}")
+        _avro_zigzag_write(out, len(chunk))
+        _avro_zigzag_write(out, len(block))
+        out += block
+        out += sync
+    return bytes(out)
+
+
+def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Avro OCF bytes → canonical typed event table. Self-describing: the
+    writer schema in the header drives field order/types; `columns`, when
+    given (segment meta), must agree — the schema-file consistency check."""
+    assert data[:4] == _AVRO_MAGIC, "not an avro object container file"
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _avro_zigzag_read(data, pos)
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            if n < 0:                   # negative block count: skip size
+                _, pos = _avro_zigzag_read(data, pos)
+            kl, pos = _avro_zigzag_read(data, pos)
+            k = data[pos:pos + kl].decode(); pos += kl
+            vl, pos = _avro_zigzag_read(data, pos)
+            meta[k] = data[pos:pos + vl]; pos += vl
+    assert meta.get("avro.codec", b"null") == b"null", "only null codec"
+    schema = json.loads(meta["avro.schema"].decode())
+    sync = data[pos:pos + 16]; pos += 16
+
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    fcols = [name for name, _ in fields]
+    if columns:
+        assert list(columns) == fcols, \
+            f"segment meta columns {columns} != avro writer schema {fcols}"
+    cols = {c: [] for c in fcols}
+    while pos < len(data):
+        count, pos = _avro_zigzag_read(data, pos)
+        _size, pos = _avro_zigzag_read(data, pos)
+        for _ in range(count):
+            for name, ft in fields:
+                if ft == "int" or ft == "long":
+                    v, pos = _avro_zigzag_read(data, pos)
+                else:                                 # ["null", T] union
+                    branch, pos = _avro_zigzag_read(data, pos)
+                    if branch == 0:
+                        v = None
+                    else:
+                        inner = ft[1]
+                        if inner in ("long", "int"):
+                            v, pos = _avro_zigzag_read(data, pos)
+                        elif inner == "string":
+                            ln, pos = _avro_zigzag_read(data, pos)
+                            v = data[pos:pos + ln].decode(); pos += ln
+                        else:                         # array<int>
+                            v = []
+                            while True:
+                                bc, pos = _avro_zigzag_read(data, pos)
+                                if bc == 0:
+                                    break
+                                if bc < 0:            # block size present
+                                    _, pos = _avro_zigzag_read(data, pos)
+                                    bc = -bc
+                                for _i in range(bc):
+                                    x, pos = _avro_zigzag_read(data, pos)
+                                    v.append(x)
+                cols[name].append(v)
+        assert data[pos:pos + 16] == sync, "sync marker mismatch"
+        pos += 16
+    return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
+class AvroFileDecoder:
+    """map_batches callable over `read_binary_files` batches (one WAL
+    segment file per row): decode each OCF payload and concat."""
+
+    def __init__(self, columns: list[str]):
+        self.columns = list(columns)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        tables = [decode_avro(b, self.columns) for b in batch["bytes"]]
+        if tables:
+            return pa.concat_tables(tables)
+        return pa.table({c: _typed_column([], c) for c in self.columns})
+
+
 class ChangeFileDecoder:
     """map_batches callable over `read_text` batches: decode csv/canal-json
     lines into the canonical typed event table. Constructed per epoch with

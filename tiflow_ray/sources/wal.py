@@ -60,7 +60,8 @@ def list_segments(wal_dir: str) -> list[Segment]:
                "debezium": ".dbz.jsonl",
                "open_protocol": ".open.jsonl",
                "maxwell": ".maxwell.jsonl",
-               "simple": ".simple.jsonl"}[fmt]
+               "simple": ".simple.jsonl",
+               "avro": ".avro"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
                             m["max_ts"], m["rows"], fmt,
