@@ -157,3 +157,145 @@ def test_divergent_shard_ddl_schedule_rejected(tmp_path):
     rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
     with pytest.raises(ValueError, match="DDL schedule"):
         rp.run_replay_sharded(cfg, wal_dirs)
+
+
+# ---------------------------------------------------------------------------
+# optimistic shard-DDL coordination (dm/pkg/shardddl/optimism analog)
+# ---------------------------------------------------------------------------
+
+OPT_BARRIERS = (4_000, 5_000, 6_000)   # each shard adds `lang` at its own ts
+
+
+def _opt_shard_wal(root: str, shard: int, barrier: int) -> SchemaRegistry:
+    """Shard with its OWN add_column barrier: one pre- and one post-own-
+    barrier update per doc; `lang` images exist only post-own-barrier."""
+    registry = SchemaRegistry([DDL(barrier, "add_column", "lang:string",
+                                   "und", 2)])
+    docs = np.arange(shard * N_PER_SHARD, (shard + 1) * N_PER_SHARD)
+    rows = []
+    for d in docs:
+        rows.append((d, 1_000 + int(d) % N_PER_SHARD, 1))
+        rows.append((d, 7_000 + int(d) % N_PER_SHARD, 2))   # past ALL barriers
+        rows.append((d, barrier + 500 + int(d) % 256, 3))   # between barriers
+    rows.sort(key=lambda r: r[1])
+    n = len(rows)
+    ver = np.array([1 if r[1] <= barrier else 2 for r in rows], np.int32)
+    wal = pa.table({
+        "op": pa.array(np.full(n, 2, np.uint8)),
+        "commit_ts": pa.array(np.array([r[1] for r in rows], np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64) + shard * 10_000),
+        "doc_id": pa.array(fixtures.doc_name(
+            np.array([r[0] for r in rows], np.int64))),
+        "tokens": pa.array([[int(r[0]) * 10 + r[2]] for r in rows],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["bank"] * n),
+        "lang": pa.array([None if v == 1 else f"s{shard}" for v in ver],
+                         pa.string()),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "schema_ver": pa.array(ver),
+    })
+    fixtures.write_wal_segments(wal, os.path.join(root, f"wal_s{shard}"), 2,
+                                registry)
+    return registry
+
+
+def test_optimistic_divergent_barriers_match_sequential_oracle(tmp_path):
+    """Three shards apply the same logical add_column at DIFFERENT
+    barriers. The merged lake gains the column at the EARLIEST barrier;
+    events from shards that have not added it yet backfill the default.
+    Engine result must equal the independent sequential oracle."""
+    from tiflow_ray import oracle
+
+    root, _ = _setup(tmp_path)
+    regs = [_opt_shard_wal(root, s, OPT_BARRIERS[s]) for s in range(3)]
+    wal_dirs = [os.path.join(root, f"wal_s{s}") for s in range(3)]
+
+    # pessimistic mode must REJECT this divergence...
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=os.path.join(root, "lake_opt"),
+                       num_partitions=8, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    with pytest.raises(ValueError, match="different DDL schedule"):
+        rp.run_replay_sharded(cfg, wal_dirs)
+
+    # ...optimistic mode coordinates it
+    res = rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic")
+    assert res.epochs, "optimistic replay committed nothing"
+    merged = rp.merge_optimistic_registries(regs)
+    assert merged.ddls[0].barrier_ts == min(OPT_BARRIERS)   # earliest add
+    got = rp.lake_to_table(cfg.lake_dir)
+    exp = oracle.replay_optimistic_to_table(
+        root, wal_dirs, regs, merged)
+    assert got.equals(exp), "optimistic lake diverged from sequential oracle"
+    # spot invariants: between merged and own barrier the backfill default
+    # is visible only transiently; final winners (ts 7000+) carry own lang
+    langs = set(got["lang"].to_pylist())
+    assert langs == {"s0", "s1", "s2"}
+
+    # idempotence: re-run is a no-op and state is unchanged
+    res2 = rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic")
+    assert res2.epochs == []
+    assert rp.lake_to_table(cfg.lake_dir).equals(exp)
+
+
+def test_optimistic_mid_window_winner_gets_default_backfill(tmp_path):
+    """A doc whose LAST event lands between the merged (earliest) barrier
+    and its own shard's barrier must surface the column DEFAULT in the
+    final table — the optimism backfill rule, checked end-to-end."""
+    from tiflow_ray import oracle
+
+    root, _ = _setup(tmp_path)
+    regs = []
+    for s in range(3):
+        reg = SchemaRegistry([DDL(OPT_BARRIERS[s], "add_column",
+                                  "lang:string", "und", 2)])
+        docs = np.arange(s * N_PER_SHARD, (s + 1) * N_PER_SHARD)
+        n = len(docs)
+        # ONE event per doc at ts 4500: after shard0's barrier, before
+        # shard1/shard2's ⇒ shard0 events carry lang, others backfill 'und'
+        cts = np.full(n, 4_500, np.uint64) + (docs % 7).astype(np.uint64)
+        ver = np.array([2 if s == 0 else 1] * n, np.int32)
+        wal = pa.table({
+            "op": pa.array(np.full(n, 2, np.uint8)),
+            "commit_ts": pa.array(cts),
+            "start_ts": pa.array(np.arange(n, dtype=np.uint64) + s * 10_000),
+            "doc_id": pa.array(fixtures.doc_name(docs.astype(np.int64))),
+            "tokens": pa.array([[int(d)] for d in docs], pa.list_(pa.int32())),
+            "n_tok": pa.array(np.ones(n, np.int32)),
+            "source": pa.array(["bank"] * n),
+            "lang": pa.array(["s0" if s == 0 else None] * n, pa.string()),
+            "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "new_doc_id": pa.nulls(n, pa.string()),
+            "schema_ver": pa.array(ver),
+        })
+        fixtures.write_wal_segments(wal, os.path.join(root, f"wal_s{s}"), 2,
+                                    reg)
+        regs.append(reg)
+    wal_dirs = [os.path.join(root, f"wal_s{s}") for s in range(3)]
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=os.path.join(root, "lake_mid"),
+                       num_partitions=8)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic")
+    got = rp.lake_to_table(cfg.lake_dir)
+    merged = rp.merge_optimistic_registries(regs)
+    exp = oracle.replay_optimistic_to_table(root, wal_dirs, regs, merged)
+    assert got.equals(exp)
+    by_doc = dict(zip(got["doc_id"].to_pylist(), got["lang"].to_pylist()))
+    assert by_doc[f"doc-{0:012d}"] == "s0"                  # shard0: own image
+    assert by_doc[f"doc-{N_PER_SHARD:012d}"] == "und"       # shard1: backfill
+    assert by_doc[f"doc-{2 * N_PER_SHARD:012d}"] == "und"   # shard2: backfill
+
+
+def test_optimistic_rejects_divergent_logical_set_and_modify(tmp_path):
+    """Optimism coordinates WHEN, not WHAT: a shard missing a logical DDL
+    or carrying a type change is a real conflict and fails loudly."""
+    r1 = SchemaRegistry([DDL(100, "add_column", "lang:string", "und", 2)])
+    r2 = SchemaRegistry([DDL(200, "add_column", "extra:int32", "0", 2)])
+    with pytest.raises(ValueError, match="different logical DDL set"):
+        rp.merge_optimistic_registries([r1, r2])
+    r3 = SchemaRegistry([DDL(100, "modify_column", "n_tok:int64", None, 2)])
+    with pytest.raises(ValueError, match="add/drop only"):
+        rp.merge_optimistic_registries([r3, r3])

@@ -103,6 +103,82 @@ def replay(root: str, registry: SchemaRegistry,
     return rows
 
 
+def replay_optimistic(base_root: str, shard_wal_dirs: list[str],
+                      shard_regs: list[SchemaRegistry],
+                      merged_reg: SchemaRegistry,
+                      max_watermark: int | None = None) -> dict[str, dict]:
+    """Sequential oracle for OPTIMISTIC shard-merge (dm/pkg/shardddl/optimism
+    semantics): shards evolve schemas at their own barriers; the target
+    follows the synthesized (merged) schedule. An event's image is decoded
+    under its shard's OWN version at that ts — a column the merged schema
+    already has but the shard has not added yet backfills the merged
+    default (deletes carry no image). Independent of the engine's remount
+    path: row-at-a-time dict replay, judged against, never derived from."""
+    rows = load_base_rows(base_root)
+    events: list[tuple[dict, int]] = []
+    for si, d in enumerate(shard_wal_dirs):
+        for f in sorted(glob.glob(os.path.join(d, "seq=*.parquet"))):
+            for r in pq.read_table(f).to_pylist():
+                if max_watermark is None or r["commit_ts"] <= max_watermark:
+                    events.append((r, si))
+    events.sort(key=lambda e: (e[0]["commit_ts"], e[0]["start_ts"],
+                               e[0]["op"], e[0]["doc_id"]))
+
+    cur_ver = 1
+    barriers = [(d.barrier_ts, d.schema_ver) for d in merged_reg.ddls]
+
+    def image(ev: dict, shard: int) -> dict:
+        sreg = shard_regs[shard]
+        shard_cols = set(sreg.schema(sreg.version_at(ev["commit_ts"])).names)
+        defaults = merged_reg.defaults(cur_ver)
+        img = {}
+        for f in merged_reg.schema(cur_ver):
+            img[f.name] = (ev.get(f.name) if f.name in shard_cols
+                           else defaults.get(f.name))
+        img["doc_id"] = ev["doc_id"]
+        return img
+
+    for ev, shard in events:
+        while barriers and barriers[0][0] < ev["commit_ts"]:
+            _, ver = barriers.pop(0)
+            _cast_rows(rows, merged_reg, cur_ver, ver)
+            cur_ver = ver
+        op = ev["op"]
+        if op == OP_DELETE:
+            rows.pop(ev["doc_id"], None)
+        elif op == OP_INSERT:
+            rows[ev["doc_id"]] = image(ev, shard)
+        elif op == OP_UPDATE:
+            img = image(ev, shard)
+            if ev.get("new_doc_id"):
+                rows.pop(ev["doc_id"], None)
+                img["doc_id"] = ev["new_doc_id"]
+                rows[img["doc_id"]] = img
+            else:
+                rows[ev["doc_id"]] = img
+        else:
+            raise ValueError(f"bad op {op}")
+
+    for bts, ver in barriers:
+        if max_watermark is None or bts <= max_watermark:
+            _cast_rows(rows, merged_reg, cur_ver, ver)
+            cur_ver = ver
+    return rows
+
+
+def replay_optimistic_to_table(base_root: str, shard_wal_dirs: list[str],
+                               shard_regs: list[SchemaRegistry],
+                               merged_reg: SchemaRegistry,
+                               max_watermark: int | None = None) -> pa.Table:
+    rows = replay_optimistic(base_root, shard_wal_dirs, shard_regs,
+                             merged_reg, max_watermark)
+    final_ver = (merged_reg.max_ver if max_watermark is None
+                 else merged_reg.version_at(max_watermark + 1))
+    schema = merged_reg.schema(final_ver)
+    out = sorted(rows.values(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(out, schema=schema)
+
+
 def replay_to_table(root: str, registry: SchemaRegistry,
                     max_watermark: int | None = None) -> pa.Table:
     rows = replay(root, registry, max_watermark)

@@ -51,7 +51,7 @@ from ..stages.compact import assign_partition, compact_batch
 from ..stages.merge import MergeApply
 from ..stages.normalize import Normalize, epoch_event_columns
 from ..stages.update_split import split_updates
-from ..stages.schema_evo import SchemaRegistry
+from ..stages.schema_evo import DDL, SchemaRegistry
 from ..state.checkpoint import LakeState, Manifest
 
 
@@ -554,10 +554,212 @@ def _drive_epochs(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
     return result
 
 
+def merge_optimistic_registries(regs: list[SchemaRegistry]) -> SchemaRegistry:
+    """Synthesize the optimistic shard-merge target schema (DM's
+    dm/pkg/shardddl/optimism coordination, re-expressed for the lake):
+    every shard must eventually apply the same logical DDL set, but each at
+    its OWN binlog position. The synthesized schedule applies an
+    `add_column` at the EARLIEST shard barrier (rows from shards that have
+    not added it yet backfill the column default) and a `drop_column` at
+    the LATEST shard barrier (the column survives until the last shard
+    dropped it) — the lattice-join rule optimism's schema tracker computes.
+
+    Only add/drop are coordinated optimistically; a `modify_column` (type
+    change) is exactly the conflict optimism cannot auto-resolve and is
+    rejected, as is a shard whose logical DDL set diverges."""
+    def ident(d):
+        return (d.ddl_type, d.column, d.default)
+
+    for r in regs:
+        kinds = {d.ddl_type for d in r.ddls}
+        if not kinds <= {"add_column", "drop_column"}:
+            raise ValueError(
+                f"optimistic shard-merge coordinates add/drop only; got "
+                f"{kinds - {'add_column', 'drop_column'}}")
+        ids = [ident(d) for d in r.ddls]
+        assert len(ids) == len(set(ids)), "duplicate DDL within one shard"
+    ref = sorted(ident(d) for d in regs[0].ddls)
+    for i, r in enumerate(regs[1:], 1):
+        if sorted(ident(d) for d in r.ddls) != ref:
+            raise ValueError(
+                f"shard {i} declares a different logical DDL set than shard "
+                "0 — optimistic shard-merge requires eventually-identical "
+                "migrations (optimism's schema-compatibility rule)")
+    merged_bts = {}
+    for r in regs:
+        for d in r.ddls:
+            k = ident(d)
+            cur = merged_bts.get(k)
+            pick = min if d.ddl_type == "add_column" else max
+            merged_bts[k] = d.barrier_ts if cur is None else pick(cur, d.barrier_ts)
+    ordered = sorted(merged_bts.items(), key=lambda kv: (kv[1], kv[0][1]))
+    return SchemaRegistry([
+        DDL(bts, t, col, dflt, i + 2)
+        for i, ((t, col, dflt), bts) in enumerate(ordered)])
+
+
+def _remount_table(t: pa.Table, shard_reg: SchemaRegistry,
+                   merged_reg: SchemaRegistry) -> pa.Table:
+    """Re-mount one shard segment's events under the synthesized schema
+    (the optimistic syncer's event rewrite): per event, image columns the
+    shard has at its own version pass through; columns the merged schema
+    already has but this shard has not added yet are backfilled with the
+    merged default (null for deletes — deletes carry no image); columns
+    outside the merged version at that ts ride as null (never projected).
+    `schema_ver` is rewritten to the merged version. Vectorized over runs
+    of constant (shard_ver, merged_ver) — almost always one run/segment."""
+    from ..model import OP_DELETE
+    from ..stages.normalize import EVENT_KEY_COLS
+
+    t = t.take(pc.sort_indices(t, sort_keys=[("commit_ts", "ascending"),
+                                             ("start_ts", "ascending")]))
+    n = t.num_rows
+
+    # superset image fields: v1 columns + every merged add, in merged order
+    sup = list(merged_reg.schema(1))
+    seen = {f.name for f in sup}
+    for d in merged_reg.ddls:
+        if d.ddl_type == "add_column" and d.col_name not in seen:
+            sup.append(pa.field(d.col_name, d.col_type))
+            seen.add(d.col_name)
+    sup = [f for f in sup if f.name != "doc_id"]
+
+    if n == 0:   # resolved-ts heartbeat: emit the uniform superset layout
+        cols, names = [], []
+        for c in EVENT_KEY_COLS + ["pre_tokens"]:
+            if c in t.column_names:
+                names.append(c); cols.append(t[c])
+        for f in sup:
+            names.append(f.name); cols.append(pa.nulls(0, f.type))
+        names.append("schema_ver"); cols.append(pa.nulls(0, pa.int32()))
+        return pa.Table.from_arrays(cols, names=names)
+
+    cts = t["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def vers(reg):
+        bar = np.array(reg.barriers(), np.int64)
+        if not len(bar):
+            return np.ones(n, np.int64)
+        return 1 + (cts[:, None] > bar[None, :]).sum(axis=1)
+    s_ver, m_ver = vers(shard_reg), vers(merged_reg)
+
+    key = s_ver * (int(m_ver.max()) + 1) + m_ver
+    cuts = (np.flatnonzero(np.diff(key)) + 1).tolist()
+    pieces = []
+    for a, b in zip([0] + cuts, cuts + [n]):
+        sub = t.slice(a, b - a)
+        sv, mv = int(s_ver[a]), int(m_ver[a])
+        shard_cols = set(shard_reg.schema(sv).names)
+        merged_cols = set(merged_reg.schema(mv).names)
+        defaults = merged_reg.defaults(mv)
+        cols, names = [], []
+        for c in EVENT_KEY_COLS + ["pre_tokens"]:
+            if c in sub.column_names:
+                names.append(c); cols.append(sub[c])
+        for f in sup:
+            names.append(f.name)
+            if f.name in shard_cols and f.name in sub.column_names:
+                col = sub[f.name]
+                cols.append(col.cast(f.type) if col.type != f.type else col)
+            elif f.name in merged_cols and defaults.get(f.name) is not None:
+                fill = pa.array([defaults[f.name]] * sub.num_rows)
+                if fill.type != f.type:
+                    fill = fill.cast(f.type)
+                not_del = pc.not_equal(sub["op"], pa.scalar(OP_DELETE, pa.uint8()))
+                cols.append(pc.if_else(not_del, fill, pa.nulls(sub.num_rows, f.type)))
+            else:
+                cols.append(pa.nulls(sub.num_rows, f.type))
+        names.append("schema_ver")
+        cols.append(pa.array(np.full(sub.num_rows, mv, np.int32)))
+        pieces.append(pa.Table.from_arrays(cols, names=names))
+    return pa.concat_tables(pieces) if pieces else t
+
+
+def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
+                           upto_ts: int | None) -> ReplayResult:
+    """Optimistic shard-merge: synthesize the merged registry, re-mount
+    each shard's segments under it (one distributed task per segment,
+    idempotent — the meta file is the done marker, written after the data),
+    then drive the standard epoch engine over the union. The remount dir
+    lives inside the lake (shared storage, like everything the sink
+    writes), so resume skips already-remounted segments."""
+    import json as _json
+
+    lake = LakeState(cfg.lake_dir)
+    regs = [load_registry(d) for d in wal_dirs]
+    merged = merge_optimistic_registries(regs)
+    prev = lake.latest()
+    assert prev is not None, "call bootstrap() first"
+
+    shard_segs = [list_segments(d) for d in wal_dirs]
+    if any(not s for s in shard_segs):    # empty shard holds the frontier
+        return ReplayResult()
+    frontier = min(s[-1].watermark_ts for s in shard_segs)
+    if upto_ts is not None:
+        frontier = min(frontier, upto_ts)
+
+    remount_root = os.path.join(cfg.lake_dir, "_remount")
+    items = []
+    for i, segs in enumerate(shard_segs):
+        outd = os.path.join(remount_root, f"shard{i}")
+        os.makedirs(outd, exist_ok=True)
+        for s in segs:
+            assert s.format == "parquet", \
+                "optimistic shard-merge expects parquet WAL shards"
+            dst = os.path.join(outd, f"seq={s.seq:05d}.parquet")
+            if os.path.exists(dst.replace(".parquet", ".meta.json")):
+                continue
+            items.append({"src": s.path, "dst": dst,
+                          "shard_reg": regs[i].to_json(),
+                          "meta": _json.dumps({
+                              "seq": s.seq, "watermark_ts": s.watermark_ts,
+                              "min_ts": s.min_ts, "max_ts": s.max_ts,
+                              "rows": s.rows, "format": "parquet"})})
+    if items:
+        merged_json = merged.to_json()
+
+        def remount_write(tb: pa.Table) -> pa.Table:
+            out = []
+            for row in tb.to_pylist():
+                seg = pq.read_table(row["src"])
+                rt = _remount_table(
+                    seg, SchemaRegistry.from_json(row["shard_reg"]),
+                    SchemaRegistry.from_json(merged_json))
+                tmp = row["dst"] + f".tmp.{os.getpid()}"
+                pq.write_table(rt, tmp, row_group_size=32768)
+                os.replace(tmp, row["dst"])
+                meta = _json.loads(row["meta"])
+                meta["columns"] = rt.column_names
+                mp = row["dst"].replace(".parquet", ".meta.json")
+                with open(mp + ".tmp", "w") as f:
+                    _json.dump(meta, f)
+                os.replace(mp + ".tmp", mp)   # done marker: meta after data
+                out.append({"dst": row["dst"], "rows": rt.num_rows})
+            return pa.Table.from_pylist(out)
+
+        ray.data.from_items(items).map_batches(
+            remount_write, batch_format="pyarrow", batch_size=1).materialize()
+        with open(os.path.join(remount_root, "ddl.json"), "w") as f:
+            f.write(merged.to_json())
+
+    merged_segs = sorted(
+        (seg for i in range(len(wal_dirs))
+         for seg in list_segments(os.path.join(remount_root, f"shard{i}"))),
+        key=lambda s: (s.watermark_ts, s.path))
+    epochs = plan_epochs(merged_segs, merged, from_ts=prev.watermark_ts,
+                         max_segments_per_epoch=cfg.max_segments_per_epoch,
+                         upto_ts=frontier,
+                         syncpoint_interval=cfg.syncpoint_interval)
+    return _drive_epochs(cfg, lake, merged, prev, epochs)
+
+
 def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
-                       upto_ts: int | None = None) -> ReplayResult:
+                       upto_ts: int | None = None,
+                       mode: str = "pessimistic") -> ReplayResult:
     """Shard-merge replay (dm/syncer/shardddl pessimistic coordination
     analog): N upstream WAL streams merge into ONE target table.
+    `mode="optimistic"` instead coordinates divergent per-shard DDL
+    schedules via the synthesized merged schema (see
+    merge_optimistic_registries / _run_replay_optimistic).
 
     - All shards must declare the SAME DDL schedule; a divergent schedule
       is exactly the conflict the pessimist blocks on — rejected upfront
@@ -572,6 +774,9 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
       ordering needs no cross-shard coordination because the compactor
       sorts by (commit_ts, start_ts) globally after the shuffle.
     """
+    assert mode in ("pessimistic", "optimistic"), mode
+    if mode == "optimistic":
+        return _run_replay_optimistic(cfg, wal_dirs, upto_ts)
     lake = LakeState(cfg.lake_dir)
     registries = [load_registry(d) for d in wal_dirs]
     ref = registries[0].to_json()

@@ -296,6 +296,86 @@ def q_cdc_replay_sharded(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir, wal_dirs[0])
 
 
+_CDC_REPLAY_OPTIMISTIC_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS ({_WAL_SQL}),
+bar AS (SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) * 2 // 5 AS b0,
+               min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) * 3 // 5 AS b1
+        FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT COALESCE(win.doc_id, base.doc_id) AS doc_id,
+       CASE WHEN win.doc_id IS NULL THEN base.tokens ELSE win.tokens END AS tokens,
+       CASE WHEN win.doc_id IS NULL THEN base.n_tok ELSE win.n_tok END AS n_tok,
+       CASE WHEN win.doc_id IS NULL THEN base.source ELSE win.source END AS source,
+       CASE WHEN win.doc_id IS NOT NULL AND win.commit_ts >
+                 (CASE WHEN CAST(right(win.doc_id, 12) AS BIGINT) % 2 = 0
+                       THEN (SELECT b0 FROM bar) ELSE (SELECT b1 FROM bar) END)
+            THEN (['en','de','fr','zh','es'])[1 + CAST((win.start_ts % (SELECT count(*) FROM documents)) * 31 AS BIGINT) % 5]
+            ELSE 'und' END AS lang
+FROM base FULL OUTER JOIN win ON base.doc_id = win.doc_id
+WHERE win.op IS NULL OR win.op <> 1
+"""
+
+
+def q_cdc_replay_optimistic(sf_dir: str) -> pa.Table:
+    """Optimistic shard-merge replay, oracle-checked (dm/pkg/shardddl/
+    optimism analog): the change stream splits into TWO shard WALs by key
+    parity, and each shard applies the SAME logical add_column(lang,
+    default 'und') at a DIFFERENT barrier (40% vs 60% of the ts span). The
+    synthesized target gains the column at the EARLIEST barrier; winner
+    events from the lagging shard inside the divergence window surface the
+    backfilled default. Final lake must equal the SQL twin, whose lang CASE
+    keys each doc's barrier off its shard parity."""
+    from .config import ReplayConfig
+    from .fixtures import write_heartbeat_segment, write_wal_segments
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+    from .stages.schema_evo import DDL
+
+    root, _ = stage_cdc_fixture(sf_dir, False)
+    shard_root = os.path.join(root, "shards_opt")
+    done = os.path.join(shard_root, "_staged")
+    if not os.path.exists(done):
+        wal = pa.concat_tables(
+            [pq.read_table(s.path)
+             for s in list_segments(os.path.join(root, "wal"))],
+            promote_options="default")
+        docnum = np.array([int(s.rsplit("-", 1)[-1]) for s in
+                           wal["doc_id"].to_pylist()], np.int64)
+        cts = wal["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = int(cts.min()), int(cts.max())
+        has_img = wal["op"].to_numpy(zero_copy_only=False) != 1
+        lang_all = np.asarray(LANGS, dtype=object)[(docnum * 31) % 5]
+        for shard in (0, 1):
+            b = lo + (hi - lo) * (2 + shard) // 5      # 40% / 60% barriers
+            reg = SchemaRegistry([DDL(b, "add_column", "lang:string",
+                                      "und", 2)])
+            mask = docnum % 2 == shard
+            sub = wal.filter(pa.array(mask))
+            post = has_img[mask] & (cts[mask] > b)
+            sub = sub.append_column(
+                "lang", pa.array(np.where(post, lang_all[mask], None),
+                                 pa.string()))
+            sub = sub.set_column(
+                sub.column_names.index("schema_ver"), "schema_ver",
+                pa.array(np.where(cts[mask] > b, 2, 1).astype(np.int32)))
+            d = os.path.join(shard_root, f"wal_s{shard}")
+            write_wal_segments(sub, d, 2, reg)
+            write_heartbeat_segment(d, hi)
+        os.makedirs(done, exist_ok=True)
+
+    wal_dirs = [os.path.join(shard_root, f"wal_s{s}") for s in (0, 1)]
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=os.path.join(root, "lake_optimistic"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic")
+    return rp.lake_to_table(cfg.lake_dir)
+
+
 def stage_cdc_typed_fixture(sf_dir: str) -> tuple[str, SchemaRegistry]:
     """CDC fixture whose evolved columns exercise the widened type lattice:
     DECIMAL(18,6), TIMESTAMP(us), BINARY added via DDL barriers placed
@@ -2084,6 +2164,8 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_enum": (q_cdc_replay_enum, _CDC_ENUM_SQL),
     "cdc_syncpoint": (q_cdc_syncpoint, _CDC_SYNCPOINT_SQL),
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
+    "cdc_replay_optimistic": (q_cdc_replay_optimistic,
+                              _CDC_REPLAY_OPTIMISTIC_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
