@@ -38,6 +38,17 @@ def _exploded_word_hashes(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
             ex["text"].hash(seed=0).to_numpy().astype(np.uint64))
 
 
+#: vectorized equivalent of `sum(1 for w in text.split(" ") if w.lower()
+#: in STOPWORDS)`: a stopword is a whole space-delimited token (consumed
+#: left-to-right, so runs of single-space-separated stopwords all count).
+_STOPWORD_RE = re.compile(
+    r"(?:^| )(?:" + "|".join(STOPWORDS) + r")(?= |$)", re.IGNORECASE)
+
+
+def stopword_counts(text: pd.Series) -> pd.Series:
+    return text.str.count(_STOPWORD_RE).astype("int64")
+
+
 def md5_u64(s: str) -> int:
     """Lower 64 bits of md5, little-endian — EXACTLY DuckDB's
     md5_number_lower(), so checksums cross-verify."""
@@ -56,7 +67,7 @@ class TextStats:
         n_words = words.str.len().astype("int64")
         n_chars = text.str.len().astype("int64")
         n_punct = text.str.count(self.punct).astype("int64")
-        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS))
+        stop = stopword_counts(text)
         out = pd.DataFrame({
             "doc_id": df["doc_id"],
             "n_words": n_words,
@@ -161,9 +172,7 @@ class QualityModel:
         n_words = words.str.len().astype("int64")
         n_chars = text.str.len().astype("int64")
         n_punct = text.str.count(self.punct).astype("int64")
-        n_stop = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
-        ).astype("int64")
+        n_stop = stopword_counts(text)
         w = self.W
         score = (w[0] * n_words + w[1] * (n_chars // 10)
                  + w[2] * n_stop + w[3] * n_punct)

@@ -751,18 +751,37 @@ def q_sql_apply(sf_dir: str) -> pa.Table:
     con.execute("INSERT INTO target SELECT doc_id, tokens, n_tok, source "
                 f"FROM read_parquet('{os.path.join(root, 'base')}"
                 "/part=*/*.parquet', hive_partitioning=false)")
-    # Statement streams apply per partition, in (part, seq) order — the
-    # reference's dmlWorkers each flush their batch inside a txn
-    # (mysql.go:525-608) and partitions touch disjoint key sets (hash
-    # co-partitioning), so per-partition transactions are the real-target
-    # design. DuckDB however cannot run the duckdb-dialect REPLACE
-    # emulation (delete-then-insert of the SAME pk) inside one txn — its
-    # documented ART-index limitation raises a spurious duplicate-key —
-    # so this harness applies autocommit; the safe-mode statements are
-    # individually idempotent, which is what a retry relies on anyway.
-    for _, grp in stmts.groupby("part", sort=True):
-        for s in grp["stmt"]:
-            con.execute(s)
+    # Statement streams apply per partition, in (part, seq) order, from a
+    # pool of CONCURRENT per-partition workers — the reference's dmlWorkers
+    # each flush their own stream into the one downstream DB
+    # (mysql.go:525-608); partitions touch disjoint key sets (hash
+    # co-partitioning = the causality conflict detector), so parallel
+    # workers never contend on a row. DuckDB cannot run the duckdb-dialect
+    # REPLACE emulation (delete-then-insert of the SAME pk) inside one txn
+    # — its documented ART-index limitation raises a spurious
+    # duplicate-key — so each statement applies autocommit; safe-mode
+    # statements are individually idempotent, so a worker that hits a
+    # transient engine-level write-write conflict simply retries (the
+    # sink's retry loop relies on exactly this idempotence).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def apply_part(grp: pd.DataFrame) -> None:
+        cur = con.cursor()
+        try:
+            for s in grp["stmt"]:
+                for attempt in range(3):
+                    try:
+                        cur.execute(s)
+                        break
+                    except duckdb.TransactionException:
+                        if attempt == 2:
+                            raise
+        finally:
+            cur.close()
+
+    groups = [grp for _, grp in stmts.groupby("part", sort=True)]
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(groups)))) as pool:
+        list(pool.map(apply_part, groups))
     return con.execute("SELECT doc_id, tokens, n_tok, source FROM target "
                        "ORDER BY doc_id").arrow()
 
