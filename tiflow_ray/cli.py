@@ -62,6 +62,10 @@ def main(argv=None):
     c.add_argument("--lake", required=True)
     c.add_argument("--parts", type=int, nargs="*", default=None)
 
+    rq = sub.add_parser("repartition")   # keyspan split/merge scale-out
+    rq.add_argument("--lake", required=True)
+    rq.add_argument("--num-partitions", type=int, required=True)
+
     e = sub.add_parser("export")    # lake → plain partitioned parquet
     e.add_argument("--lake", required=True)
     e.add_argument("--out", required=True)
@@ -121,6 +125,8 @@ def main(argv=None):
     elif a.cmd == "compact":
         out = rp.compact_lake(a.lake, parts=a.parts or None)
         print(json.dumps(out))
+    elif a.cmd == "repartition":
+        print(json.dumps(rp.repartition_lake(a.lake, a.num_partitions)))
     elif a.cmd == "wal-gc":
         print(json.dumps(rp.gc_wal(a.wal, a.lake)))
     elif a.cmd == "export":

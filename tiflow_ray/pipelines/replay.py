@@ -893,6 +893,122 @@ def compact_lake(lake_dir: str, parts: list[int] | None = None) -> dict:
     return {"parts_folded": len(stats), "epoch": epoch_no}
 
 
+def repartition_lake(lake_dir: str, new_p: int) -> dict:
+    """Re-lay the lake out with a different partition count — the keyspan
+    split/merge scale-out move (cdc/scheduler/internal/v3/keyspan splitters
+    re-balance spans across captures; here the lake's hash space re-buckets
+    so a bigger cluster gets more parallel merge lanes). Offline job
+    between epochs: replay resumes with `num_partitions=new_p` afterwards.
+
+    Paths, all committing ONE atomic manifest epoch (crash ⇒ no-op):
+    - new_p % P == 0 (split, the common scale-OUT): shuffle-free — a key in
+      old part p can only re-hash to {p, p+P, ...}, so one task per OLD
+      partition folds its chain and writes its ≤ new_p/P children directly.
+    - P % new_p == 0 (merge, scale-IN): shuffle-free — one task per NEW
+      partition folds exactly its P/new_p parents and concatenates.
+    - otherwise: one all-to-all exchange (read_lake → re-hash →
+      groupby(part) writers) — unavoidable for a general re-hash.
+    """
+    import json as _json
+
+    from ..stages.merge import _atomic_write, fold_part
+
+    lake = LakeState(lake_dir)
+    m = lake.latest()
+    assert m is not None, "no committed manifest"
+    P = m.num_partitions
+    assert new_p >= 1
+    if new_p == P:
+        return {"num_partitions": P, "epoch": m.epoch, "moved": 0}
+    registry = SchemaRegistry.from_json(m.registry_json)
+    reg_json, cur_ver = registry.to_json(), m.schema_ver
+    epoch_no = m.epoch + 1
+    data_dir = os.path.join(lake_dir, "data")
+    wm = m.watermark_ts
+
+    def write_piece(t: pa.Table, c: int) -> dict:
+        path = os.path.join(data_dir, f"part={c}",
+                            f"epoch-{epoch_no:06d}.parquet")
+        _atomic_write(t, path)
+        return {"part": c, "path": path, "rows": t.num_rows,
+                "bytes": t.nbytes, "schema_ver": cur_ver,
+                "watermark_ts": wm}
+
+    if new_p % P == 0:            # split: task per OLD part, no shuffle
+        items = [{"old": int(p), "meta_json": _json.dumps(meta)}
+                 for p, meta in m.parts.items()]
+
+        def split_write(tb: pa.Table) -> pa.Table:
+            reg = SchemaRegistry.from_json(reg_json)
+            out = []
+            for row in tb.to_pylist():
+                folded = fold_part(_json.loads(row["meta_json"]), reg, cur_ver)
+                child = hash_partition(folded["doc_id"], new_p)
+                for c in range(row["old"], new_p, P):
+                    piece = folded.filter(pa.array(child == c))
+                    if piece.num_rows:
+                        out.append(write_piece(piece, c))
+            return pa.Table.from_pylist(out) if out else pa.table(
+                {"part": pa.array([], pa.int64())})
+
+        stats = ray.data.from_items(items).map_batches(
+            split_write, batch_format="pyarrow", batch_size=1).take_all()
+    elif P % new_p == 0:          # merge: task per NEW part, no shuffle
+        items = []
+        for c in range(new_p):
+            parents = [m.parts[str(p)] for p in range(c, P, new_p)
+                       if str(p) in m.parts]
+            if parents:
+                items.append({"new": c, "metas_json": _json.dumps(parents)})
+
+        def merge_write(tb: pa.Table) -> pa.Table:
+            reg = SchemaRegistry.from_json(reg_json)
+            out = []
+            for row in tb.to_pylist():
+                folded = pa.concat_tables(
+                    [fold_part(meta, reg, cur_ver)
+                     for meta in _json.loads(row["metas_json"])])
+                folded = folded.take(pc.sort_indices(
+                    folded, sort_keys=[("doc_id", "ascending")]))
+                if folded.num_rows:
+                    out.append(write_piece(folded, int(row["new"])))
+            return pa.Table.from_pylist(out) if out else pa.table(
+                {"part": pa.array([], pa.int64())})
+
+        stats = ray.data.from_items(items).map_batches(
+            merge_write, batch_format="pyarrow", batch_size=1).take_all()
+    else:                         # general re-hash: one all-to-all exchange
+        ds = read_lake(lake_dir)
+
+        def assign(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "part", pa.array(hash_partition(t["doc_id"], new_p)))
+
+        def part_write(t: pa.Table) -> pa.Table:
+            c = int(t["part"][0].as_py())
+            body = t.drop_columns(["part"])
+            body = body.take(pc.sort_indices(
+                body, sort_keys=[("doc_id", "ascending")]))
+            return pa.Table.from_pylist([write_piece(body, c)])
+
+        stats = ds.map_batches(assign, batch_format="pyarrow") \
+            .groupby("part").map_groups(part_write, batch_format="pyarrow") \
+            .take_all()
+
+    parts = {str(r["part"]): {**{k: r[k] for k in
+                                 ("path", "schema_ver", "rows",
+                                  "watermark_ts", "bytes")}, "deltas": []}
+             for r in stats if "path" in r and r.get("path")}
+    m2 = Manifest(epoch=epoch_no, watermark_ts=wm, schema_ver=cur_ver,
+                  num_partitions=new_p, registry_json=m.registry_json,
+                  parts=parts, segments_applied=list(m.segments_applied),
+                  stats={"repartitioned_from": P, "parts_written": len(parts)},
+                  hash_fingerprint=m.hash_fingerprint)
+    lake.commit(m2)
+    return {"num_partitions": new_p, "epoch": epoch_no,
+            "parts_written": len(parts)}
+
+
 def list_syncpoints(lake_dir: str) -> list[dict]:
     """Committed consistent-snapshot points (cdc/owner syncpoint analog):
     every manifest whose epoch was cut at an aligned ts. Each entry pins a
