@@ -278,3 +278,28 @@ def test_asof_and_sessionize_shapes():
     sess = q_sessionize(SF)
     assert (sess["end_us"] >= sess["start_us"]).all()
     assert (sess.groupby("user_id")["session_id"].min() == 1).all()
+
+
+def test_stopword_counts_matches_per_word_semantics():
+    """The vectorized whole-token regex count must be bit-identical to the
+    original per-word definition `sum(1 for w in text.split(" ") if
+    w.lower() in STOPWORDS)` — incl. runs of adjacent stopwords, double
+    spaces, punctuation-attached words and mixed case."""
+    import random
+
+    import pandas as pd
+
+    from tiflow_ray.functions.text import STOPWORDS, stopword_counts
+
+    def ref(t):
+        return sum(1 for w in t.split(" ") if w.lower() in STOPWORDS)
+
+    cases = ["the cat and a dog", "a a a", "of to in", "There is the.",
+             "", "THE AND Of", "a  a", "x the", "the", "to-to to"]
+    assert stopword_counts(pd.Series(cases)).tolist() == [ref(c) for c in cases]
+
+    rng = random.Random(7)
+    vocab = list(STOPWORDS) + ["cat", "dog", "there", "the.", "AND", "x", ""]
+    rand = [" ".join(rng.choices(vocab, k=rng.randint(0, 25)))
+            for _ in range(1000)]
+    assert stopword_counts(pd.Series(rand)).tolist() == [ref(r) for r in rand]
