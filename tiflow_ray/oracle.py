@@ -45,10 +45,14 @@ def _cast_rows(rows: dict[str, dict], registry: SchemaRegistry,
                from_ver: int, to_ver: int) -> None:
     if from_ver == to_ver:
         return
+    if registry.truncated_between(from_ver, to_ver):
+        rows.clear()        # TRUNCATE barrier: every pre-truncate row dies
+        return
     target = [f.name for f in registry.schema(to_ver)]
     defaults = registry.defaults(to_ver)
+    src = {c: registry.source_name(c, from_ver, to_ver) for c in target}
     for doc_id, r in rows.items():
-        rows[doc_id] = {c: r.get(c, defaults.get(c)) for c in target}
+        rows[doc_id] = {c: r.get(src[c], defaults.get(c)) for c in target}
 
 
 def _image_of(ev: dict, registry: SchemaRegistry, ver: int) -> dict:

@@ -296,6 +296,118 @@ def q_cdc_replay_sharded(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir, wal_dirs[0])
 
 
+_CDC_REPLAY_TRUNCATE_SQL = f"""
+WITH wal AS ({_WAL_SQL}),
+bar AS (SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS b
+        FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal WHERE commit_ts > (SELECT b FROM bar)),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT doc_id, tokens, n_tok, source FROM win WHERE op <> 1
+"""
+
+
+def q_cdc_replay_truncate(sf_dir: str) -> pa.Table:
+    """TRUNCATE TABLE DDL mid-stream, oracle-checked: the barrier cuts an
+    epoch, every base row and pre-truncate winner dies crossing it, and
+    only post-truncate events rebuild the lake — so the SQL twin is an
+    LWW replay over the post-barrier suffix with NO base join."""
+    from .config import ReplayConfig
+    from .fixtures import write_wal_segments
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+    from .stages.schema_evo import DDL
+
+    root, _ = stage_cdc_fixture(sf_dir, False)
+    tr_root = os.path.join(root, "truncate")
+    done = os.path.join(tr_root, "_staged")
+    if not os.path.exists(done):
+        wal = pa.concat_tables(
+            [pq.read_table(s.path)
+             for s in list_segments(os.path.join(root, "wal"))],
+            promote_options="default")
+        cts = wal["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(cts.min() + (cts.max() - cts.min()) // 2)
+        reg = SchemaRegistry([DDL(b, "truncate", "", None, 2)])
+        wal = wal.set_column(
+            wal.column_names.index("schema_ver"), "schema_ver",
+            pa.array(np.where(cts > b, 2, 1).astype(np.int32)))
+        write_wal_segments(wal, os.path.join(tr_root, "wal"), CDC_SEGMENTS,
+                           reg)
+        os.makedirs(done, exist_ok=True)
+
+    cfg = ReplayConfig(wal_dir=os.path.join(tr_root, "wal"),
+                       lake_dir=os.path.join(root, "lake_truncate"),
+                       num_partitions=CDC_P)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    return rp.lake_to_table(cfg.lake_dir)
+
+
+_CDC_REPLAY_RENAME_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS ({_WAL_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC, op DESC) AS rn
+      FROM wal),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT COALESCE(win.doc_id, base.doc_id) AS doc_id,
+       CASE WHEN win.doc_id IS NULL THEN base.tokens ELSE win.tokens END AS tokens,
+       CASE WHEN win.doc_id IS NULL THEN base.n_tok ELSE win.n_tok END AS n_tok,
+       CASE WHEN win.doc_id IS NULL THEN base.source ELSE win.source END AS origin
+FROM base FULL OUTER JOIN win ON base.doc_id = win.doc_id
+WHERE win.op IS NULL OR win.op <> 1
+"""
+
+
+def q_cdc_replay_rename(sf_dir: str) -> pa.Table:
+    """RENAME COLUMN DDL mid-stream, oracle-checked: `source` becomes
+    `origin` at the barrier — a pure-metadata rename (the mounter's
+    column-ID → name mapping), so every value carries across and only the
+    final column name changes. Pre-rename events carry the old name,
+    post-rename events the new one (superset physical schema); the SQL
+    twin is plain LWW replay with the output column aliased."""
+    from .config import ReplayConfig
+    from .fixtures import write_wal_segments
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+    from .stages.schema_evo import DDL
+
+    root, _ = stage_cdc_fixture(sf_dir, False)
+    rn_root = os.path.join(root, "rename")
+    done = os.path.join(rn_root, "_staged")
+    if not os.path.exists(done):
+        wal = pa.concat_tables(
+            [pq.read_table(s.path)
+             for s in list_segments(os.path.join(root, "wal"))],
+            promote_options="default")
+        cts = wal["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(cts.min() + (cts.max() - cts.min()) // 2)
+        reg = SchemaRegistry([DDL(b, "rename_column", "source>origin",
+                                  None, 2)])
+        src = wal["source"].to_numpy(zero_copy_only=False)
+        post = cts > b
+        i = wal.column_names.index("source")
+        wal = wal.set_column(i, "source",
+                             pa.array(np.where(~post, src, None), pa.string()))
+        wal = wal.append_column(
+            "origin", pa.array(np.where(post, src, None), pa.string()))
+        wal = wal.set_column(
+            wal.column_names.index("schema_ver"), "schema_ver",
+            pa.array(np.where(post, 2, 1).astype(np.int32)))
+        write_wal_segments(wal, os.path.join(rn_root, "wal"), CDC_SEGMENTS,
+                           reg)
+        os.makedirs(done, exist_ok=True)
+
+    cfg = ReplayConfig(wal_dir=os.path.join(rn_root, "wal"),
+                       lake_dir=os.path.join(root, "lake_rename"),
+                       num_partitions=CDC_P)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    return rp.lake_to_table(cfg.lake_dir)
+
+
 _CDC_REPLAY_OPTIMISTIC_SQL = f"""
 WITH base AS ({_BASE_SQL}),
 wal AS ({_WAL_SQL}),
@@ -2185,6 +2297,8 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "cdc_replay_optimistic": (q_cdc_replay_optimistic,
                               _CDC_REPLAY_OPTIMISTIC_SQL),
+    "cdc_replay_truncate": (q_cdc_replay_truncate, _CDC_REPLAY_TRUNCATE_SQL),
+    "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),

@@ -71,6 +71,12 @@ class DDL:
         return self.column.split(":", 1)[0]
 
     @property
+    def rename_pair(self) -> tuple[str, str]:
+        """(old, new) of a rename_column DDL (column spelled "old>new")."""
+        old, new = self.column.split(">", 1)
+        return old, new
+
+    @property
     def col_type(self) -> pa.DataType:
         return _parse_type(self.column.split(":", 1)[1]) \
             if ":" in self.column else pa.string()
@@ -135,8 +141,13 @@ class SchemaRegistry:
         self._defaults: dict[int, dict[str, object]] = {1: {}}
         cur = self._schemas[1]
         defaults: dict[str, object] = {}
+        renamed_away: set[str] = set()
         for d in self.ddls:
             if d.ddl_type == "add_column":
+                # re-adding a name an earlier rename vacated would make
+                # source_name's unwind ambiguous — fail loudly
+                assert d.col_name not in renamed_away, \
+                    f"add_column {d.col_name!r} reuses a renamed-away name"
                 cur = cur.append(pa.field(d.col_name, d.col_type))
                 defaults = dict(defaults)
                 defaults[d.col_name] = d.typed_default()
@@ -151,6 +162,26 @@ class SchemaRegistry:
                 assert any(f.name == d.col_name for f in cur), d.col_name
                 cur = pa.schema([pa.field(f.name, d.col_type)
                                  if f.name == d.col_name else f for f in cur])
+            elif d.ddl_type == "rename_column":
+                # RENAME COLUMN old>new (mounter tracks column-ID → name, so
+                # a rename is pure metadata): type and values carry over;
+                # cast_table maps the target name back to its source-version
+                # name when crossing the barrier
+                old, new = d.rename_pair
+                assert any(f.name == old for f in cur), old
+                assert not any(f.name == new for f in cur), new
+                cur = pa.schema([pa.field(new, f.type) if f.name == old
+                                 else f for f in cur])
+                renamed_away.add(old)
+                if old in defaults:
+                    defaults = dict(defaults)
+                    defaults[new] = defaults.pop(old)
+            elif d.ddl_type == "truncate":
+                # TRUNCATE TABLE (cdc/model DDL job type; the sink drops all
+                # rows at the barrier): schema unchanged, version++ so the
+                # barrier cuts an epoch; cast_table crossing it empties any
+                # pre-truncate table/image — see `truncated_between`
+                pass
             else:
                 raise ValueError(f"unknown ddl_type {d.ddl_type}")
             self._schemas[d.schema_ver] = cur
@@ -180,6 +211,32 @@ class SchemaRegistry:
 
     # ---- table casts -----------------------------------------------------
 
+    def truncated_between(self, from_ver: int, to_ver: int) -> bool:
+        """True iff a TRUNCATE barrier lies in (from_ver, to_ver] — rows
+        (or upsert images) produced at from_ver are all gone at to_ver."""
+        return any(d.ddl_type == "truncate"
+                   and from_ver < d.schema_ver <= to_ver
+                   for d in self.ddls)
+
+    def source_name(self, name: str, from_ver: int, to_ver: int) -> str:
+        """The name a to_ver column had at from_ver, unwinding any
+        rename_column barriers in between (identity when none)."""
+        ren = [d for d in self.ddls if d.ddl_type == "rename_column"
+               and min(from_ver, to_ver) < d.schema_ver
+               <= max(from_ver, to_ver)]
+        cur = name
+        if from_ver <= to_ver:
+            for d in reversed(ren):      # unwind new → old
+                old, new = d.rename_pair
+                if new == cur:
+                    cur = old
+        else:
+            for d in ren:                # downward cast: old → new
+                old, new = d.rename_pair
+                if old == cur:
+                    cur = new
+        return cur
+
     def cast_table(self, t: pa.Table, from_ver: int, to_ver: int,
                    force_project: bool = False) -> pa.Table:
         """Cast a lake-table (or image) pa.Table between schema versions:
@@ -190,12 +247,15 @@ class SchemaRegistry:
         if from_ver == to_ver and not force_project:
             return t
         target = self.schema(to_ver)
+        if self.truncated_between(from_ver, to_ver):
+            return target.empty_table()
         defaults = self.defaults(to_ver)
         n = t.num_rows
         cols = []
         for f in target:
-            if f.name in t.column_names:
-                col = t.column(f.name)
+            src = self.source_name(f.name, from_ver, to_ver)
+            if src in t.column_names:
+                col = t.column(src)
                 if col.type != f.type:
                     col = col.cast(f.type)
             else:
