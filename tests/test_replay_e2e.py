@@ -296,3 +296,30 @@ def test_syncpoint_consistent_snapshots(t1_noddl_fixture, tmp_path):
     # final state unaffected by the extra barriers
     assert rp.lake_to_table(cfg.lake_dir, cfg.wal_dir).equals(
         oracle.replay_to_table(root, reg))
+
+
+def test_multiple_changefeeds_one_upstream(t1_fixture, tmp_path):
+    """N changefeeds over ONE upstream WAL (the TiCDC model: many
+    changefeeds tail one cluster, each with its own checkpoint/sink): two
+    lakes replay the same WAL at different paces with independent
+    checkpoints, never interfere, and both converge to the oracle."""
+    import os
+
+    from tiflow_ray import oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+
+    root, reg, *_ = t1_fixture
+    wal = os.path.join(root, "wal")
+    a = ReplayConfig(wal_dir=wal, lake_dir=str(tmp_path / "lake_a"),
+                     num_partitions=8, max_segments_per_epoch=1)
+    b = ReplayConfig(wal_dir=wal, lake_dir=str(tmp_path / "lake_b"),
+                     num_partitions=8, max_segments_per_epoch=4)
+    rp.bootstrap(a, base_dir=os.path.join(root, "base"))
+    rp.bootstrap(b, base_dir=os.path.join(root, "base"))
+    rp.run_replay(a, max_epochs=2)      # A lags mid-stream
+    rp.run_replay(b)                    # B reaches the end first
+    rp.run_replay(a)                    # A catches up independently
+    exp = oracle.replay_to_table(root, reg)
+    assert rp.lake_to_table(a.lake_dir, wal).equals(exp)
+    assert rp.lake_to_table(b.lake_dir, wal).equals(exp)
