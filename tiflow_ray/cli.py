@@ -46,6 +46,12 @@ def main(argv=None):
     r.add_argument("-P", "--partitions", type=int, default=64)
     r.add_argument("--upto", type=int, default=None)
     r.add_argument("--max-epochs", type=int, default=None)
+    r.add_argument("--follow", action="store_true",
+                   help="tail the WAL continuously (changefeed daemon)")
+    r.add_argument("--idle-timeout", type=float, default=None,
+                   help="with --follow: exit after N idle seconds")
+    r.add_argument("--stop-file", default=None,
+                   help="with --follow: exit when this path appears")
     r.add_argument("--sink-mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--segments-per-epoch", type=int, default=8)
     r.add_argument("--syncpoint-interval", type=int, default=0,
@@ -120,7 +126,12 @@ def main(argv=None):
         else:
             cfg = ReplayConfig(**kw)
         rp.bootstrap(cfg)  # no-op if already bootstrapped
-        res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
+        if a.follow:
+            res = rp.tail_replay(cfg, idle_timeout=a.idle_timeout,
+                                 stop_file=a.stop_file,
+                                 max_epochs=a.max_epochs)
+        else:
+            res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
         print(json.dumps({"epochs": len(res.epochs), "events": res.events}))
     elif a.cmd == "compact":
         out = rp.compact_lake(a.lake, parts=a.parts or None)

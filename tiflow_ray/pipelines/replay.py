@@ -502,6 +502,42 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
     return _drive_epochs(cfg, lake, registry, prev, epochs)
 
 
+def tail_replay(cfg: ReplayConfig, poll_secs: float = 0.5,
+                idle_timeout: float | None = None,
+                stop_file: str | None = None,
+                max_epochs: int | None = None) -> ReplayResult:
+    """Continuous tailing daemon (the changefeed processor loop): watch the
+    WAL dir and replay new epochs as segments land, committing checkpoints
+    as it goes — `run_replay` IS already incremental (resume ≡ next epoch),
+    so tailing is just that call in a poll loop. Stops when `idle_timeout`
+    seconds pass with no new committed work, when `stop_file` appears (the
+    operator's pause/remove-changefeed signal), or after `max_epochs`
+    total. Restart later to resume from the checkpoint — identical
+    semantics to any crash/resume."""
+    import time
+
+    result = ReplayResult()
+    idle_since = time.monotonic()
+    while True:
+        if stop_file and os.path.exists(stop_file):
+            break
+        budget = None
+        if max_epochs is not None:
+            budget = max_epochs - len(result.epochs)
+            if budget <= 0:
+                break
+        r = run_replay(cfg, max_epochs=budget)
+        if r.epochs:
+            result.epochs.extend(r.epochs)
+            idle_since = time.monotonic()
+        else:
+            if idle_timeout is not None and \
+                    time.monotonic() - idle_since >= idle_timeout:
+                break
+            time.sleep(poll_secs)
+    return result
+
+
 def _drive_epochs(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
                   prev: Manifest, epochs: list[Epoch]) -> ReplayResult:
     if prev.num_partitions and prev.num_partitions != cfg.num_partitions:
