@@ -76,3 +76,59 @@ def test_statements_apply_idempotently_on_duckdb():
             con.execute(s)
     out = con.execute("SELECT doc_id, n_tok, source FROM t ORDER BY doc_id").fetchall()
     assert out == [("a", 2, "web"), ("b", 2, "web")]
+
+
+def test_sync_diff_repair_roundtrip():
+    """T10 closed end-to-end: diff two tables, emit fix-SQL (the
+    sync-diff-inspector --fix analog), apply it to the target, re-diff →
+    equal. Covers all three mismatch classes (missing row, extra row,
+    value drift) incl. list columns."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tiflow_ray.functions.diff import diff_tables, repair_sql
+
+    n = 500
+    left_t = pa.table({
+        "doc_id": pa.array([f"doc-{i:06d}" for i in range(n)]),
+        "tokens": pa.array([[i, i + 1] for i in range(n)], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.full(n, 2, np.int32)),
+        "source": pa.array(["web"] * n),
+    })
+    # target drifts: row 7 missing, row 11 value-drifted, one alien row
+    right_t = left_t.filter(
+        pa.array([i != 7 for i in range(n)]))
+    df = right_t.to_pandas()
+    df.loc[df["doc_id"] == "doc-000011", "n_tok"] = 99
+    df.loc[len(df)] = {"doc_id": "zzz-alien", "tokens": [0], "n_tok": 1,
+                       "source": "noise"}
+    right_t = pa.Table.from_pandas(df, schema=left_t.schema,
+                                   preserve_index=False)
+
+    left = ray.data.from_arrow(left_t)
+    d = diff_tables(left, ray.data.from_arrow(right_t), "doc_id")
+    assert not d["equal"]
+    assert d["left_only"] == ["doc-000007"]
+    assert d["right_only"] == ["zzz-alien"]
+    assert d["value_diff"] == ["doc-000011"]
+
+    stmts = repair_sql(left, d, "doc_id", "target")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (doc_id VARCHAR PRIMARY KEY, "
+                "tokens INTEGER[], n_tok INTEGER, source VARCHAR)")
+    con.register("right_arrow", right_t)
+    con.execute("INSERT INTO target SELECT * FROM right_arrow")
+    for s in stmts:
+        con.execute(s)
+    fixed = con.execute("SELECT * FROM target ORDER BY doc_id").arrow() \
+        .cast(left_t.schema)
+    d2 = diff_tables(left, ray.data.from_arrow(fixed), "doc_id")
+    assert d2["equal"], d2
+    # the fix file is idempotent (safe-mode statements): reapply, still equal
+    for s in stmts:
+        con.execute(s)
+    fixed2 = con.execute("SELECT * FROM target ORDER BY doc_id").arrow() \
+        .cast(left_t.schema)
+    assert diff_tables(left, ray.data.from_arrow(fixed2), "doc_id")["equal"]

@@ -87,6 +87,11 @@ def main(argv=None):
     d.add_argument("--lake", required=True)
     d.add_argument("--against", required=True)
     d.add_argument("--key", default="doc_id")
+    d.add_argument("--fix-out", default=None,
+                   help="write fix-SQL making --against equal to --lake "
+                        "(sync-diff-inspector --fix analog)")
+    d.add_argument("--fix-table", default="target",
+                   help="table name used in the fix-SQL statements")
 
     a = p.parse_args(argv)
 
@@ -151,6 +156,11 @@ def main(argv=None):
         left = rp.read_lake(a.lake)
         right = rp.read_lake(a.against)
         out = diff_tables(left, right, a.key)
+        if a.fix_out and not out["equal"]:
+            from .functions.diff import repair_sql
+            stmts = repair_sql(rp.read_lake(a.lake), out, a.key, a.fix_table)
+            with open(a.fix_out, "w") as f:
+                f.write(";\n".join(stmts) + ";\n")
         print(json.dumps({k: (v if isinstance(v, bool) else v[:20])
                           for k, v in out.items()}))
         return 0 if out["equal"] else 2

@@ -120,3 +120,40 @@ def diff_tables(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     value_diff = sorted(k for k in set(lmap) & set(rmap) if lmap[k] != rmap[k])
     return {"equal": False, "bad_buckets": bad, "left_only": left_only,
             "right_only": right_only, "value_diff": value_diff}
+
+
+def repair_sql(left: ray.data.Dataset, diff: dict, key: str, table: str,
+               dialect: str = "duckdb") -> list[str]:
+    """The sync-diff-inspector `--fix` output (the inspector writes fix-SQL
+    files per mismatched chunk): statements that make the TARGET (right)
+    table equal to the SOURCE-of-truth (left).
+
+    - keys only on the right → DELETE;
+    - keys only on the left, or present on both with differing digests →
+      multi-value REPLACE built from the left rows (safe-mode idempotent,
+      like the engine's SQL sink — reapplying the file is harmless).
+
+    The needed source rows are picked up distributively (per-batch isin
+    filter over `left`); only the mismatched rows — output-scale, same as
+    the diff itself — ever reach the driver."""
+    from ..sinks.sqlgen import gen_deletes, gen_upserts
+
+    if diff["equal"]:
+        return []
+    stmts = gen_deletes(table, key, sorted(diff["right_only"]), dialect)
+    need = set(diff["left_only"]) | set(diff["value_diff"])
+    if need:
+        need_arr = np.array(sorted(need), dtype=object)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ks = np.asarray(t[key].to_numpy(zero_copy_only=False)).astype(object)
+            ks = np.array([str(k) for k in ks], dtype=object)
+            return t.filter(pa.array(np.isin(ks, need_arr)))
+
+        src = pa.concat_tables(list(
+            left.map_batches(pick, batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 16, batch_format="pyarrow")))
+        cols = src.column_names
+        rows = [tuple(r[c] for c in cols) for r in src.to_pylist()]
+        stmts += gen_upserts(table, cols, rows, dialect, key_col=key)
+    return stmts
