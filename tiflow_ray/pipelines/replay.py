@@ -716,8 +716,11 @@ def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
     each shard's segments under it (one distributed task per segment,
     idempotent — the meta file is the done marker, written after the data),
     then drive the standard epoch engine over the union. The remount dir
-    lives inside the lake (shared storage, like everything the sink
-    writes), so resume skips already-remounted segments."""
+    is the RELAY LOG of this engine (dm/relay/relay.go persists upstream
+    binlog locally before the syncer consumes it — a materialized
+    intermediate is the reference's own design): it lives inside the lake
+    (shared storage, like everything the sink writes), resume skips
+    already-remounted segments, and gc_wal applies to it once consumed."""
     import json as _json
 
     lake = LakeState(cfg.lake_dir)
