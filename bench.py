@@ -7,6 +7,9 @@ operator timings. Prints ONE JSON line.
                                    # processes → throughputs + efficiency
                                    # (the sandbox proxy for N vs 4N nodes,
                                    # BASELINE.md), also appended to BASELINE.md
+  python bench.py --profile        # per-stage ray.data ds.stats() for each
+                                   # epoch (sequential epochs so stats are
+                                   # attributable; slower than the headline)
 
 Headline: replay a deterministic synthetic change stream (sized by sf:
 40M events/sf → 4M at sf0.1) through the full engine into a P=64 lake.
@@ -307,11 +310,47 @@ def run_weak_scaling() -> dict:
     return result
 
 
+def run_profile() -> None:
+    """Print ray.data per-stage execution stats (ds.stats()) for each epoch
+    of the flagship replay — the measurement loop behind batch_size /
+    override_num_blocks / merge_concurrency choices. Human-readable, not
+    the one-JSON-line contract."""
+    import logging
+
+    import ray
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+
+    root, n_events, P = ensure_fixture(_sf_from_dir(SF_DIR))
+    lake = os.path.join(root, f"lake_profile_cpu{CPUS}")
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"), lake_dir=lake,
+                       num_partitions=P, max_segments_per_epoch=4,
+                       collect_stats=True)     # stats need ordered epochs
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    t0 = time.perf_counter()
+    res = rp.run_replay(cfg)
+    dt = time.perf_counter() - t0
+    for i, s in enumerate(rp.LAST_EPOCH_STATS):
+        print(f"\n===== epoch {i} pipeline stats =====\n{s}")
+    print(f"\n{n_events} events, {len(res.epochs)} epochs, {dt:.2f}s "
+          f"({n_events / dt:,.0f} ev/s) at {CPUS} cpus")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--weak-scaling" in sys.argv:
         print(json.dumps(run_weak_scaling()))
+    elif "--profile" in sys.argv:
+        run_profile()
     else:
         print(json.dumps(run_once()))

@@ -94,6 +94,12 @@ class ReplayConfig:
     # onto bad bytes. Off by default (one extra read of touched chains).
     online_validate: bool = False
 
+    # diagnostics: record ray.data per-stage execution stats (ds.stats())
+    # for each epoch's merge pipeline in replay.LAST_EPOCH_STATS — the
+    # measurement loop behind stage sizing (batch_size, override_num_blocks,
+    # merge_concurrency); off by default (stats strings are large)
+    collect_stats: bool = False
+
     # behavior toggles
     precompact: bool = True           # per-batch LWW combiner before shuffle (DM compactor, T6)
     validate: bool = False            # extra per-batch invariant checks (tests)

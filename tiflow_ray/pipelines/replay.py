@@ -57,6 +57,12 @@ from ..state.checkpoint import LakeState, Manifest
 
 _READ_PLAN_LOCK = threading.Lock()
 
+#: per-epoch ray.data execution-stats strings (ReplayConfig.collect_stats);
+#: cleared at each run_replay call that collects — diagnostics only, never
+#: read by the engine
+LAST_EPOCH_STATS: list[str] = []
+_STATS_LOCK = threading.Lock()
+
 
 @dataclass
 class EpochResult:
@@ -382,8 +388,11 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
         kwargs = {}
         if cfg.merge_concurrency:
             kwargs["concurrency"] = cfg.merge_concurrency
-        stats_rows = gb.map_groups(merge_apply, batch_format="pyarrow",
-                                   **kwargs).take_all()
+        out_ds = gb.map_groups(merge_apply, batch_format="pyarrow", **kwargs)
+        stats_rows = out_ds.take_all()
+        if cfg.collect_stats:
+            with _STATS_LOCK:
+                LAST_EPOCH_STATS.append(out_ds.stats())
     return stats_rows
 
 
@@ -491,6 +500,9 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
     registry = load_registry(cfg.wal_dir)
     prev = lake.latest()
     assert prev is not None, "call bootstrap() first"
+    if cfg.collect_stats:
+        with _STATS_LOCK:
+            LAST_EPOCH_STATS.clear()
 
     segments = list_segments(cfg.wal_dir)
     epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
