@@ -299,3 +299,47 @@ def test_optimistic_rejects_divergent_logical_set_and_modify(tmp_path):
     r3 = SchemaRegistry([DDL(100, "modify_column", "n_tok:int64", None, 2)])
     with pytest.raises(ValueError, match="add/drop only"):
         rp.merge_optimistic_registries([r3, r3])
+
+
+def test_optimistic_lagging_shard_holds_then_catches_up(tmp_path):
+    """The min-over-shards frontier rule holds in optimistic mode too: a
+    shard delivering only a pre-divergence prefix pins the merged
+    watermark (its undelivered events must not be lost to the from_ts
+    predicate); when its remaining segments land, a plain re-run remounts
+    just the new segments and converges to the oracle."""
+    import shutil
+
+    from tiflow_ray import oracle
+
+    root, _ = _setup(tmp_path)
+    regs = [_opt_shard_wal(root, s, OPT_BARRIERS[s]) for s in range(3)]
+    wal_dirs = [os.path.join(root, f"wal_s{s}") for s in range(3)]
+
+    # stage shard2's full stream aside, leave only its first segment live
+    full_s2 = str(tmp_path / "full_s2")
+    shutil.copytree(wal_dirs[2], full_s2)
+    metas = sorted(f for f in os.listdir(wal_dirs[2])
+                   if f.endswith(".meta.json"))
+    assert len(metas) >= 2
+    for f in os.listdir(wal_dirs[2]):       # drop every segment but seq 0
+        if f.startswith("seq=") and not f.startswith("seq=00000"):
+            os.remove(os.path.join(wal_dirs[2], f))
+
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=os.path.join(root, "lake_lag"),
+                       num_partitions=8, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic")
+    m1 = LakeState(cfg.lake_dir).latest()
+    assert m1.watermark_ts <= 7_000          # held below the full stream end
+
+    # shard2 delivers the rest; identical call catches up
+    for f in os.listdir(full_s2):
+        dst = os.path.join(wal_dirs[2], f)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(full_s2, f), dst)
+    rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic")
+    got = rp.lake_to_table(cfg.lake_dir)
+    merged = rp.merge_optimistic_registries(regs)
+    exp = oracle.replay_optimistic_to_table(root, wal_dirs, regs, merged)
+    assert got.equals(exp)
