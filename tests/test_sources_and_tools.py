@@ -27,12 +27,13 @@ def _wal_as(src_root, dst_root, reg, fmt):
 
 def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
     """M9/M10: jsonl, csv, canal-json, debezium, open-protocol, maxwell,
-    simple and avro change files all replay to the exact same lake state as
-    the parquet WAL (reference-format compat, S6) — 9-format parity."""
+    simple, avro and craft change files all replay to the exact same lake
+    state as the parquet WAL (reference-format compat, S6) — 10-format
+    parity covering every protocol slot in pkg/config/sink_protocol.go."""
     root, reg, *_ = t1_noddl_fixture
     lakes = {}
     for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium",
-                "open_protocol", "maxwell", "simple", "avro"):
+                "open_protocol", "maxwell", "simple", "avro", "craft"):
         if fmt == "parquet":
             wal = f"{root}/wal"
         else:
@@ -74,6 +75,33 @@ def test_avro_codec_roundtrip():
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         decode_avro(blob, list(reversed(t.column_names)))
+
+
+def test_craft_codec_roundtrip():
+    """Craft-style binary columnar message (design of pkg/sink/codec/craft:
+    delta-zigzag-varint ts chunks, nullable length-prefixed value chunks,
+    term dictionary, tail size tables behind a reversed uvarint) — bit-exact
+    roundtrip incl. nulls, empty lists and embedded newlines."""
+    from tiflow_ray.sources.codecs import decode_craft, encode_craft
+    t = pa.table({
+        "op": pa.array([3, 1, 2], pa.uint8()),
+        "commit_ts": pa.array([10, 11, 12], pa.uint64()),
+        "start_ts": pa.array([9, 10, 11], pa.uint64()),
+        "doc_id": pa.array(['d"q', None, "d3"]),
+        "tokens": pa.array([[1, 2, 3], [], None], pa.list_(pa.int32())),
+        "pre_tokens": pa.array([None, [5], None], pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 0, None], pa.int32()),
+        "source": pa.array(["web", None, "x\ny"]),
+        "schema_ver": pa.array([1, 1, 2], pa.int32()),
+    })
+    blob = encode_craft(t)
+    got = decode_craft(blob, list(t.column_names))
+    assert got.equals(t)
+    # segment-meta column-order cross-check fails loudly (same contract
+    # as the avro decoder)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        decode_craft(blob, list(reversed(t.column_names)))
 
 
 def test_csv_codec_roundtrip_quoting():

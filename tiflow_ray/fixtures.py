@@ -394,6 +394,10 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             from .sources.codecs import encode_avro
             with open(os.path.join(wal_dir, f"seq={s:05d}.avro"), "wb") as f:
                 f.write(encode_avro(seg))
+        elif fmt == "craft":
+            from .sources.codecs import encode_craft
+            with open(os.path.join(wal_dir, f"seq={s:05d}.craft"), "wb") as f:
+                f.write(encode_craft(seg))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),

@@ -282,12 +282,12 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
         elif ep.fmt == "jsonl":  # raw json change files: no pushdown —
             ds = ray.data.read_json(list(ep.files), **read_kwargs)
             enforce_range = True   # range-filter in normalize
-        elif ep.fmt == "avro":  # binary OCF change files: one task per
-            # segment file decodes its blocks (block-level fan-out would
-            # need an OCF splitter; segment files are already 64MB-class)
-            from ..sources.codecs import AvroFileDecoder
+        elif ep.fmt in ("avro", "craft"):  # binary change files: one task
+            # per segment file decodes its blocks (block-level fan-out
+            # would need a container splitter; segments are 64MB-class)
+            from ..sources.codecs import BinaryFileDecoder
             ds = ray.data.read_binary_files(list(ep.files))
-            ds = ds.map_batches(AvroFileDecoder(list(ep.columns)),
+            ds = ds.map_batches(BinaryFileDecoder(ep.fmt, list(ep.columns)),
                                 batch_format="pandas", batch_size=4)
             enforce_range = True
         else:  # csv / canal-json change files (M10 decode): text → decoder

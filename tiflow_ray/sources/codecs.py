@@ -668,18 +668,268 @@ def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
     return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
 
 
-class AvroFileDecoder:
-    """map_batches callable over `read_binary_files` batches (one WAL
-    segment file per row): decode each OCF payload and concat."""
+# ---------------------------------------------------------------------------
+# craft (binary columnar change-file format — the craft protocol slot)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference craft format's DESIGN, not its code
+# (pkg/sink/codec/craft/model.go, message_encoder.go, message_decoder.go;
+# protocol enum pkg/config/sink_protocol.go): a versioned binary message
+# whose payload is COLUMNAR chunks (delta-zigzag-varint timestamp chunks,
+# uvarint op chunk, length-prefixed nullable value chunks), repeated
+# strings interned in a TERM DICTIONARY (craft dicts schema/table/column
+# names — here: column names), and SIZE TABLES written at the TAIL with a
+# reversed-uvarint total length so a decoder can locate every region
+# without scanning the body (craft's encodeSizeTables /
+# encodeUvarintReversed signature move, message_encoder.go:167-176).
+# Varints are protobuf-style; signed values use zigzag (identical to
+# craft's encodeVarint) — the avro helpers above implement the same
+# public encoding and are reused.
 
-    def __init__(self, columns: list[str]):
-        self.columns = list(columns)
+_CRAFT_VERSION = 1
+#: per-column payload encodings
+_CRAFT_STR, _CRAFT_INT, _CRAFT_LIST = 0, 1, 2
+
+
+def _uvarint_write(buf: bytearray, n: int) -> None:
+    while n >= 0x80:
+        buf.append((n & 0x7F) | 0x80)
+        n >>= 7
+    buf.append(n)
+
+
+def _uvarint_read(data: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n, pos
+        shift += 7
+
+
+def _uvarint_write_reversed(buf: bytearray, n: int) -> None:
+    """Varint with its bytes in reverse order, so it can be READ BACKWARD
+    from the end of the message (the craft tail-length trick)."""
+    tmp = bytearray()
+    _uvarint_write(tmp, n)
+    buf.extend(reversed(tmp))
+
+
+def _uvarint_read_from_tail(data: bytes, end: int) -> tuple[int, int]:
+    """Read a reversed uvarint ending at `end` (exclusive), walking
+    backward; returns (value, n_bytes_consumed)."""
+    n = shift = used = 0
+    pos = end - 1
+    while True:
+        b = data[pos]
+        n |= (b & 0x7F) << shift
+        used += 1
+        if not (b & 0x80):
+            return n, used
+        shift += 7
+        pos -= 1
+
+
+def _delta_zigzag_write(buf: bytearray, vals) -> None:
+    """Craft's encodeDeltaVarintChunk: first value, then successive
+    zigzag-varint deltas (timestamps compress to ~1 byte each)."""
+    last = 0
+    for v in vals:
+        v = int(v)
+        _avro_zigzag_write(buf, v - last)
+        last = v
+
+
+def _delta_zigzag_read(data: bytes, pos: int, n: int) -> tuple[list, int]:
+    out, last = [], 0
+    for _ in range(n):
+        d, pos = _avro_zigzag_read(data, pos)
+        last += d
+        out.append(last)
+    return out, pos
+
+
+def _craft_type_code(col: str) -> int:
+    if col in _LIST_COLS:
+        return _CRAFT_LIST
+    if col in _INT_COLS or col == "schema_ver":
+        return _CRAFT_INT
+    return _CRAFT_STR
+
+
+def encode_craft(t: pa.Table) -> bytes:
+    """Event table → one craft-style binary change file.
+
+    Regions: [H: version, N, commit_ts/start_ts delta chunks, op chunk,
+    column metas] [B: per-column nullable value chunks] [D: term
+    dictionary] [size tables + reversed-uvarint tables-length]."""
+    cols = list(t.column_names)
+    body_cols = [c for c in cols if c not in ("op", "commit_ts", "start_ts")]
+    n = t.num_rows
+    terms: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        if s not in terms:
+            terms[s] = len(terms)
+        return terms[s]
+
+    out = bytearray()
+    # --- H: header region -------------------------------------------------
+    _uvarint_write(out, _CRAFT_VERSION)
+    _uvarint_write(out, n)
+    _delta_zigzag_write(out, t["commit_ts"].to_pylist())
+    _delta_zigzag_write(out, t["start_ts"].to_pylist())
+    for v in t["op"].to_pylist():
+        _uvarint_write(out, int(v))
+    _uvarint_write(out, len(body_cols))
+    for c in body_cols:
+        _uvarint_write(out, intern(c))
+        out.append(_craft_type_code(c))
+    h_size = len(out)
+
+    # --- B: one nullable value chunk per column (lengths then payloads,
+    # craft's encodeNullableBytesChunk shape; -1 length = NULL) -----------
+    for c in body_cols:
+        code = _craft_type_code(c)
+        vals = t[c].to_pylist()
+        lengths, payload = [], bytearray()
+        for v in vals:
+            if v is None:
+                lengths.append(-1)
+                continue
+            cell = bytearray()
+            if code == _CRAFT_STR:
+                cell = bytearray(str(v).encode())
+            elif code == _CRAFT_INT:
+                _avro_zigzag_write(cell, int(v))
+            else:                       # list<int32>: count, then elements
+                _uvarint_write(cell, len(v))
+                for x in v:
+                    _avro_zigzag_write(cell, int(x))
+            lengths.append(len(cell))
+            payload += cell
+        for ln in lengths:
+            _avro_zigzag_write(out, ln)
+        out += payload
+    b_size = len(out) - h_size
+
+    # --- D: term dictionary ------------------------------------------------
+    _uvarint_write(out, len(terms))
+    for s in terms:                     # insertion order = id order
+        sb = s.encode()
+        _uvarint_write(out, len(sb))
+        out += sb
+    d_size = len(out) - h_size - b_size
+
+    # --- size tables at the tail -------------------------------------------
+    st_start = len(out)
+    _uvarint_write(out, 3)
+    _delta_zigzag_write(out, [h_size, b_size, d_size])
+    _uvarint_write_reversed(out, len(out) - st_start)
+    return bytes(out)
+
+
+def decode_craft(data: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Craft bytes → canonical typed event table. Tail-first like the
+    reference decoder: reversed-uvarint tables length → size tables →
+    term dictionary → header chunks → value chunks."""
+    st_len, tail = _uvarint_read_from_tail(data, len(data))
+    st_pos = len(data) - tail - st_len
+    cnt, p = _uvarint_read(data, st_pos)
+    assert cnt == 3, f"bad craft size-table count {cnt}"
+    (h_size, b_size, d_size), _ = _delta_zigzag_read(data, p, cnt)
+    assert h_size + b_size + d_size == st_pos, "craft size tables corrupt"
+
+    # term dictionary (decoded FIRST — ids in the header resolve against it)
+    pos = h_size + b_size
+    nterms, pos = _uvarint_read(data, pos)
+    terms = []
+    for _ in range(nterms):
+        ln, pos = _uvarint_read(data, pos)
+        terms.append(data[pos:pos + ln].decode())
+        pos += ln
+
+    # header region
+    pos = 0
+    ver, pos = _uvarint_read(data, pos)
+    assert ver == _CRAFT_VERSION, f"unsupported craft version {ver}"
+    n, pos = _uvarint_read(data, pos)
+    commit_ts, pos = _delta_zigzag_read(data, pos, n)
+    start_ts, pos = _delta_zigzag_read(data, pos, n)
+    ops = []
+    for _ in range(n):
+        v, pos = _uvarint_read(data, pos)
+        ops.append(v)
+    ncols, pos = _uvarint_read(data, pos)
+    metas = []
+    for _ in range(ncols):
+        tid, pos = _uvarint_read(data, pos)
+        metas.append((terms[tid], data[pos]))
+        pos += 1
+    assert pos == h_size, "craft header size mismatch"
+
+    # body: per-column chunks
+    cols = {"op": ops, "commit_ts": commit_ts, "start_ts": start_ts}
+    for name, code in metas:
+        lengths = []
+        for _ in range(n):
+            ln, pos = _avro_zigzag_read(data, pos)
+            lengths.append(ln)
+        vals = []
+        for ln in lengths:
+            if ln < 0:
+                vals.append(None)
+                continue
+            cell_end = pos + ln
+            if code == _CRAFT_STR:
+                vals.append(data[pos:cell_end].decode())
+            elif code == _CRAFT_INT:
+                v, pos = _avro_zigzag_read(data, pos)
+            else:
+                k, pos = _uvarint_read(data, pos)
+                v = []
+                for _ in range(k):
+                    x, pos = _avro_zigzag_read(data, pos)
+                    v.append(x)
+            if code != _CRAFT_STR:
+                vals.append(v)
+                assert pos == cell_end, f"craft cell overrun in {name}"
+            pos = cell_end
+        cols[name] = vals
+
+    fcols = list(cols)
+    if columns:
+        assert list(columns) == fcols, \
+            f"segment meta columns {columns} != craft columns {fcols}"
+    return pa.table({c: _typed_column(cols[c], c) for c in fcols})
+
+
+class BinaryFileDecoder:
+    """map_batches callable over `read_binary_files` batches (one WAL
+    segment file per row): decode each binary payload (avro OCF or craft
+    message) and concat."""
+
+    _DECODERS = {"avro": decode_avro, "craft": decode_craft}
+
+    def __init__(self, fmt: str, columns: list[str]):
+        assert fmt in self._DECODERS, fmt
+        self.fmt, self.columns = fmt, list(columns)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        tables = [decode_avro(b, self.columns) for b in batch["bytes"]]
+        dec = self._DECODERS[self.fmt]
+        tables = [dec(b, self.columns) for b in batch["bytes"]]
         if tables:
             return pa.concat_tables(tables)
         return pa.table({c: _typed_column([], c) for c in self.columns})
+
+
+class AvroFileDecoder(BinaryFileDecoder):
+    """Back-compat alias: avro-only binary decoder."""
+
+    def __init__(self, columns: list[str]):
+        super().__init__("avro", columns)
 
 
 class ChangeFileDecoder:

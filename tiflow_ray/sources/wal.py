@@ -61,7 +61,8 @@ def list_segments(wal_dir: str) -> list[Segment]:
                "open_protocol": ".open.jsonl",
                "maxwell": ".maxwell.jsonl",
                "simple": ".simple.jsonl",
-               "avro": ".avro"}[fmt]
+               "avro": ".avro",
+               "craft": ".craft"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
                             m["max_ts"], m["rows"], fmt,
