@@ -1210,6 +1210,75 @@ FROM ev
 """
 
 
+def q_mq_dispatch_avro(sf_dir: str) -> pd.DataFrame:
+    """K4 × avro protocol (pkg/sink/codec/avro): the same dispatch/
+    ordering pipeline as `mq_dispatch`, but payloads are Confluent-framed
+    avro binary datums whose writer schema lives in the file-backed
+    schema registry (sinks/avro_registry.py); the output is decoded BACK
+    through the registry by schema id — so the oracle hash-checks
+    dispatch, ordering, offsets, registry registration AND the avro
+    encode/decode roundtrip at once. Oracle: identical SQL to
+    mq_dispatch (the wire format must be value-transparent)."""
+    import tempfile
+
+    from .sinks.avro_registry import AvroMessageDecoder
+    from .sinks.mq import MqSinkStage, dispatch
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def to_events(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        etype = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        op = np.where(etype == "error", 1,
+                      np.where(etype == "signup", 3, 2)).astype(np.uint8)
+        n = t.num_rows
+        return pa.table({
+            "op": pa.array(op),
+            "commit_ts": t["ts"].cast(pa.int64()).cast(pa.uint64()),
+            "start_ts": pa.array(eid.astype(np.uint64)),
+            "doc_id": pa.array(_doc_names(eid % n_docs)),
+            "tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "n_tok": pa.nulls(n, pa.int32()),
+            "source": pa.array(etype, pa.string()),
+            "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "new_doc_id": pa.nulls(n, pa.string()),
+            "schema_ver": pa.array(np.ones(n, np.int32)),
+        })
+
+    registry_root = tempfile.mkdtemp(prefix="avro_registry_")
+    sink = MqSinkStage(protocol="avro", registry_root=registry_root)
+
+    def emit(t: pa.Table) -> pa.Table:   # map_groups needs a __name__
+        return sink(t)
+
+    msgs = _ds(sf_dir, "events", ["event_id", "ts", "event_type"]) \
+        .map_batches(to_events, batch_format="pyarrow") \
+        .map_batches(lambda t: dispatch(t, 4, "index-value"),
+                     batch_format="pyarrow") \
+        .groupby("mq_partition").map_groups(emit, batch_format="pyarrow")
+
+    class Decode:
+        """Actor-pool decode: registry handle + id→schema cache built
+        once per actor, per-batch decode through the cache."""
+
+        def __init__(self):
+            self.dec = AvroMessageDecoder(
+                registry_root, ["op", "commit_ts", "doc_id"])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ev = self.dec.decode(t["payload"].to_pylist())
+            return pa.table({
+                "mq_partition": t["mq_partition"].cast(pa.int64()),
+                "offset": t["offset"],
+                "doc_id": ev["doc_id"],
+                "op": ev["op"],
+                "commit_ts": ev["commit_ts"].cast(pa.int64())})
+
+    out = msgs.map_batches(Decode, batch_format="pyarrow",
+                           concurrency=(1, 4)).to_pandas()
+    return out.sort_values(["mq_partition", "offset"]).reset_index(drop=True)
+
+
 def q_frontier_watermark(sf_dir: str) -> pd.DataFrame:
     """A1/T3: per-partition resolved-ts watermarks (max commit ts per hash
     partition) — partial max per batch, tiny final groupby."""
@@ -2305,6 +2374,7 @@ REGISTRY: dict[str, tuple] = {
     "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
     "expr_filter": (q_expr_filter, _EXPR_FILTER_SQL),
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
+    "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
     "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
     "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),

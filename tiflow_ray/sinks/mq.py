@@ -12,7 +12,10 @@ Semantics mirrored:
   op) order with dense offsets — the per-key ordering guarantee a consumer
   relies on (all of a key's events share a partition under key/index-value
   dispatch, and are offset-ordered within it).
-- payload: canal-json (sources/codecs.py encoder), one message per event.
+- payload: canal-json / open-protocol text (sources/codecs.py encoders)
+  or Confluent-framed avro binary via the file-backed schema registry
+  (sinks/avro_registry.py — the pkg/sink/codec/avro path), one message
+  per event.
 """
 
 from __future__ import annotations
@@ -49,23 +52,46 @@ class MqSinkStage:
     dense in the event total order."""
 
     def __init__(self, database: str = "tiflow", table: str = "documents",
-                 protocol: str = "canal_json"):
-        assert protocol in ("canal_json", "open_protocol"), protocol
+                 protocol: str = "canal_json",
+                 registry_root: str | None = None):
+        assert protocol in ("canal_json", "open_protocol", "avro"), protocol
+        if protocol == "avro":
+            assert registry_root, "avro protocol needs a schema registry"
         self.database, self.table, self.protocol = database, table, protocol
+        self.registry_root = registry_root
+        self._schema_cache: dict[str, tuple[int, str]] = {}
+
+    def _avro_payloads(self, ev: pa.Table) -> pa.Array:
+        """Register the value schema (idempotent — every worker may race
+        on the shared registry dir, same-schema registrations converge on
+        one id) and emit one Confluent-framed binary datum per event."""
+        from ..sources.codecs import _avro_schema_json
+        from .avro_registry import AvroSchemaRegistry, encode_avro_messages
+        schema_json = _avro_schema_json(list(ev.column_names), ev.schema)
+        if schema_json not in self._schema_cache:
+            reg = AvroSchemaRegistry(self.registry_root)
+            subject = f"{self.database}.{self.table}-value"
+            self._schema_cache[schema_json] = (
+                reg.register(subject, schema_json), schema_json)
+        sid, sj = self._schema_cache[schema_json]
+        return pa.array(encode_avro_messages(ev, sid, sj), pa.binary())
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..sources.codecs import encode_canal_json, encode_open_protocol
         part = int(t["mq_partition"][0].as_py()) if t.num_rows else -1
         ev = sort_events_table(t.drop_columns(["mq_partition"]),
                                with_doc=False)
-        enc = (encode_open_protocol if self.protocol == "open_protocol"
-               else encode_canal_json)
-        text = enc(ev, self.database, self.table)
-        lines = text.splitlines()
-        n = len(lines)
+        if self.protocol == "avro":
+            payload = self._avro_payloads(ev)
+        else:
+            enc = (encode_open_protocol if self.protocol == "open_protocol"
+                   else encode_canal_json)
+            payload = pa.array(enc(ev, self.database,
+                                   self.table).splitlines(), pa.string())
+        n = len(payload)
         return pa.table({
             "mq_partition": pa.array(np.full(n, part, np.int32)),
             "offset": pa.array(np.arange(n, dtype=np.int64)),
             "key": ev["doc_id"],
-            "payload": pa.array(lines, pa.string()),
+            "payload": payload,
         })

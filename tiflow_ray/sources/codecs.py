@@ -535,6 +535,68 @@ def _avro_schema_json(columns: list[str], schema: pa.Schema | None) -> str:
                       sort_keys=True)
 
 
+def _avro_datum_write(block: bytearray, row: dict, ftypes: list) -> None:
+    """Binary-encode ONE record against its avro schema field list
+    (Avro 1.11 spec record encoding — fields in order, no framing)."""
+    for c, ft in ftypes:
+        v = row.get(c)
+        if ft == "int" or ft == "long":
+            _avro_zigzag_write(block, int(v))
+        elif isinstance(ft, list):            # ["null", T]
+            if v is None:
+                block.append(0)               # union branch 0 = null
+                continue
+            _avro_zigzag_write(block, 1)      # union branch 1
+            inner = ft[1]
+            if inner == "long" or inner == "int":
+                _avro_zigzag_write(block, int(v))
+            elif inner == "string":
+                sb = str(v).encode()
+                _avro_zigzag_write(block, len(sb)); block += sb
+            else:                             # array<int>
+                if len(v):
+                    _avro_zigzag_write(block, len(v))
+                    for x in v:
+                        _avro_zigzag_write(block, int(x))
+                block.append(0)               # array terminator
+        else:
+            raise AssertionError(f"unhandled avro type {ft}")
+
+
+def _avro_datum_read(data: bytes, pos: int,
+                     fields: list) -> tuple[dict, int]:
+    """Decode ONE record (inverse of _avro_datum_write)."""
+    row = {}
+    for name, ft in fields:
+        if ft == "int" or ft == "long":
+            v, pos = _avro_zigzag_read(data, pos)
+        else:                                 # ["null", T] union
+            branch, pos = _avro_zigzag_read(data, pos)
+            if branch == 0:
+                v = None
+            else:
+                inner = ft[1]
+                if inner in ("long", "int"):
+                    v, pos = _avro_zigzag_read(data, pos)
+                elif inner == "string":
+                    ln, pos = _avro_zigzag_read(data, pos)
+                    v = data[pos:pos + ln].decode(); pos += ln
+                else:                         # array<int>
+                    v = []
+                    while True:
+                        bc, pos = _avro_zigzag_read(data, pos)
+                        if bc == 0:
+                            break
+                        if bc < 0:            # block size present
+                            _, pos = _avro_zigzag_read(data, pos)
+                            bc = -bc
+                        for _i in range(bc):
+                            x, pos = _avro_zigzag_read(data, pos)
+                            v.append(x)
+        row[name] = v
+    return row, pos
+
+
 def encode_avro(t: pa.Table, block_rows: int = 4096) -> bytes:
     """Event table → one Avro Object Container File (null codec).
 
@@ -574,29 +636,7 @@ def encode_avro(t: pa.Table, block_rows: int = 4096) -> bytes:
             break
         block = bytearray()
         for row in chunk:
-            for c, ft in ftypes:
-                v = row.get(c)
-                if ft == "int" or ft == "long":
-                    _avro_zigzag_write(block, int(v))
-                elif isinstance(ft, list):            # ["null", T]
-                    if v is None:
-                        block.append(0)               # union branch 0 = null
-                        continue
-                    _avro_zigzag_write(block, 1)      # union branch 1
-                    inner = ft[1]
-                    if inner == "long" or inner == "int":
-                        _avro_zigzag_write(block, int(v))
-                    elif inner == "string":
-                        sb = str(v).encode()
-                        _avro_zigzag_write(block, len(sb)); block += sb
-                    else:                             # array<int>
-                        if len(v):
-                            _avro_zigzag_write(block, len(v))
-                            for x in v:
-                                _avro_zigzag_write(block, int(x))
-                        block.append(0)               # array terminator
-                else:
-                    raise AssertionError(f"unhandled avro type {ft}")
+            _avro_datum_write(block, row, ftypes)
         _avro_zigzag_write(out, len(chunk))
         _avro_zigzag_write(out, len(block))
         out += block
@@ -636,32 +676,8 @@ def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
         count, pos = _avro_zigzag_read(data, pos)
         _size, pos = _avro_zigzag_read(data, pos)
         for _ in range(count):
-            for name, ft in fields:
-                if ft == "int" or ft == "long":
-                    v, pos = _avro_zigzag_read(data, pos)
-                else:                                 # ["null", T] union
-                    branch, pos = _avro_zigzag_read(data, pos)
-                    if branch == 0:
-                        v = None
-                    else:
-                        inner = ft[1]
-                        if inner in ("long", "int"):
-                            v, pos = _avro_zigzag_read(data, pos)
-                        elif inner == "string":
-                            ln, pos = _avro_zigzag_read(data, pos)
-                            v = data[pos:pos + ln].decode(); pos += ln
-                        else:                         # array<int>
-                            v = []
-                            while True:
-                                bc, pos = _avro_zigzag_read(data, pos)
-                                if bc == 0:
-                                    break
-                                if bc < 0:            # block size present
-                                    _, pos = _avro_zigzag_read(data, pos)
-                                    bc = -bc
-                                for _i in range(bc):
-                                    x, pos = _avro_zigzag_read(data, pos)
-                                    v.append(x)
+            row, pos = _avro_datum_read(data, pos, fields)
+            for name, v in row.items():
                 cols[name].append(v)
         assert data[pos:pos + 16] == sync, "sync marker mismatch"
         pos += 16
