@@ -343,3 +343,125 @@ def test_optimistic_lagging_shard_holds_then_catches_up(tmp_path):
     merged = rp.merge_optimistic_registries(regs)
     exp = oracle.replay_optimistic_to_table(root, wal_dirs, regs, merged)
     assert got.equals(exp)
+
+
+# ---------------------------------------------------------------------------
+# column mapping (DM pkg/column-mapping/column.go analog)
+# ---------------------------------------------------------------------------
+
+
+def _colliding_shard_wal(root: str, shard: int,
+                         registry: SchemaRegistry) -> None:
+    """Every shard writes the SAME doc ids 0..N (overlapping shard-local
+    PKs — the scenario column mapping exists for); values identify the
+    shard so collisions are detectable."""
+    docs = np.arange(N_PER_SHARD)
+    rows = [(int(d), 1_000 + int(d), 1) for d in docs] + \
+           [(int(d), 2_000 + int(d), 2) for d in docs]
+    n = len(rows)
+    wal = pa.table({
+        "op": pa.array(np.full(n, 2, np.uint8)),
+        "commit_ts": pa.array(np.array([r[1] for r in rows], np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64) + shard * 10_000),
+        "doc_id": pa.array(fixtures.doc_name(
+            np.array([r[0] for r in rows], np.int64))),
+        "tokens": pa.array([[shard * 1000 + r[0] * 10 + r[2]] for r in rows],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["bank"] * n),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "schema_ver": pa.array(np.ones(n, np.int32)),
+    })
+    fixtures.write_wal_segments(wal, os.path.join(root, f"wal_s{shard}"), 2,
+                                registry)
+
+
+def _mapped_setup(tmp_path, n_shards=2):
+    from tiflow_ray.stages.column_mapping import ColumnMappingRule
+    root = str(tmp_path / "mapped")
+    os.makedirs(root, exist_ok=True)
+    registry = SchemaRegistry([])
+    rules = [ColumnMappingRule("partition id", f"s{i}")
+             for i in range(n_shards)]
+    for i in range(n_shards):
+        _colliding_shard_wal(root, i, registry)
+    # base holds MAPPED keys (DM's full load also runs through mapping)
+    dnum = np.arange(N_PER_SHARD, dtype=np.int64)
+    names = [f"s{i}|" + d for i in range(n_shards)
+             for d in fixtures.doc_name(dnum).tolist()]
+    nb = len(names)
+    base = pa.table({
+        "doc_id": pa.array(names),
+        "tokens": pa.array([[0]] * nb, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(nb, np.int32)),
+        "source": pa.array(["bank"] * nb),
+    })
+    fixtures.write_base_partitioned(base, root, 8)
+    return root, registry, rules
+
+
+def test_column_mapping_keeps_colliding_shard_keys_apart(tmp_path):
+    """Two shards with IDENTICAL doc ids + per-shard partition-id rules:
+    the merged lake holds 2N distinct mapped keys, each with its own
+    shard's last image — no cross-shard LWW collapse."""
+    root, registry, rules = _mapped_setup(tmp_path)
+    wal_dirs = [os.path.join(root, f"wal_s{i}") for i in range(2)]
+    cfg = ReplayConfig(wal_dir=wal_dirs[0], lake_dir=str(tmp_path / "lake"),
+                       num_partitions=8, validate=True)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay_sharded(cfg, wal_dirs, key_mappings=rules)
+    got = rp.lake_to_table(cfg.lake_dir, wal_dirs[0])
+    assert got.num_rows == 2 * N_PER_SHARD
+    toks = {d: t[0] for d, t in zip(got["doc_id"].to_pylist(),
+                                    got["tokens"].to_pylist())}
+    for shard in range(2):
+        for d in range(N_PER_SHARD):
+            key = f"s{shard}|" + fixtures.doc_name(np.array([d]))[0]
+            assert toks[key] == shard * 1000 + d * 10 + 2, key
+
+
+def test_unmapped_colliding_shards_collapse(tmp_path):
+    """The hazard the mapping prevents, pinned as a regression oracle:
+    WITHOUT rules the same fixture LWW-collapses to N keys."""
+    root, registry, _ = _mapped_setup(tmp_path)
+    wal_dirs = [os.path.join(root, f"wal_s{i}") for i in range(2)]
+    # unmapped replay needs an unmapped-key base
+    shutil.rmtree(f"{root}/base")
+    dnum = np.arange(N_PER_SHARD, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[0]] * N_PER_SHARD, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(N_PER_SHARD, np.int32)),
+        "source": pa.array(["bank"] * N_PER_SHARD),
+    })
+    fixtures.write_base_partitioned(base, root, 8)
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=str(tmp_path / "lake_unmapped"),
+                       num_partitions=8)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay_sharded(cfg, wal_dirs)
+    got = rp.lake_to_table(cfg.lake_dir, wal_dirs[0])
+    assert got.num_rows == N_PER_SHARD          # collapsed — the data loss
+
+
+def test_column_mapping_optimistic_mode_maps_in_remount(tmp_path):
+    """Optimistic mode applies the rule during the per-shard remount pass
+    (shard identity is explicit there); resume re-planning over the
+    remount dir must not double-map."""
+    root, registry, rules = _mapped_setup(tmp_path)
+    wal_dirs = [os.path.join(root, f"wal_s{i}") for i in range(2)]
+    cfg = ReplayConfig(wal_dir=wal_dirs[0],
+                       lake_dir=str(tmp_path / "lake_opt"),
+                       num_partitions=8, validate=True)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic",
+                          key_mappings=rules)
+    got = rp.lake_to_table(cfg.lake_dir, wal_dirs[0])
+    assert got.num_rows == 2 * N_PER_SHARD
+    assert all(d[:3] in ("s0|", "s1|") for d in got["doc_id"].to_pylist())
+    # idempotent re-run (same mapping passed on resume)
+    res2 = rp.run_replay_sharded(cfg, wal_dirs, mode="optimistic",
+                                 key_mappings=rules)
+    assert len(res2.epochs) == 0
+    assert rp.lake_to_table(cfg.lake_dir, wal_dirs[0]).equals(got)

@@ -108,6 +108,12 @@ class ReplayConfig:
     # event filtering (M5/M7 analog): drop events whose `source` is in this set
     ignore_sources: frozenset[str] = field(default_factory=frozenset)
 
+    # shard-merge column mapping (DM pkg/column-mapping/column.go): WAL-dir →
+    # ColumnMappingRule, set internally by run_replay_sharded(key_mappings=…);
+    # handle keys are rewritten AT READ TIME (per segment path) so shard-local
+    # keys can never collide downstream. None = off.
+    shard_key_mapping: dict | None = None
+
     # user-extension hooks (§2.10): expression/UDF filter evaluated per batch
     # after decode — fn(pa.Table) -> boolean mask (M6 expr-filter analog)
     event_predicate: object | None = None

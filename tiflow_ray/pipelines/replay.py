@@ -31,6 +31,7 @@ no-op because merge is REPLACE-natured).
 
 from __future__ import annotations
 
+import dataclasses
 import glob
 import os
 import threading
@@ -273,11 +274,25 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     # read PLANNING is not thread-safe in Ray (lazy fsspec imports race when
     # pipelined epochs plan concurrently) — serialize planning only;
     # execution itself streams outside the lock
+    if cfg.shard_key_mapping and ep.fmt != "parquet":
+        raise ValueError("shard column mapping expects parquet WAL shards")
+    if cfg.shard_key_mapping and cfg.replay_mode == "two_pass":
+        raise ValueError(
+            "replay_mode='two_pass' cannot be combined with column mapping: "
+            "the thin winner pass reads keys without their source paths, so "
+            "it would dedupe UNMAPPED keys across shards")
     with _READ_PLAN_LOCK:
         if ep.fmt == "parquet":
             flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
+            if cfg.shard_key_mapping:
+                read_kwargs["include_paths"] = True
             ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
                                        **read_kwargs)
+            if cfg.shard_key_mapping:
+                from ..stages.column_mapping import mapping_stage
+                ds = ds.map_batches(mapping_stage(cfg.shard_key_mapping),
+                                    batch_format="pyarrow",
+                                    batch_size=cfg.batch_size)
             enforce_range = False
         elif ep.fmt == "jsonl":  # raw json change files: no pushdown —
             ds = ray.data.read_json(list(ep.files), **read_kwargs)
@@ -736,6 +751,12 @@ def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
     import json as _json
 
     lake = LakeState(cfg.lake_dir)
+    # column mapping applies DURING remount (per shard, where shard
+    # identity is explicit); the epoch engine then sees mapped keys and
+    # must not re-map — strip the config before _drive_epochs
+    key_mapping = cfg.shard_key_mapping
+    if key_mapping:
+        cfg = dataclasses.replace(cfg, shard_key_mapping=None)
     regs = [load_registry(d) for d in wal_dirs]
     merged = merge_optimistic_registries(regs)
     prev = lake.latest()
@@ -775,6 +796,10 @@ def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
                 rt = _remount_table(
                     seg, SchemaRegistry.from_json(row["shard_reg"]),
                     SchemaRegistry.from_json(merged_json))
+                if key_mapping:
+                    rule = key_mapping[os.path.abspath(
+                        os.path.dirname(row["src"]))]
+                    rt = rule.apply(rt)
                 tmp = row["dst"] + f".tmp.{os.getpid()}"
                 pq.write_table(rt, tmp, row_group_size=32768)
                 os.replace(tmp, row["dst"])
@@ -805,7 +830,8 @@ def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
 
 def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
                        upto_ts: int | None = None,
-                       mode: str = "pessimistic") -> ReplayResult:
+                       mode: str = "pessimistic",
+                       key_mappings: list | None = None) -> ReplayResult:
     """Shard-merge replay (dm/syncer/shardddl pessimistic coordination
     analog): N upstream WAL streams merge into ONE target table.
     `mode="optimistic"` instead coordinates divergent per-shard DDL
@@ -824,8 +850,18 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
     - Within an epoch the union of shard segments is one read: per-key
       ordering needs no cross-shard coordination because the compactor
       sorts by (commit_ts, start_ts) globally after the shuffle.
+    - `key_mappings` (DM pkg/column-mapping analog): one ColumnMappingRule
+      per shard, rewriting handle keys at read time — the "partition id"
+      rule that keeps overlapping shard-local PKs from colliding in the
+      merged table. The base lake must already hold MAPPED keys (DM's
+      full load also runs through column mapping).
     """
     assert mode in ("pessimistic", "optimistic"), mode
+    if key_mappings is not None:
+        assert len(key_mappings) == len(wal_dirs), \
+            "key_mappings must give exactly one rule per shard"
+        cfg = dataclasses.replace(cfg, shard_key_mapping={
+            os.path.abspath(d): r for d, r in zip(wal_dirs, key_mappings)})
     if mode == "optimistic":
         return _run_replay_optimistic(cfg, wal_dirs, upto_ts)
     lake = LakeState(cfg.lake_dir)

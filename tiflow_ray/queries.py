@@ -1041,6 +1041,51 @@ FROM events
 """
 
 
+def q_column_mapping(sf_dir: str) -> pa.Table:
+    """Column mapping (DM pkg/column-mapping/column.go): per-shard
+    partition-id key rewrite, the rule that keeps overlapping shard-local
+    PKs apart in a shard merge. Events split into two 'shards' by user_id
+    parity, each shard's handle key gets its shard tag prepended — the
+    same `ColumnMappingRule.apply` the sharded replay engine runs at read
+    time (stages/column_mapping.py, wired via
+    run_replay_sharded(key_mappings=…))."""
+    from .stages.column_mapping import ColumnMappingRule
+
+    rules = [ColumnMappingRule("partition id", f"s{i}", columns=("doc_id",))
+             for i in range(2)]
+
+    def map_keys(t: pa.Table) -> pa.Table:
+        shard = (t["user_id"].to_numpy() % 2).astype(np.int64)
+        ev = pa.table({
+            "id": t["event_id"],
+            "doc_id": pc.binary_join_element_wise(
+                pa.array(["doc"] * t.num_rows),
+                pc.cast(t["event_id"], pa.string()), "-"),
+            "shard": pa.array(shard),
+        })
+        pieces = []
+        for s in (0, 1):
+            sub = ev.filter(pc.equal(ev["shard"], s))
+            pieces.append(rules[s].apply(sub))
+        return pa.concat_tables(pieces)
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id"])
+    out = pa.concat_tables(list(ds.map_batches(map_keys,
+                                               batch_format="pyarrow")
+                                .iter_batches(batch_size=1 << 20,
+                                              batch_format="pyarrow")))
+    return out.sort_by("id")
+
+
+_COLUMN_MAPPING_SQL = """
+SELECT event_id AS id,
+       's' || CAST(user_id % 2 AS VARCHAR) || '|' ||
+         ('doc-' || CAST(event_id AS VARCHAR)) AS doc_id,
+       CAST(user_id % 2 AS BIGINT) AS shard
+FROM events ORDER BY id
+"""
+
+
 def q_binlog_filter(sf_dir: str) -> pa.Table:
     """M7: declarative schema/table-regex × event-kind filter matrix
     (pkg/binlog-filter/filter.go Filter:324-391 analog — first matching
@@ -2376,6 +2421,7 @@ REGISTRY: dict[str, tuple] = {
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
+    "column_mapping": (q_column_mapping, _COLUMN_MAPPING_SQL),
     "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
     "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),
     "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
