@@ -1,0 +1,97 @@
+"""K5 via MQ: DDL events travel the message stream as canal-json
+isDdl messages (broadcast to every partition), and a consumer can rebuild
+the FULL replicated state — registry + events — from messages alone
+(cdc/sink/ddlsink/mq + the kafka-consumer side of
+cmd/kafka-consumer, format-level)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from tiflow_ray import fixtures, oracle
+from tiflow_ray.config import ReplayConfig
+from tiflow_ray.pipelines import replay as rp
+from tiflow_ray.sinks.mq import MqSinkStage, dispatch
+from tiflow_ray.sources.codecs import (decode_canal_ddl_lines,
+                                       decode_canal_lines, ddl_to_sql,
+                                       sql_to_ddl)
+from tiflow_ray.sources.wal import list_segments
+from tiflow_ray.stages.schema_evo import DDL, SchemaRegistry
+
+
+def test_ddl_sql_roundtrip_all_kinds():
+    """Every DDL kind → SQL text → DDL, bit-exact (incl. quoted defaults
+    and parameterized type specs)."""
+    ddls = [
+        DDL(100, "add_column", "lang:string", "u'nd", 2),
+        DDL(200, "add_column", "tags:set<string>", None, 3),
+        DDL(250, "add_column", "grade:enum('a','b')", "a", 4),
+        DDL(300, "modify_column", "n_tok:int64", None, 5),
+        DDL(400, "rename_column", "lang>language", None, 6),
+        DDL(500, "drop_column", "grade", None, 7),
+        DDL(600, "truncate", "*", None, 8),
+    ]
+    for d in ddls:
+        back = sql_to_ddl(ddl_to_sql(d), d.barrier_ts, d.schema_ver)
+        assert back == d, f"{ddl_to_sql(d)!r} → {back}"
+
+
+def test_mq_stream_with_ddl_reconstructs_lake(tmp_path):
+    """Full MQ round trip: WAL (with DDLs) → dispatch → canal-json DML
+    messages + broadcast DDL messages → consumer decodes both, rebuilds
+    the registry and a WAL, replays — final lake equals the sequential
+    oracle of the ORIGINAL stream."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "src")
+    reg, metas, info = fixtures.generate_tier(root, "t1")
+    P = 4
+
+    # ---- producer side: one message per event + DDL broadcast ----------
+    segs = [pq.read_table(s.path) for s in list_segments(f"{root}/wal")]
+    events = pa.concat_tables(segs, promote_options="default")
+    sink = MqSinkStage(protocol="canal_json")
+    tagged = dispatch(events, P, "key")
+    streams = {p: sink(tagged.filter(pa.compute.equal(tagged["mq_partition"], p)))
+               for p in range(P)}
+    ddl_msgs = sink.ddl_stream(reg, P)
+
+    # ---- consumer side: decode, rebuild registry + WAL, replay ---------
+    # every partition carries the identical DDL sequence (broadcast)
+    per_part_ddls = [
+        ddl_msgs.filter(pa.compute.equal(ddl_msgs["mq_partition"], p))
+                .sort_by("offset")["payload"].to_pylist()
+        for p in range(P)]
+    assert all(d == per_part_ddls[0] for d in per_part_ddls[1:])
+    reg2 = decode_canal_ddl_lines(per_part_ddls[0])
+    assert reg2.to_json() == reg.to_json()
+
+    sup_cols = ["op", "commit_ts", "start_ts", "doc_id", "tokens", "n_tok",
+                "source", "lang", "pre_tokens", "new_doc_id", "schema_ver"]
+    decoded = pa.concat_tables([
+        decode_canal_lines(streams[p]["payload"].to_pylist(), sup_cols)
+        for p in range(P)])
+    order = pa.compute.sort_indices(
+        decoded, sort_keys=[("commit_ts", "ascending"),
+                            ("start_ts", "ascending")])
+    decoded = decoded.take(order)
+
+    dst = str(tmp_path / "rebuilt")
+    os.makedirs(f"{dst}/wal", exist_ok=True)
+    fixtures.write_wal_segments(decoded, f"{dst}/wal", len(segs), reg2)
+
+    cfg = ReplayConfig(wal_dir=f"{dst}/wal", lake_dir=str(tmp_path / "lake"),
+                       num_partitions=8, validate=True)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp), "MQ-reconstructed lake diverged from oracle"
+
+
+def test_ddl_stream_requires_canal_json():
+    with pytest.raises(AssertionError):
+        MqSinkStage(protocol="open_protocol").ddl_stream(
+            SchemaRegistry([]), 2)

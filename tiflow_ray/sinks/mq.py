@@ -76,6 +76,27 @@ class MqSinkStage:
         sid, sj = self._schema_cache[schema_json]
         return pa.array(encode_avro_messages(ev, sid, sj), pa.binary())
 
+    def ddl_stream(self, registry, num_partitions: int) -> pa.Table:
+        """DDL broadcast messages (cdc/sink/ddlsink/mq analog): every
+        partition receives the full DDL sequence as canal-json isDdl
+        messages in its own dense DDL-offset space, so each partition's
+        consumer observes every barrier regardless of which keys it
+        holds."""
+        from ..sources.codecs import encode_canal_ddl
+        assert self.protocol == "canal_json", \
+            "DDL messages are canal-json only"
+        lines = encode_canal_ddl(registry, self.database,
+                                 self.table).splitlines()
+        k = len(lines)
+        return pa.table({
+            "mq_partition": pa.array(np.repeat(
+                np.arange(num_partitions, dtype=np.int32), k)),
+            "offset": pa.array(np.tile(np.arange(k, dtype=np.int64),
+                                       num_partitions)),
+            "key": pa.array(["__ddl__"] * (k * num_partitions)),
+            "payload": pa.array(lines * num_partitions, pa.string()),
+        })
+
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..sources.codecs import encode_canal_json, encode_open_protocol
         part = int(t["mq_partition"][0].as_py()) if t.num_rows else -1

@@ -211,6 +211,98 @@ def decode_canal_lines(lines: list[str], columns: list[str]) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# DDL messages (canal-json isDdl=true — the MQ DDL sink, cdc/sink/ddlsink/mq:
+# DDL events are encoded as their SQL text and BROADCAST to every partition
+# so each partition's consumer observes the barrier; canal-json DDL envelope
+# per pkg/sink/codec/canal/canal_json_message.go)
+# ---------------------------------------------------------------------------
+
+def ddl_to_sql(d, table: str = "documents") -> str:
+    """DDL record → its SQL text (the form the reference's DDL sink ships).
+    Inverse of sql_to_ddl. Type specs are this engine's spec strings
+    (string/int64/list<int32>/enum('a','b')/…) — the dialect the lake's
+    schema files use, played straight as the DDL column type."""
+    if d.ddl_type == "add_column":
+        sql = f"ALTER TABLE {table} ADD COLUMN {d.col_name} {d.type_spec}"
+        if d.default is not None:
+            sql += " DEFAULT '" + str(d.default).replace("'", "''") + "'"
+        return sql
+    if d.ddl_type == "drop_column":
+        return f"ALTER TABLE {table} DROP COLUMN {d.column}"
+    if d.ddl_type == "modify_column":
+        return f"ALTER TABLE {table} MODIFY COLUMN {d.col_name} {d.type_spec}"
+    if d.ddl_type == "rename_column":
+        old, new = d.rename_pair
+        return f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}"
+    if d.ddl_type == "truncate":
+        return f"TRUNCATE TABLE {table}"
+    raise ValueError(f"unknown ddl_type {d.ddl_type}")
+
+
+_DDL_RES = [
+    ("add_column", re.compile(
+        r"^ALTER TABLE \S+ ADD COLUMN (\w+) (.+?)"
+        r"(?: DEFAULT '((?:[^']|'')*)')?$")),
+    ("rename_column", re.compile(
+        r"^ALTER TABLE \S+ RENAME COLUMN (\w+) TO (\w+)$")),
+    ("modify_column", re.compile(
+        r"^ALTER TABLE \S+ MODIFY COLUMN (\w+) (.+)$")),
+    ("drop_column", re.compile(r"^ALTER TABLE \S+ DROP COLUMN (\w+)$")),
+    ("truncate", re.compile(r"^TRUNCATE TABLE \S+$")),
+]
+
+
+def sql_to_ddl(sql: str, barrier_ts: int, schema_ver: int):
+    """SQL text → DDL record (the consumer's mini DDL parser — the analog
+    of the reference consumer feeding DDL query text to the downstream)."""
+    from ..stages.schema_evo import DDL
+    for kind, rx in _DDL_RES:
+        m = rx.match(sql.strip())
+        if m is None:
+            continue
+        g = m.groups()
+        if kind == "add_column":
+            name, spec, dflt = g
+            return DDL(barrier_ts, kind, f"{name}:{spec}",
+                       None if dflt is None else dflt.replace("''", "'"),
+                       schema_ver)
+        if kind == "rename_column":
+            return DDL(barrier_ts, kind, f"{g[0]}>{g[1]}", None, schema_ver)
+        if kind == "modify_column":
+            return DDL(barrier_ts, kind, f"{g[0]}:{g[1]}", None, schema_ver)
+        if kind == "drop_column":
+            return DDL(barrier_ts, kind, g[0], None, schema_ver)
+        return DDL(barrier_ts, "truncate", "*", None, schema_ver)
+    raise ValueError(f"unparseable DDL sql: {sql!r}")
+
+
+def encode_canal_ddl(registry, database: str = "tiflow",
+                     table: str = "documents") -> str:
+    """SchemaRegistry → canal-json DDL message lines (isDdl=true, sql
+    text, es=barrier ts), in barrier order."""
+    lines = []
+    for d in registry.ddls:
+        obj = {"database": database, "table": table, "pkNames": None,
+               "isDdl": True,
+               "type": "TRUNCATE" if d.ddl_type == "truncate" else "ALTER",
+               "es": int(d.barrier_ts), "ts": int(d.barrier_ts),
+               "sql": ddl_to_sql(d, table), "data": None, "old": None}
+        lines.append(json.dumps(obj, separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def decode_canal_ddl_lines(lines: list[str]):
+    """canal-json DDL lines → SchemaRegistry (versions renumbered dense in
+    barrier order, matching the registry contract)."""
+    from ..stages.schema_evo import SchemaRegistry
+    objs = [json.loads(ln) for ln in lines if ln]
+    assert all(o.get("isDdl") for o in objs), "non-DDL line in DDL stream"
+    objs.sort(key=lambda o: int(o["es"]))
+    return SchemaRegistry([sql_to_ddl(o["sql"], int(o["es"]), i + 2)
+                           for i, o in enumerate(objs)])
+
+
+# ---------------------------------------------------------------------------
 # open-protocol (TiCDC's native MQ protocol)
 # ---------------------------------------------------------------------------
 
