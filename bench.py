@@ -248,14 +248,23 @@ def _record_baseline(r: dict) -> None:
             f"(bandwidth-ceiling regime on one node)\n"
             f"- best observed across rounds (BENCH_SCALING_BEST.json, "
             f"min-wall sampling): {best['scaling_efficiency']}\n")
-        if marker in text:
-            text = text[:text.index(marker)] + section
-        else:
-            text += section
         with open(path, "w") as f:
-            f.write(text)
+            f.write(_replace_section(text, marker, section))
     except OSError:
         pass
+
+
+def _replace_section(text: str, marker: str, section: str) -> str:
+    """Replace the markdown section starting at `marker` up to (not
+    including) the next '\\n## ' heading — NOT to end-of-file, which would
+    silently delete every later section (the --scaling writer used to eat
+    the weak-scaling section this way)."""
+    if marker not in text:
+        return text + section
+    start = text.index(marker)
+    nxt = text.find("\n## ", start + len(marker))
+    tail = text[nxt:] if nxt != -1 else ""
+    return text[:start] + section + tail
 
 
 def run_weak_scaling() -> dict:
@@ -299,12 +308,8 @@ def run_weak_scaling() -> dict:
             f"(constant work per node); ideal = 1.0.\n\n"
             f"- t(2 cpu, 1×) = {t_small}s; t(8 cpu, 4×) = {t_big}s → "
             f"**weak-scaling efficiency {result['weak_scaling_efficiency']}**\n")
-        if marker in text:
-            text = text[:text.index(marker)] + section
-        else:
-            text += section
         with open(os.path.join(here, "BASELINE.md"), "w") as f:
-            f.write(text)
+            f.write(_replace_section(text, marker, section))
     except OSError:
         pass
     return result

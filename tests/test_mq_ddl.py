@@ -95,3 +95,29 @@ def test_ddl_stream_requires_canal_json():
     with pytest.raises(AssertionError):
         MqSinkStage(protocol="open_protocol").ddl_stream(
             SchemaRegistry([]), 2)
+
+
+def test_mq_produce_consume_pipeline_matches_oracle(tmp_path):
+    """The user-facing MQ loop (pipelines/mq.py, kafka-consumer analog):
+    produce_mq writes partitioned message logs, consume_mq rebuilds the
+    lake from messages alone — equal to the sequential oracle; re-running
+    consume is idempotent (message logs + derived WAL are the durable
+    state)."""
+    from tiflow_ray.pipelines.mq import consume_mq, produce_mq
+
+    root = str(tmp_path / "src")
+    reg, metas, info = fixtures.generate_tier(root, "t1")
+    msg_dir = str(tmp_path / "mq")
+    out = produce_mq(f"{root}/wal", msg_dir, num_partitions=4)
+    assert out["partitions"] == 4 and out["ddl_messages"] == len(reg.ddls)
+
+    lake = str(tmp_path / "lake")
+    res = consume_mq(msg_dir, lake, base_dir=f"{root}/base",
+                     num_partitions=8)
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp), "MQ-consumed lake diverged from oracle"
+
+    res2 = consume_mq(msg_dir, lake, num_partitions=8)
+    assert res2["epochs"] == 0
+    assert rp.lake_to_table(lake, res["wal_dir"]).equals(exp)

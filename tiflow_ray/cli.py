@@ -80,6 +80,20 @@ def main(argv=None):
     w.add_argument("--wal", required=True)
     w.add_argument("--lake", required=True)
 
+    mp = sub.add_parser("mq-produce")   # WAL → partitioned message logs
+    mp.add_argument("--wal", required=True)
+    mp.add_argument("--out", required=True)
+    mp.add_argument("-P", "--partitions", type=int, default=16)
+    mp.add_argument("--dispatcher", default="key",
+                    choices=["key", "index-value", "ts", "table"])
+
+    mc = sub.add_parser("mq-consume")   # message logs → replayed lake
+    mc.add_argument("--messages", required=True)
+    mc.add_argument("--lake", required=True)
+    mc.add_argument("--base", default=None,
+                    help="bootstrap from this base dir first")
+    mc.add_argument("-P", "--partitions", type=int, default=16)
+
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
 
@@ -145,6 +159,14 @@ def main(argv=None):
         print(json.dumps(rp.repartition_lake(a.lake, a.num_partitions)))
     elif a.cmd == "wal-gc":
         print(json.dumps(rp.gc_wal(a.wal, a.lake)))
+    elif a.cmd == "mq-produce":
+        from .pipelines.mq import produce_mq
+        print(json.dumps(produce_mq(a.wal, a.out, a.partitions,
+                                    dispatcher=a.dispatcher)))
+    elif a.cmd == "mq-consume":
+        from .pipelines.mq import consume_mq
+        print(json.dumps(consume_mq(a.messages, a.lake, base_dir=a.base,
+                                    num_partitions=a.partitions)))
     elif a.cmd == "export":
         # streaming export: fold tasks write directly, one file per
         # partition-fold block — never materialized on the driver

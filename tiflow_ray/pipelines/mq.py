@@ -1,0 +1,192 @@
+"""MQ produce/consume pipelines — the message-queue leg of the sink
+matrix as a user-facing job, not just a stage.
+
+`produce_mq` is the MQ DML+DDL sink (cdc/sink/dmlsink/mq +
+cdc/sink/ddlsink/mq): WAL events dispatch to partitions, each partition's
+stream is encoded (canal-json) with dense offsets, DDLs broadcast to every
+partition; streams land as parquet message logs under
+`out_dir/partition={p}/` — the durable stand-in for Kafka topics (no bus
+in the sandbox; the reference's storage sink makes the same move).
+
+`consume_mq` is the kafka-consumer analog (cmd/kafka-consumer): decode
+DML messages per partition (distributed), rebuild the schema registry
+from the DDL stream, materialize a derived WAL (the consumer's relay
+log), and drive the standard replay engine into a lake — proving the
+stream alone carries the full replicated state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import ReplayConfig
+from . import replay as rp
+
+
+def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
+               dispatcher: str = "key", database: str = "tiflow",
+               table: str = "documents") -> dict:
+    """WAL → per-partition canal-json message logs + DDL broadcast.
+
+    One `groupby(mq_partition).map_groups` pass: each partition's whole
+    stream is encoded by one task (offsets must be dense per partition —
+    the per-key ordering contract consumers rely on), so parallelism =
+    num_partitions. Message logs are parquet (partition, offset, key,
+    payload) under partition= dirs — resumable, one dir per partition."""
+    from ..sinks.mq import MqSinkStage, dispatch
+    from ..sources.wal import list_segments, load_registry
+
+    segs = list_segments(wal_dir)
+    assert segs, f"no WAL segments in {wal_dir}"
+    assert all(s.format == "parquet" for s in segs), \
+        "produce_mq expects parquet WAL segments"
+    registry = load_registry(wal_dir)
+
+    # superset column order: union of segment columns in first-seen order
+    # (parquet segment metas may omit the columns list — the parquet
+    # footer is the authority there, a metadata-only read per file)
+    sup: list[str] = []
+    for s in segs:
+        names = s.columns or pq.read_schema(s.path).names
+        for c in names:
+            if c not in sup:
+                sup.append(c)
+
+    sink = MqSinkStage(database=database, table=table,
+                       protocol="canal_json")
+
+    def emit_partition(t: pa.Table) -> pa.Table:
+        msgs = sink(t)
+        part = int(msgs["mq_partition"][0].as_py()) if msgs.num_rows else 0
+        d = os.path.join(out_dir, f"partition={part}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
+        pq.write_table(msgs, tmp, row_group_size=32768)
+        os.replace(tmp, os.path.join(d, "messages.parquet"))
+        return pa.table({"mq_partition": pa.array([part], pa.int32()),
+                         "messages": pa.array([msgs.num_rows], pa.int64())})
+
+    ds = ray.data.read_parquet([s.path for s in segs])
+    counts = (ds.map_batches(
+                  lambda t: dispatch(t, num_partitions, dispatcher),
+                  batch_format="pyarrow")
+                .groupby("mq_partition")
+                .map_groups(emit_partition, batch_format="pyarrow")
+                .take_all())                     # P rows — tiny
+
+    ddl_msgs = sink.ddl_stream(registry, num_partitions)
+    os.makedirs(os.path.join(out_dir, "_ddl"), exist_ok=True)
+    pq.write_table(ddl_msgs, os.path.join(out_dir, "_ddl",
+                                          "messages.parquet"))
+    meta = {"protocol": "canal_json", "columns": sup,
+            "database": database, "table": table,
+            "num_partitions": num_partitions, "dispatcher": dispatcher}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"partitions": len(counts),
+            "messages": int(sum(r["messages"] for r in counts)),
+            "ddl_messages": ddl_msgs.num_rows // max(num_partitions, 1)}
+
+
+def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
+               num_partitions: int = 16,
+               wal_out: str | None = None) -> dict:
+    """Message logs → derived WAL → replayed lake (kafka-consumer analog).
+
+    Decode is distributed (one task per message-log partition, idempotent
+    — meta written after data); the DDL stream is tiny and rebuilt on the
+    driver; replay is the standard epoch engine. The derived WAL lives
+    inside the lake (`_mq_wal`) like the optimistic remount dir — the
+    consumer's relay log."""
+    from ..sources.codecs import decode_canal_ddl_lines, decode_canal_lines
+
+    with open(os.path.join(msg_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["protocol"] == "canal_json", meta["protocol"]
+    sup = list(meta["columns"])
+
+    # registry from the DDL broadcast stream (partition 0's copy)
+    ddl_msgs = pq.read_table(os.path.join(msg_dir, "_ddl",
+                                          "messages.parquet"))
+    p0 = ddl_msgs.filter(pa.compute.equal(ddl_msgs["mq_partition"], 0))
+    registry = decode_canal_ddl_lines(
+        p0.sort_by("offset")["payload"].to_pylist())
+
+    wal_dir = wal_out or os.path.join(lake_dir, "_mq_wal")
+    os.makedirs(wal_dir, exist_ok=True)
+
+    part_dirs = sorted(
+        d for d in os.listdir(msg_dir) if d.startswith("partition="))
+
+    def decode_partition(tb: pa.Table) -> pa.Table:
+        out = []
+        for row in tb.to_pylist():
+            p = int(row["part"])
+            dst = os.path.join(wal_dir, f"seq={p:05d}.parquet")
+            mpath = dst.replace(".parquet", ".meta.json")
+            if os.path.exists(mpath):      # idempotent resume
+                with open(mpath) as f:
+                    m = json.load(f)
+                out.append({"part": p, "rows": m["rows"],
+                            "min_ts": m["min_ts"], "max_ts": m["max_ts"],
+                            "cols": list(m["columns"])})
+                continue
+            msgs = pq.read_table(row["src"]).sort_by("offset")
+            ev = decode_canal_lines(msgs["payload"].to_pylist(), sup)
+            ev = ev.take(pa.compute.sort_indices(
+                ev, sort_keys=[("commit_ts", "ascending"),
+                               ("start_ts", "ascending")]))
+            tmp = dst + f".tmp.{os.getpid()}"
+            pq.write_table(ev, tmp, row_group_size=32768)
+            os.replace(tmp, dst)
+            cts = ev["commit_ts"].to_numpy(zero_copy_only=False)
+            out.append({"part": p, "rows": ev.num_rows,
+                        "min_ts": int(cts.min()) if len(cts) else 0,
+                        "max_ts": int(cts.max()) if len(cts) else 0,
+                        "cols": ev.column_names})
+        return pa.Table.from_pylist(out)
+
+    items = [{"part": int(d.split("=", 1)[1]),
+              "src": os.path.join(msg_dir, d, "messages.parquet")}
+             for d in part_dirs]
+    decoded = ray.data.from_items(items).map_batches(
+        decode_partition, batch_format="pyarrow",
+        batch_size=1).take_all()                 # P rows — tiny
+
+    # Per-partition segments overlap in commit_ts and their maxima are NOT
+    # monotone in seq order, but the WAL contract requires nondecreasing
+    # watermarks (an epoch at watermark W asserts every event <= W has
+    # been delivered). The message log is complete — this is a batch
+    # consume of fully-delivered partitions — so every segment's honest
+    # watermark is the GLOBAL max; the driver stamps metas after all data
+    # lands (meta-after-data: a crash before this point just re-decodes).
+    global_max = max((r["max_ts"] for r in decoded), default=0)
+    for r in decoded:
+        mpath = os.path.join(wal_dir, f"seq={int(r['part']):05d}.meta.json")
+        if os.path.exists(mpath):
+            continue
+        seg_meta = {"seq": int(r["part"]), "watermark_ts": int(global_max),
+                    "min_ts": int(r["min_ts"]), "max_ts": int(r["max_ts"]),
+                    "rows": int(r["rows"]), "format": "parquet",
+                    "columns": list(r["cols"])}
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(seg_meta, f)
+        os.replace(mpath + ".tmp", mpath)
+    with open(os.path.join(wal_dir, "ddl.json"), "w") as f:
+        f.write(registry.to_json())
+
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=lake_dir,
+                       num_partitions=num_partitions)
+    if base_dir is not None:
+        rp.bootstrap(cfg, base_dir=base_dir)
+    res = rp.run_replay(cfg)
+    return {"partitions_decoded": len(decoded),
+            "epochs": len(res.epochs), "events": res.events,
+            "wal_dir": wal_dir}
