@@ -130,6 +130,14 @@ class ReplayConfig:
     # pipelines consume this)
     binlog_filter: object | None = None
 
+    # online-DDL shadow-table handling (dm/syncer/online-ddl-tools): a
+    # stages.online_ddl.OnlineDDLPlugin. When set, WAL segments must carry a
+    # `table_name` column; ghost/trash-table DML (gh-ost row-copy and
+    # changelog traffic) is dropped at the Normalize stage — the registry
+    # side (recorded ghost alters folding out at the swap rename) is built
+    # via stages.online_ddl.registry_from_binlog before replay
+    online_ddl: object | None = None
+
 
 def load_config(path: str, **overrides) -> ReplayConfig:
     """Declarative config file → ReplayConfig (the TOML/JSON surface users
@@ -175,6 +183,14 @@ def load_config(path: str, **overrides) -> ReplayConfig:
                            for r in blg]) if blg else None
     if "ignore_sources" in raw:
         raw["ignore_sources"] = frozenset(raw["ignore_sources"])
+    # DM task-config online-ddl surface (subtask.go: online-ddl +
+    # shadow-table-rules / trash-table-rules)
+    if raw.pop("online_ddl", False):
+        from .stages.online_ddl import (DEFAULT_SHADOW_RULES,
+                                        DEFAULT_TRASH_RULES, OnlineDDLPlugin)
+        raw["online_ddl"] = OnlineDDLPlugin(
+            tuple(raw.pop("shadow_table_rules", DEFAULT_SHADOW_RULES)),
+            tuple(raw.pop("trash_table_rules", DEFAULT_TRASH_RULES)))
     raw.update(overrides)
     known = {f for f in ReplayConfig.__dataclass_fields__}
     unknown = set(raw) - known

@@ -246,7 +246,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     shuffle → merge-write) and return the per-partition stats rows. NO
     manifest side effects — commit happens in _commit_epoch."""
     if cfg.replay_mode == "two_pass" and (cfg.event_predicate is not None
-                                          or cfg.expr_filter_rules):
+                                          or cfg.expr_filter_rules
+                                          or cfg.online_ddl is not None):
         raise ValueError(
             "replay_mode='two_pass' cannot be combined with event_predicate/"
             "expr_filter_rules: the thin pass does not read payload columns, "
@@ -261,6 +262,10 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                     for c in image_columns([f.name for f in
                                             registry.schema(ep.schema_ver)])]
     cols = epoch_event_columns([f.name for f in image_fields])
+    # online-DDL mode reads the table routing column so the Normalize-stage
+    # predicate can drop ghost/trash DML; Normalize's final projection then
+    # discards it (it is not an image column)
+    read_cols = cols + ["table_name"] if cfg.online_ddl is not None else cols
 
     # block count ≫ cores: parquet files are few and large, so without an
     # override the read fans out only #files wide and the whole pipeline
@@ -286,8 +291,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
             flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
             if cfg.shard_key_mapping:
                 read_kwargs["include_paths"] = True
-            ds = ray.data.read_parquet(list(ep.files), columns=cols, filter=flt,
-                                       **read_kwargs)
+            ds = ray.data.read_parquet(list(ep.files), columns=read_cols,
+                                       filter=flt, **read_kwargs)
             if cfg.shard_key_mapping:
                 from ..stages.column_mapping import mapping_stage
                 ds = ds.map_batches(mapping_stage(cfg.shard_key_mapping),
@@ -313,6 +318,19 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                                 batch_size=cfg.batch_size)
             enforce_range = True
     predicate = cfg.event_predicate
+    if cfg.online_ddl is not None:
+        plugin = cfg.online_ddl
+        if predicate is None:
+            def predicate(t, _p=plugin):
+                return _p.dml_mask(t)
+        else:
+            user_pred0 = predicate
+
+            def predicate(t, _u=user_pred0, _p=plugin):    # AND-compose
+                import numpy as _np
+                import pyarrow as _pa
+                return _pa.array(_np.asarray(_u(t), dtype=bool)
+                                 & _np.asarray(_p.dml_mask(t), dtype=bool))
     if cfg.expr_filter_rules:
         from ..stages.expr_filter import ExprFilter
         expr_pred = ExprFilter(list(cfg.expr_filter_rules))

@@ -408,6 +408,136 @@ def q_cdc_replay_rename(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir)
 
 
+def q_cdc_replay_online(sf_dir: str) -> pa.Table:
+    """gh-ost online-DDL migration replayed end-to-end, oracle-checked
+    against the SAME SQL twin as cdc_replay_ddl (dm/syncer/online-ddl-tools
+    /online_ddl.go:442-523 Apply semantics): the add_column(lang) DDL never
+    arrives as an ALTER on the real table — it arrives as an ALTER on
+    `_documents_gho` (recorded, not applied), interleaved with ghost
+    row-copy DML and `_documents_ghc` changelog DML (both of which would
+    corrupt the lake if not dropped), and folds out at the swap
+    `RENAME documents TO _documents_del, _documents_gho TO documents`
+    barrier. The engine runs with cfg.online_ddl set, so ghost/trash DML
+    dies at the Normalize predicate and the registry is built from the
+    statement stream by registry_from_binlog — the final lake must be
+    bit-identical to the plain-DDL replay."""
+    from .config import ReplayConfig
+    from .fixtures import write_wal_segments
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+    from .stages.online_ddl import (OnlineDDLPlugin, TableStmt,
+                                    registry_from_binlog)
+
+    root, registry = stage_cdc_fixture(sf_dir, True)
+    b = registry.ddls[0].barrier_ts
+    on_root = os.path.join(root, "online")
+    done = os.path.join(on_root, "_staged")
+    if not os.path.exists(done):
+        wal = pa.concat_tables(
+            [pq.read_table(s.path)
+             for s in list_segments(os.path.join(root, "wal"))],
+            promote_options="default")
+        real = wal.append_column(
+            "table_name", pa.array(np.full(wal.num_rows, "documents"),
+                                   pa.string()))
+
+        def _junk(step: int, table: str, tag: str) -> pa.Table:
+            """Corrupting clones: +1 commit_ts so an unfiltered clone WINS
+            LWW and poisons the hash (source value the oracle never emits)."""
+            sub = wal.slice(0).filter(
+                pa.array(np.arange(wal.num_rows) % step == 0))
+            cts = sub["commit_ts"].to_numpy(zero_copy_only=False) + 1
+            sub = sub.set_column(sub.column_names.index("commit_ts"),
+                                 "commit_ts", pa.array(cts, pa.uint64()))
+            sub = sub.set_column(sub.column_names.index("source"), "source",
+                                 pa.array(np.full(sub.num_rows, tag),
+                                          pa.string()))
+            return sub.append_column(
+                "table_name", pa.array(np.full(sub.num_rows, table),
+                                       pa.string()))
+
+        combined = pa.concat_tables([real,
+                                     _junk(3, "_documents_gho", "ghost-copy"),
+                                     _junk(7, "_documents_ghc", "ghost-log")])
+        cts = wal["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t0 = int(cts.min())
+        stmts = [
+            TableStmt("create_table", "tiflow", "_documents_gho", t0),
+            TableStmt("alter", "tiflow", "_documents_gho", t0 + 1,
+                      payload=("add_column", "lang:string", "und")),
+            TableStmt("rename_table", "tiflow", "documents", b,
+                      to_table="_documents_del"),
+            TableStmt("rename_table", "tiflow", "_documents_gho", b,
+                      to_table="documents"),
+        ]
+        reg2 = registry_from_binlog(stmts, "documents")
+        assert reg2.to_json() == registry.to_json(), \
+            "online-DDL fold diverged from the direct-DDL registry"
+        write_wal_segments(combined, os.path.join(on_root, "wal"),
+                           CDC_SEGMENTS, reg2)
+        os.makedirs(done, exist_ok=True)
+
+    cfg = ReplayConfig(wal_dir=os.path.join(on_root, "wal"),
+                       lake_dir=os.path.join(root, "lake_online"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2,
+                       online_ddl=OnlineDDLPlugin())
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    return rp.lake_to_table(cfg.lake_dir)
+
+
+_ONLINE_TABLES = ("documents", "_documents_gho", "_documents_ghc",
+                  "_documents_del", "docs_archive")
+
+
+def q_online_ddl_filter(sf_dir: str) -> pa.Table:
+    """Online-DDL table classification + real-name extraction, vectorized
+    over distinct names per batch (online_ddl.go:499-529 TableType/RealName
+    with the default shadow/trash rules, dm/config/subtask.go:59-60)."""
+    from .stages.online_ddl import OnlineDDLPlugin
+
+    plugin = OnlineDDLPlugin()
+
+    def classify(t: pa.Table) -> pa.Table:
+        names = np.asarray(_ONLINE_TABLES, dtype=object)[
+            t["event_id"].to_numpy() % 5]
+        uniq, inv = np.unique(names.astype(str), return_inverse=True)
+        ttype = np.array([plugin.table_type(n) for n in uniq], object)[inv]
+        rname = np.array([plugin.real_name(n) for n in uniq], object)[inv]
+        return pa.table({
+            "event_id": t["event_id"],
+            "table_name": pa.array(names, pa.string()),
+            "ttype": pa.array(ttype, pa.string()),
+            "real_name": pa.array(rname, pa.string()),
+            "dml_keep": pa.array(ttype == "real"),
+        })
+
+    ds = _ds(sf_dir, "events", ["event_id"])
+    return pa.concat_tables(list(ds.map_batches(classify,
+                                                batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_ONLINE_DDL_FILTER_SQL = """
+WITH d AS (
+  SELECT event_id,
+         (['documents','_documents_gho','_documents_ghc','_documents_del',
+           'docs_archive'])[1 + CAST(event_id % 5 AS BIGINT)] AS table_name
+  FROM events)
+SELECT event_id, table_name,
+       CASE WHEN regexp_matches(table_name, '^_(.+)_(?:new|gho)$') THEN 'ghost'
+            WHEN regexp_matches(table_name, '^_(.+)_(?:ghc|del|old)$') THEN 'trash'
+            ELSE 'real' END AS ttype,
+       COALESCE(NULLIF(regexp_extract(table_name,
+                       '^_(.+)_(?:new|gho|ghc|del|old)$', 1), ''),
+                table_name) AS real_name,
+       NOT regexp_matches(table_name, '^_(.+)_(?:new|gho|ghc|del|old)$')
+           AS dml_keep
+FROM d
+"""
+
+
 _CDC_REPLAY_OPTIMISTIC_SQL = f"""
 WITH base AS ({_BASE_SQL}),
 wal AS ({_WAL_SQL}),
@@ -2413,6 +2543,8 @@ REGISTRY: dict[str, tuple] = {
                               _CDC_REPLAY_OPTIMISTIC_SQL),
     "cdc_replay_truncate": (q_cdc_replay_truncate, _CDC_REPLAY_TRUNCATE_SQL),
     "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
+    "cdc_replay_online": (q_cdc_replay_online, _CDC_REPLAY_DDL_SQL),
+    "online_ddl_filter": (q_online_ddl_filter, _ONLINE_DDL_FILTER_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
