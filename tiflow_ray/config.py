@@ -130,6 +130,13 @@ class ReplayConfig:
     # pipelines consume this)
     binlog_filter: object | None = None
 
+    # coarse table selector (the changefeed `rules = ['*.*', '!test.*']`
+    # surface; tidb table-filter semantics): a stages.table_filter
+    # .TableFilter. When set, WAL segments must carry `table_name` (and
+    # optionally `schema_name`; absent = 'tiflow'); non-matching tables'
+    # DML is dropped at Normalize
+    table_filter: object | None = None
+
     # online-DDL shadow-table handling (dm/syncer/online-ddl-tools): a
     # stages.online_ddl.OnlineDDLPlugin. When set, WAL segments must carry a
     # `table_name` column; ghost/trash-table DML (gh-ost row-copy and
@@ -183,6 +190,12 @@ def load_config(path: str, **overrides) -> ReplayConfig:
                            for r in blg]) if blg else None
     if "ignore_sources" in raw:
         raw["ignore_sources"] = frozenset(raw["ignore_sources"])
+    # changefeed table-filter rules (filter.rules surface)
+    tf_rules = raw.pop("table_filter_rules", None)
+    if tf_rules:
+        from .stages.table_filter import TableFilter
+        raw["table_filter"] = TableFilter(
+            list(tf_rules), raw.pop("table_filter_case_sensitive", False))
     # DM task-config online-ddl surface (subtask.go: online-ddl +
     # shadow-table-rules / trash-table-rules)
     if raw.pop("online_ddl", False):

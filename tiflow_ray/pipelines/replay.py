@@ -247,7 +247,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     manifest side effects — commit happens in _commit_epoch."""
     if cfg.replay_mode == "two_pass" and (cfg.event_predicate is not None
                                           or cfg.expr_filter_rules
-                                          or cfg.online_ddl is not None):
+                                          or cfg.online_ddl is not None
+                                          or cfg.table_filter is not None):
         raise ValueError(
             "replay_mode='two_pass' cannot be combined with event_predicate/"
             "expr_filter_rules: the thin pass does not read payload columns, "
@@ -262,10 +263,12 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                     for c in image_columns([f.name for f in
                                             registry.schema(ep.schema_ver)])]
     cols = epoch_event_columns([f.name for f in image_fields])
-    # online-DDL mode reads the table routing column so the Normalize-stage
-    # predicate can drop ghost/trash DML; Normalize's final projection then
-    # discards it (it is not an image column)
-    read_cols = cols + ["table_name"] if cfg.online_ddl is not None else cols
+    # online-DDL / table-filter modes read the table routing column so the
+    # Normalize-stage predicate can drop ghost/trash or unselected-table
+    # DML; Normalize's final projection then discards it (not an image col)
+    read_cols = (cols + ["table_name"]
+                 if cfg.online_ddl is not None or cfg.table_filter is not None
+                 else cols)
 
     # block count ≫ cores: parquet files are few and large, so without an
     # override the read fans out only #files wide and the whole pipeline
@@ -318,6 +321,31 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                                 batch_size=cfg.batch_size)
             enforce_range = True
     predicate = cfg.event_predicate
+    if cfg.table_filter is not None:
+        tfilt = cfg.table_filter
+
+        def _tf_mask(t, _f=tfilt):
+            import numpy as _np
+            import pyarrow as _pa
+            if "table_name" not in t.column_names:
+                return _pa.array(_np.ones(t.num_rows, dtype=bool))
+            tables = _np.asarray(
+                t["table_name"].to_numpy(zero_copy_only=False))
+            schemas = (_np.asarray(
+                t["schema_name"].to_numpy(zero_copy_only=False))
+                if "schema_name" in t.column_names
+                else _np.full(t.num_rows, "tiflow"))
+            return _pa.array(_f.mask(schemas, tables))
+        if predicate is None:
+            predicate = _tf_mask
+        else:
+            user_tf = predicate
+
+            def predicate(t, _u=user_tf, _m=_tf_mask):      # AND-compose
+                import numpy as _np
+                import pyarrow as _pa
+                return _pa.array(_np.asarray(_u(t), dtype=bool)
+                                 & _np.asarray(_m(t), dtype=bool))
     if cfg.online_ddl is not None:
         plugin = cfg.online_ddl
         if predicate is None:

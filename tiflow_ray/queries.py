@@ -1268,6 +1268,108 @@ WHERE NOT (regexp_full_match(table_name, 'click|view') AND kind = 'update')
 """
 
 
+def q_table_filter(sf_dir: str) -> pa.Table:
+    """Table-filter pattern language (the `rules = ['*.*', '!test.*']`
+    surface; tidb table-filter semantics via stages/table_filter.py):
+    wildcards, bare-schema rules, `!` exclusions, `~` regex parts,
+    last-match-wins, no-match ⇒ excluded. Vectorized per distinct
+    (schema, table) pair."""
+    from .stages.table_filter import TableFilter
+
+    filt = TableFilter(["db*.click", "db1.*", "!db1.purchase", "db0.~^vi"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        etype = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        schemas = np.char.add("db", (uid % 2).astype("U1"))
+        keep = filt.mask(schemas, etype)
+        d = pa.table({"event_id": t["event_id"],
+                      "schema_name": pa.array(schemas),
+                      "table_name": pa.array(etype, pa.string())})
+        return d.filter(pa.array(keep))
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return pa.concat_tables(list(ds.map_batches(apply, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_TABLE_FILTER_SQL = """
+WITH d AS (
+  SELECT event_id, 'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
+         event_type AS table_name
+  FROM events)
+SELECT event_id, schema_name, table_name FROM d
+WHERE CASE  -- last matching rule wins => test rules in reverse order
+  WHEN schema_name = 'db0' AND regexp_matches(table_name, '^vi') THEN TRUE
+  WHEN schema_name = 'db1' AND table_name = 'purchase' THEN FALSE
+  WHEN schema_name = 'db1' THEN TRUE
+  WHEN regexp_full_match(schema_name, 'db.*') AND table_name = 'click' THEN TRUE
+  ELSE FALSE END
+"""
+
+
+def q_mq_event_router(sf_dir: str) -> pa.Table:
+    """MQ event router (cdc/sink/dmlsink/mq/dispatcher/event_router.go):
+    ordered dispatch rules, FIRST matching table-filter wins, topic
+    expressions with {schema}/{table} substitution, per-rule partition
+    dispatchers — resolved once per distinct table, partition math
+    vectorized per row."""
+    from .sinks.mq import DispatchRule, EventRouter
+
+    router = EventRouter([
+        DispatchRule(("db0.click",), "ts", "clicks-{schema}"),
+        DispatchRule(("db*.view", "!db1.view"), "index-value", "views"),
+        DispatchRule(("*.*",), "ts", "events-{table}"),
+    ], default_topic="events")
+
+    def apply(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        etype = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        d = pa.table({
+            "event_id": t["event_id"],
+            "schema_name": pa.array(np.char.add("db", (uid % 2).astype("U1"))),
+            "table_name": pa.array(etype, pa.string()),
+            "doc_id": pa.array(np.char.add("doc-", eid.astype("U20"))),
+            # distinct from the doc suffix so a dispatcher mix-up between
+            # ts and index-value cannot hash-collide its way past the oracle
+            "commit_ts": pa.array((eid * 7 + 3).astype(np.uint64)),
+        })
+        return router.route_batch(d, 8)
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = pa.concat_tables(list(ds.map_batches(apply, batch_format="pyarrow")
+                                .iter_batches(batch_size=1 << 20,
+                                              batch_format="pyarrow")))
+    return out.select(["event_id", "schema_name", "table_name",
+                       "mq_topic", "mq_partition"])
+
+
+_MQ_EVENT_ROUTER_SQL = """
+WITH d AS (
+  SELECT event_id, 'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
+         event_type AS table_name
+  FROM events)
+SELECT event_id, schema_name, table_name,
+  CASE  -- first matching rule wins
+    WHEN schema_name = 'db0' AND table_name = 'click'
+      THEN 'clicks-' || schema_name
+    WHEN table_name = 'view' AND regexp_full_match(schema_name, 'db.*')
+         AND schema_name <> 'db1'
+      THEN 'views'
+    ELSE 'events-' || table_name END AS mq_topic,
+  CAST(CASE
+    WHEN schema_name = 'db0' AND table_name = 'click'
+      THEN (event_id * 7 + 3) % 8              -- ts dispatcher
+    WHEN table_name = 'view' AND regexp_full_match(schema_name, 'db.*')
+         AND schema_name <> 'db1'
+      THEN event_id % 8      -- index-value: numeric doc suffix = event_id
+    ELSE (event_id * 7 + 3) % 8 END AS INTEGER) AS mq_partition
+FROM d
+"""
+
+
 def q_expr_filter(sf_dir: str) -> pa.Table:
     """M6 proper: declarative per-table SQL expression filter
     (pkg/filter/expr_filter.go analog — four IGNORE expressions per rule,
@@ -2550,6 +2652,8 @@ REGISTRY: dict[str, tuple] = {
     "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
     "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
     "expr_filter": (q_expr_filter, _EXPR_FILTER_SQL),
+    "table_filter": (q_table_filter, _TABLE_FILTER_SQL),
+    "mq_event_router": (q_mq_event_router, _MQ_EVENT_ROUTER_SQL),
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "column_router": (q_column_router, _COLUMN_ROUTER_SQL),

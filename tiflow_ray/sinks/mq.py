@@ -20,6 +20,8 @@ Semantics mirrored:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 
@@ -116,3 +118,86 @@ class MqSinkStage:
             "key": ev["doc_id"],
             "payload": payload,
         })
+
+
+@dataclass(frozen=True)
+class DispatchRule:
+    """One [sink.dispatchers] entry (config.DispatchRule): a table-filter
+    matcher + partition rule + topic expression."""
+    matcher: tuple[str, ...]
+    partition: str = "default"     # default|table|key|index-value|ts
+    topic: str = ""                # "" = default topic; {schema}/{table} subst
+
+    def __post_init__(self):
+        assert self.partition in ("default", "table", "key",
+                                  "index-value", "ts"), self.partition
+
+
+class EventRouter:
+    """Topic + partition router (cdc/sink/dmlsink/mq/dispatcher/
+    event_router.go:30-130): rules walked in order, FIRST rule whose
+    table-filter matches wins; a `*.*` default rule (default dispatcher,
+    static default topic) is appended so unmatched tables always route
+    (event_router.go:48-53). `default` partitioning = the table
+    dispatcher (all events of one table share a partition via a stable
+    hash of schema.table). Routing is resolved once per DISTINCT
+    (schema, table) pair per batch; per-row partition math is vectorized."""
+
+    def __init__(self, rules: list[DispatchRule], default_topic: str,
+                 case_sensitive: bool = False):
+        from ..stages.table_filter import TableFilter
+        self.default_topic = default_topic
+        all_rules = list(rules) + [DispatchRule(("*.*",), "default", "")]
+        self.rules = [(TableFilter(list(r.matcher), case_sensitive), r)
+                      for r in all_rules]
+
+    def route(self, schema: str, table: str) -> tuple[str, str]:
+        """(topic, partition_rule) for one table — first match wins."""
+        for filt, rule in self.rules:
+            if filt.match(schema, table):
+                topic = rule.topic or self.default_topic
+                topic = topic.replace("{schema}", schema).replace(
+                    "{table}", table)
+                part = "table" if rule.partition == "default" else rule.partition
+                return topic, part
+        raise AssertionError("unreachable: the *.* default always matches")
+
+    def route_batch(self, t: pa.Table, num_partitions: int,
+                    schema_col: str = "schema_name",
+                    table_col: str = "table_name") -> pa.Table:
+        """Append mq_topic + mq_partition columns."""
+        SEP = "\x1f"
+        schemas = np.asarray(t[schema_col].to_numpy(zero_copy_only=False))
+        tables = np.asarray(t[table_col].to_numpy(zero_copy_only=False))
+        pairs = np.char.add(np.char.add(schemas.astype(str), SEP),
+                            tables.astype(str))
+        uniq, inv = np.unique(pairs, return_inverse=True)
+        topics = np.empty(len(uniq), object)
+        prules = np.empty(len(uniq), object)
+        table_part = np.empty(len(uniq), np.int64)
+        for i, u in enumerate(uniq):
+            s, tb = u.split(SEP, 1)
+            topics[i], prules[i] = self.route(s, tb)
+            table_part[i] = int(
+                key_hash64(pa.array([f"{s}.{tb}"]))[0]
+                % np.uint64(num_partitions))
+        row_rule = prules[inv]
+        part = table_part[inv].copy()          # "table" default everywhere
+        if (row_rule == "key").any():
+            kp = (key_hash64(t["doc_id"]) % np.uint64(num_partitions)
+                  ).astype(np.int64)
+            part = np.where(row_rule == "key", kp, part)
+        if (row_rule == "index-value").any():
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+            nums = np.array([int(s.rsplit("-", 1)[-1]) for s in ids],
+                            np.int64)
+            part = np.where(row_rule == "index-value",
+                            nums % num_partitions, part)
+        if (row_rule == "ts").any():
+            tp = (t["commit_ts"].to_numpy(zero_copy_only=False)
+                  % np.uint64(num_partitions)).astype(np.int64)
+            part = np.where(row_rule == "ts", tp, part)
+        return (t.append_column("mq_topic",
+                                pa.array(topics[inv], pa.string()))
+                 .append_column("mq_partition",
+                                pa.array(part.astype(np.int32))))
