@@ -303,3 +303,35 @@ def test_stopword_counts_matches_per_word_semantics():
     rand = [" ".join(rng.choices(vocab, k=rng.randint(0, 25)))
             for _ in range(1000)]
     assert stopword_counts(pd.Series(rand)).tolist() == [ref(r) for r in rand]
+
+
+def test_repetition_stats_matches_bruteforce():
+    """Gopher repetition counts: vectorized kernel == Counter brute force
+    on random word streams (incl. single-word and all-same docs)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from tiflow_ray.functions.text import RepetitionStats
+
+    rng = np.random.default_rng(13)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(80)] + ["solo", "w w w w"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = RepetitionStats()(df)
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        wc = Counter(words)
+        grams = Counter(zip(words, words[1:]))
+        row = out.iloc[i]
+        assert row["n_words"] == len(words)
+        assert row["n_distinct"] == len(wc)
+        assert row["dup_word_count"] == sum(c for c in wc.values() if c > 1)
+        assert row["top_word_count"] == max(wc.values())
+        assert row["n_2grams"] == max(len(words) - 1, 0)
+        assert row["dup_2gram_count"] == sum(c for c in grams.values() if c > 1)
+        assert row["top_2gram_count"] == (max(grams.values()) if grams else 0)
+        assert row["gopher_keep"] == (
+            row["dup_word_count"] * 10 < row["n_words"] * 3
+            and row["top_word_count"] * 5 < row["n_words"])

@@ -288,3 +288,64 @@ def hash_embed_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def hash_embed_fast_batch(df: pd.DataFrame) -> pd.DataFrame:
     return _one("hef", lambda: HashEmbed(fast=True))(df)
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals (Rae et al. 2021 appendix A:
+    duplicate-word fraction, most-common-word fraction, duplicate/top
+    n-gram fractions — the standard pre-training quality gates). Emits
+    EXACT integer counts (ratios are one division away) so the SQL twin
+    hash-matches bit-for-bit, plus an integer-arithmetic `gopher_keep`
+    gate (dup words < 30% and top word < 20% of the doc).
+
+    One polars split+explode+hash pass per batch (no Python per word);
+    per-(doc, word) and per-(doc, 2-gram) counting via ONE lexsort +
+    run-length scan each. 64-bit word-hash collisions are the usual
+    ~1e-15 non-issue."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        rows, h = _exploded_word_hashes(df["text"])
+        n_words = np.bincount(rows, minlength=n).astype(np.int64)
+
+        def _group_counts(r: np.ndarray, k: np.ndarray):
+            """(n_distinct, dup_count, top_count) per row for key array k."""
+            nd = np.zeros(n, np.int64)
+            dup = np.zeros(n, np.int64)
+            top = np.zeros(n, np.int64)
+            if len(r) == 0:
+                return nd, dup, top
+            order = np.lexsort((k, r))
+            r, k = r[order], k[order]
+            b = np.ones(len(r), bool)
+            b[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+            starts = np.flatnonzero(b)
+            counts = np.diff(np.append(starts, len(r)))
+            grow = r[starts]
+            nd += np.bincount(grow, minlength=n).astype(np.int64)
+            dup += np.bincount(grow, weights=np.where(counts > 1, counts, 0),
+                               minlength=n).astype(np.int64)
+            urow, ustarts = np.unique(grow, return_index=True)
+            top[urow] = np.maximum.reduceat(counts, ustarts)
+            return nd, dup, top
+
+        n_distinct, dup_words, top_word = _group_counts(rows, h)
+
+        adj = rows[1:] == rows[:-1]
+        gh = (h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:])[adj]
+        gr = rows[:-1][adj]
+        _, dup_grams, top_gram = _group_counts(gr, gh)
+        n_grams = np.bincount(gr, minlength=n).astype(np.int64)
+
+        keep = (dup_words * 10 < n_words * 3) & (top_word * 5 < n_words)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_words": n_words,
+            "n_distinct": n_distinct,
+            "dup_word_count": dup_words,
+            "top_word_count": top_word,
+            "n_2grams": n_grams,
+            "dup_2gram_count": dup_grams,
+            "top_2gram_count": top_gram,
+            "gopher_keep": keep,
+        })

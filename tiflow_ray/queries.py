@@ -1948,6 +1948,52 @@ FROM documents
 """
 
 
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word /
+    most-common-word / duplicate-2-gram counts + integer-arithmetic keep
+    gate) — one polars explode+hash pass and two lexsort scans per batch
+    (functions/text.py RepetitionStats)."""
+    from .functions.text import RepetitionStats
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats, batch_format="pandas",
+                         concurrency=4, batch_size=8192)
+    return pa.concat_tables(list(out.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"))).to_pandas()
+
+
+_REPETITION_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, unnest(l) AS word FROM d),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+wa AS (SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_words,
+              count(*) AS n_distinct,
+              CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                  AS dup_word_count,
+              CAST(max(c) AS BIGINT) AS top_word_count
+       FROM wc GROUP BY doc_id),
+g AS (SELECT doc_id,
+             unnest([l[i] || chr(31) || l[i+1] for i in range(1, len(l))])
+                 AS gram
+      FROM d),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+ga AS (SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_2grams,
+              CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                  AS dup_2gram_count,
+              CAST(max(c) AS BIGINT) AS top_2gram_count
+       FROM gc GROUP BY doc_id)
+SELECT wa.doc_id, wa.n_words, wa.n_distinct, wa.dup_word_count,
+       wa.top_word_count,
+       COALESCE(ga.n_2grams, 0) AS n_2grams,
+       COALESCE(ga.dup_2gram_count, 0) AS dup_2gram_count,
+       COALESCE(ga.top_2gram_count, 0) AS top_2gram_count,
+       (wa.dup_word_count * 10 < wa.n_words * 3
+        AND wa.top_word_count * 5 < wa.n_words) AS gopher_keep
+FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id
+"""
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from .functions.text import lang_id_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
@@ -2671,6 +2717,7 @@ REGISTRY: dict[str, tuple] = {
     "sync_diff": (q_sync_diff, None),
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "lang_id": (q_lang_id, _LANG_ID_SQL),
+    "repetition_stats": (q_repetition_stats, _REPETITION_SQL),
     "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
     "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
