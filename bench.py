@@ -92,10 +92,11 @@ def bench_queries(sf_dir: str) -> dict:
     """Representative operator timings (secondary metrics)."""
     from tiflow_ray import queries as Q
     out = {}
-    for name in ["text_stats", "doc_fingerprint", "doc_fingerprint_fast",
-                 "hash_embed", "hash_embed_fast", "dedup_minhash",
-                 "dedup_simhash", "dedup_embed", "knn_search", "knn_lsh",
-                 "knn_ivf", "agg_partial", "lww_compact"]:
+    for name in ["text_stats", "repetition_stats", "doc_fingerprint",
+                 "doc_fingerprint_fast", "hash_embed", "hash_embed_fast",
+                 "dedup_minhash", "dedup_simhash", "dedup_embed",
+                 "knn_search", "knn_lsh", "knn_ivf", "agg_partial",
+                 "lww_compact"]:
         fn = Q.REGISTRY[name][0]
         t0 = time.perf_counter()
         if name in ("knn_lsh", "knn_ivf"):

@@ -152,3 +152,42 @@ table_filter_rules = ["*.*", "!test.*"]
     cfg = load_config(str(toml))
     assert cfg.table_filter.match("prod", "users")
     assert not cfg.table_filter.match("test", "x")
+
+
+def test_table_router_route_and_extract():
+    """DM route-rules: first-match routing + extend-column extraction
+    (FetchExtendColumn analog): capture groups join; no match = ''."""
+    from tiflow_ray.stages.table_router import (Extractor, RouteRule,
+                                                TableRouter)
+    r = TableRouter([
+        RouteRule("shard_*", "t_*", target_schema="m", target_table="t",
+                  extract_schema=Extractor(r"shard_(.*)", "shard"),
+                  extract_source=Extractor(r"mysql-(\d+)-(\w+)", "src")),
+        RouteRule("logs", target_table="log_all"),
+    ])
+    assert r.route("shard_7", "t_2") == ("m", "t")
+    assert r.route("logs", "anything") == ("logs", "log_all")
+    assert r.route("other", "x") == ("other", "x")           # unmatched
+    cols, vals = r.fetch_extend_column("shard_7", "t_2", "mysql-01-east")
+    assert cols == ["shard", "src"]
+    assert vals == ["7", "01east"]                # groups joined
+    cols2, vals2 = r.fetch_extend_column("shard_7", "t_2", "nomatch")
+    assert vals2 == ["7", ""]                     # regexp miss -> ''
+    assert r.fetch_extend_column("other", "x", "s") == ([], [])
+
+
+def test_table_router_batch_uniform_schema():
+    import pyarrow as pa
+
+    from tiflow_ray.stages.table_router import (Extractor, RouteRule,
+                                                TableRouter)
+    r = TableRouter([RouteRule("shard_*", "t_*", target_schema="m",
+                               target_table="t",
+                               extract_schema=Extractor(r"shard_(.*)",
+                                                        "shard"))])
+    t = pa.table({"schema_name": pa.array(["shard_1", "sys", "shard_2"]),
+                  "table_name": pa.array(["t_0", "audit", "t_9"])})
+    out = r.route_batch(t, "src")
+    assert out["schema_name"].to_pylist() == ["m", "sys", "m"]
+    assert out["table_name"].to_pylist() == ["t", "audit", "t"]
+    assert out["shard"].to_pylist() == ["1", None, "2"]   # null off-rule

@@ -1216,6 +1216,55 @@ FROM events ORDER BY id
 """
 
 
+def q_table_router_extend(sf_dir: str) -> pa.Table:
+    """Table router + extend-column extraction (DM route-rules,
+    dm/syncer/syncer.go:2797-2820 generateExtendColumn): shard tables
+    shard_{k}.t_{j} fan in to merged.t while regex extractors materialize
+    the shard index, source table index and source-replica id as columns —
+    the provenance a shard merge destroys. Unmatched tables (sys.audit)
+    keep their names and carry nulls."""
+    from .stages.table_router import Extractor, RouteRule, TableRouter
+
+    router = TableRouter([RouteRule(
+        "shard_*", "t_*", target_schema="merged", target_table="t",
+        extract_table=Extractor(r"t_(.*)", "src_tbl"),
+        extract_schema=Extractor(r"shard_(.*)", "src_shard"),
+        extract_source=Extractor(r"mysql-(\d+)", "src_replica"))])
+
+    def apply(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        sysrow = eid % 5 == 0
+        d = pa.table({
+            "event_id": t["event_id"],
+            "schema_name": pa.array(np.where(
+                sysrow, "sys",
+                np.char.add("shard_", (uid % 3).astype("U1")))),
+            "table_name": pa.array(np.where(
+                sysrow, "audit",
+                np.char.add("t_", (eid % 4).astype("U1")))),
+        })
+        return router.route_batch(d, source_id="mysql-01")
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id"])
+    return pa.concat_tables(list(ds.map_batches(apply, batch_format="pyarrow")
+                                 .iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+
+
+_TABLE_ROUTER_SQL = """
+SELECT event_id,
+  CASE WHEN event_id % 5 = 0 THEN 'sys' ELSE 'merged' END AS schema_name,
+  CASE WHEN event_id % 5 = 0 THEN 'audit' ELSE 't' END AS table_name,
+  CASE WHEN event_id % 5 = 0 THEN NULL
+       ELSE CAST(user_id % 3 AS VARCHAR) END AS src_shard,
+  CASE WHEN event_id % 5 = 0 THEN NULL ELSE '01' END AS src_replica,
+  CASE WHEN event_id % 5 = 0 THEN NULL
+       ELSE CAST(event_id % 4 AS VARCHAR) END AS src_tbl
+FROM events
+"""
+
+
 def q_binlog_filter(sf_dir: str) -> pa.Table:
     """M7: declarative schema/table-regex × event-kind filter matrix
     (pkg/binlog-filter/filter.go Filter:324-391 analog — first matching
@@ -2699,6 +2748,7 @@ REGISTRY: dict[str, tuple] = {
     "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
     "expr_filter": (q_expr_filter, _EXPR_FILTER_SQL),
     "table_filter": (q_table_filter, _TABLE_FILTER_SQL),
+    "table_router_extend": (q_table_router_extend, _TABLE_ROUTER_SQL),
     "mq_event_router": (q_mq_event_router, _MQ_EVENT_ROUTER_SQL),
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
