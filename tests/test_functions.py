@@ -335,3 +335,32 @@ def test_repetition_stats_matches_bruteforce():
         assert row["gopher_keep"] == (
             row["dup_word_count"] * 10 < row["n_words"] * 3
             and row["top_word_count"] * 5 < row["n_words"])
+
+
+def test_paragraph_dedup_first_occurrence_semantics(ray_session, tmp_path):
+    """Planted boilerplate: a shared 8-word header across docs survives
+    only in the lowest (doc_id, pos); a doc that is ALL duplicates
+    disappears; unique tails always survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiflow_ray import queries as Q
+
+    header = "x0 x1 x2 x3 x4 x5 x6 x7"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            header + " a0 a1 a2 a3 a4 a5 a6 a7",
+            header + " b0 b1 b2 b3 b4 b5 b6 b7",
+            header,                               # pure boilerplate: dies
+            "c0 c1 c2 c3 c4 c5 c6 c7",
+        ]),
+    })
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    out = Q.q_paragraph_dedup(sf).set_index("doc_id")
+    assert out.loc[0, "text_dedup"] == header + " a0 a1 a2 a3 a4 a5 a6 a7"
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "text_dedup"] == "b0 b1 b2 b3 b4 b5 b6 b7"
+    assert 2 not in out.index                     # fully deduplicated
+    assert out.loc[3, "n_kept"] == 1

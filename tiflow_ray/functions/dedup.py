@@ -354,3 +354,35 @@ def simhash_stage_batch(df: pd.DataFrame) -> pd.DataFrame:
     if obj is None:
         obj = _SINGLETONS["simhash"] = SimHashStage()
     return obj(df)
+
+
+def shingle_pieces(df, width: int = 8):
+    """doc → non-overlapping `width`-word pieces (doc_id, pos, piece) —
+    the C4/RefinedWeb dedup granularity (Raffel et al. 2020 §2.2 dedups
+    three-sentence spans; Penedo et al. 2023 line-level): global EXACT
+    dedup at sub-document units so boilerplate shared across documents
+    dies without killing the documents. One polars split/explode/groupby
+    pass per batch, no Python per word."""
+    import polars as pl
+    s = pl.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                      "text": df["text"].to_numpy()})
+    ex = (s.with_columns(pl.col("text").str.split(" "))
+           .explode("text")
+           .with_columns(pos=pl.int_range(pl.len()).over("doc_id")))
+    g = (ex.with_columns(pos=pl.col("pos") // width)
+           .group_by(["doc_id", "pos"], maintain_order=True)
+           .agg(piece=pl.col("text").str.join(" ")))
+    return g.to_pandas()
+
+
+def rebuild_docs(g):
+    """Surviving (doc_id, pos, piece) rows of one hash partition →
+    (doc_id, text_dedup, n_kept): C-level sort + grouped string join
+    (polars), one call per partition."""
+    import polars as pl
+    out = (pl.from_pandas(g[["doc_id", "pos", "piece"]])
+             .sort(["doc_id", "pos"])
+             .group_by("doc_id", maintain_order=True)
+             .agg(text_dedup=pl.col("piece").str.join(" "),
+                  n_kept=pl.len().cast(pl.Int64)))
+    return out.to_pandas()

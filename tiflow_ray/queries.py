@@ -2306,6 +2306,60 @@ def _distinct_ids_ds(pairs: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("part").map_groups(uniq, batch_format="pandas")
 
 
+def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Global paragraph-level exact dedup (C4 §2.2 / RefinedWeb line-dedup
+    granularity): docs shatter into 8-word pieces, a piece's FIRST global
+    occurrence (min doc_id, pos) survives, docs are rebuilt from their
+    surviving pieces. Two hash-partition shuffles (by piece content, then
+    by doc), ONE vectorized kernel per partition each — no per-key Python,
+    no driver materialization; the 100 TB shape."""
+    from .functions.dedup import rebuild_docs, shingle_pieces
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    pieces = ds.map_batches(lambda df: shingle_pieces(df, 8),
+                            batch_format="pandas")
+
+    def add_piece_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["piece"].to_numpy(), categorize=False)
+        return df.assign(part=(h % _shuffle_parts()).astype("int64"))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a piece share this partition: one stable sort
+        # + drop_duplicates keeps the global (doc_id, pos) minimum
+        g = g.sort_values(["piece", "doc_id", "pos"], kind="mergesort")
+        return g.drop_duplicates("piece")[["doc_id", "pos", "piece"]]
+
+    kept = pieces.map_batches(add_piece_part, batch_format="pandas") \
+        .groupby("part").map_groups(keep_first, batch_format="pandas")
+
+    def add_doc_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(part=(pd.util.hash_array(df["doc_id"].to_numpy())
+                               % _shuffle_parts()).astype("int64"))
+
+    out = kept.map_batches(add_doc_part, batch_format="pandas") \
+        .groupby("part").map_groups(rebuild_docs, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PARAGRAPH_DEDUP_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT doc_id,
+        unnest([array_to_string(l[i*8+1:i*8+8], ' ')
+                for i in range(0, (len(l)+7)//8)]) AS piece,
+        unnest([i for i in range(0, (len(l)+7)//8)]) AS pos
+      FROM d),
+win AS (SELECT piece, min(doc_id * 1000000 + pos) AS wkey
+        FROM s GROUP BY piece),
+kept AS (SELECT s.doc_id, s.pos, s.piece FROM s
+         JOIN win w ON s.piece = w.piece
+                   AND s.doc_id * 1000000 + s.pos = w.wkey)
+SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS text_dedup,
+       count(*) AS n_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.6 —
     fully distributed: signatures vectorized per batch → explode to
@@ -2777,6 +2831,7 @@ REGISTRY: dict[str, tuple] = {
     "hash_embed": (q_hash_embed, _HASH_EMBED_SQL),
     "hash_embed_fast": (q_hash_embed_fast, None),
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embed": (q_dedup_embed, _DEDUP_EMBED_SQL),
