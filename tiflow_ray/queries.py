@@ -486,6 +486,27 @@ def q_cdc_replay_online(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir)
 
 
+def q_cdc_replay_mq(sf_dir: str) -> pa.Table:
+    """The full MQ loop as a replication path, oracle-checked against the
+    SAME SQL twin as cdc_replay: WAL → produce_mq (dispatch + canal-json
+    encode + DDL broadcast into partitioned message logs) → consume_mq
+    (distributed decode, registry rebuilt from the DDL stream, derived
+    WAL, standard replay) — proving the message stream alone carries the
+    replicated state (cmd/kafka-consumer e2e analog)."""
+    from .pipelines import replay as rp
+    from .pipelines.mq import consume_mq, produce_mq
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    msg_dir = os.path.join(root, "mq_msgs")
+    done = os.path.join(msg_dir, "meta.json")
+    if not os.path.exists(done):
+        produce_mq(os.path.join(root, "wal"), msg_dir, num_partitions=4)
+    lake = os.path.join(root, "lake_mq")
+    res = consume_mq(msg_dir, lake, base_dir=os.path.join(root, "base"),
+                     num_partitions=CDC_P)
+    return rp.lake_to_table(lake, res["wal_dir"])
+
+
 _ONLINE_TABLES = ("documents", "_documents_gho", "_documents_ghc",
                   "_documents_del", "docs_archive")
 
@@ -2795,6 +2816,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_truncate": (q_cdc_replay_truncate, _CDC_REPLAY_TRUNCATE_SQL),
     "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
     "cdc_replay_online": (q_cdc_replay_online, _CDC_REPLAY_DDL_SQL),
+    "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
     "online_ddl_filter": (q_online_ddl_filter, _ONLINE_DDL_FILTER_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
