@@ -364,3 +364,40 @@ def test_paragraph_dedup_first_occurrence_semantics(ray_session, tmp_path):
     assert out.loc[1, "text_dedup"] == "b0 b1 b2 b3 b4 b5 b6 b7"
     assert 2 not in out.index                     # fully deduplicated
     assert out.loc[3, "n_kept"] == 1
+
+
+def test_knn_pq_recall_and_compression():
+    """PQ ANN: valid ids, contiguous ranks, ≥0.85 recall via ADC +
+    exact re-rank on uniform-random embeddings (the PQ worst case);
+    codes are 16 bytes vs 256-byte float vectors (16×)."""
+    import numpy as np
+
+    from tiflow_ray.functions.similarity import (normalize_rows, pq_encode,
+                                                 train_pq)
+    from tiflow_ray.queries import q_knn_pq, q_knn_search
+    approx = q_knn_pq(SF)
+    exact = q_knn_search(SF)
+    for q, grp in approx.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["vec_id"] != q).all()
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    assert len(a & e) / len(e) >= 0.85
+    assert (approx["recall_pct"] >= 70).all()
+    lean = q_knn_pq(SF, with_recall=False)
+    assert "recall_pct" not in lean.columns
+
+    rng = np.random.default_rng(3)
+    x = normalize_rows(rng.normal(size=(256, 64)))
+    books = train_pq(x, m_sub=16, k=32)
+    codes = pq_encode(x, books)
+    assert codes.shape == (256, 16) and codes.dtype == np.uint8
+    # reconstruction from codes must beat a random-code baseline
+    m_sub, _, dsub = books.shape
+    recon = np.concatenate([books[i][codes[:, i]]
+                            for i in range(m_sub)], axis=1)
+    err = np.linalg.norm(x - recon, axis=1).mean()
+    rand = np.linalg.norm(
+        x - np.concatenate([books[i][rng.integers(0, 32, 256)]
+                            for i in range(m_sub)], axis=1), axis=1).mean()
+    assert err < 0.7 * rand

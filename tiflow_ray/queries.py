@@ -1950,6 +1950,47 @@ def q_knn_ivf(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_knn_pq(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the compressed-
+    vector scale path beside IVF and LSH: codebooks train on a driver-side
+    sample (8-32× compression: a 64-dim float vector becomes 16 uint8
+    codes), codebooks + queries broadcast once, per batch an ADC
+    gather-sum scores every row from lookup tables (no matmul), and the
+    top k·overfetch shortlist per query is re-ranked with exact dots —
+    ≥0.9 recall on uniform-random embeddings (the PQ worst case). At
+    100 TB the encode stage runs once and the CODES ship through the
+    shuffle instead of the vectors. Rows-only oracle; `recall_pct`
+    self-validates."""
+    from .functions.similarity import PqSearch, finalize_topk, knn, train_pq
+    Q_IDS = [0, 1, 2, 3, 4]
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", Q_IDS)]).to_pandas()
+    qt = qt.sort_values("vec_id")
+    qref = ray.put((qt["vec_id"].to_numpy().astype(np.int64),
+                    np.stack(qt["embedding"].to_numpy())))
+    pf = pq.ParquetFile(path)
+    sample = next(pf.iter_batches(batch_size=8192, columns=["embedding"]))
+    train = np.stack(sample["embedding"].to_numpy(zero_copy_only=False))
+    bref = ray.put(train_pq(train, m_sub=16, k=32))
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = ds.map_batches(PqSearch, fn_constructor_args=(bref, qref, 10, 5),
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2).to_pandas()
+    out = finalize_topk(parts, 10)
+    if with_recall:
+        brute = knn(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    Q_IDS, k=10)
+        truth = brute.groupby("query_id")["vec_id"].agg(set)
+        got = out.groupby("query_id")["vec_id"].agg(set)
+        recall = {q: int(round(100 * len(got.get(q, set()) & truth[q])
+                               / max(len(truth[q]), 1)))
+                  for q in truth.index}
+        out["recall_pct"] = out["query_id"].map(recall).astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_knn_lsh(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     """ANN scale path, fully distributed: random-hyperplane LSH buckets over
     8 hash tables × 6 bits with hamming-1 multiprobe over all 6 positions —
@@ -2025,8 +2066,12 @@ def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     (functions/text.py RepetitionStats)."""
     from .functions.text import RepetitionStats
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(RepetitionStats, batch_format="pandas",
-                         concurrency=4, batch_size=8192)
+    # task mode, NOT an actor pool: the kernel is stateless (nothing to
+    # amortize in __init__), and a fixed-size actor pool can consume every
+    # CPU of a small session and starve its own upstream read (a 4-actor
+    # pool on a 4-CPU test session deadlocks exactly that way)
+    out = ds.map_batches(RepetitionStats(), batch_format="pandas",
+                         batch_size=8192)
     return pa.concat_tables(list(out.iter_batches(
         batch_size=1 << 20, batch_format="pyarrow"))).to_pandas()
 
@@ -2839,6 +2884,7 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, _SESSION_SQL),
     "knn_lsh": (q_knn_lsh, None),
     "knn_ivf": (q_knn_ivf, None),
+    "knn_pq": (q_knn_pq, None),
     "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
     "sync_diff": (q_sync_diff, None),
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
