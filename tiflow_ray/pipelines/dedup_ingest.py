@@ -1,0 +1,124 @@
+"""Incremental (streaming) corpus dedup against a persistent key index —
+the dedup analog of the CDC epoch engine: a crawl/ingest pipeline never
+sees the corpus at once, so "exact dedup" must mean "drop every doc whose
+key was seen in ANY earlier ingest epoch", with exactly-once semantics
+across crashes and re-runs.
+
+Design (the same shapes as the replay sink, stages/merge.py +
+state/checkpoint.py):
+
+* the index is HASH-PARTITIONED by dedup key (`part={p}/`), so one ingest
+  epoch is ONE shuffle of the new docs plus P independent partition tasks
+  — a task reads only its partition's key set, never the whole index;
+* each epoch appends one `keys-{epoch:06d}.parquet` DELTA per touched
+  partition (MoR-style append-only; rewrite-in-place would make a crashed
+  task corrupt history);
+* task writes are tmp→rename idempotent; the driver commits
+  `_manifest/epoch-{n}.json` LAST — a crash before commit leaves deltas
+  that the retried epoch simply overwrites (same filenames, same
+  content: the winner choice is deterministic);
+* re-ingesting an already-committed epoch id is a no-op (the manifest is
+  the dedup ledger of the pipeline itself).
+
+At 100 TB the index is the distinct-key set — far smaller than the
+corpus, spread over P partitions; raise P with corpus size (the same
+`repartition_lake` math applies). Returns the NOVEL docs per epoch — the
+stream a training pipeline actually wants.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _manifest_path(index_dir: str, epoch_id: int) -> str:
+    return os.path.join(index_dir, "_manifest", f"epoch-{epoch_id:06d}.json")
+
+
+def committed_epochs(index_dir: str) -> list[int]:
+    return sorted(int(os.path.basename(p)[6:-5]) for p in
+                  glob.glob(os.path.join(index_dir, "_manifest",
+                                         "epoch-*.json")))
+
+
+def ingest_epoch(ds: "ray.data.Dataset", index_dir: str, epoch_id: int,
+                 num_partitions: int = 16,
+                 key_fn=None) -> "ray.data.Dataset | None":
+    """Dedup one ingest epoch of docs (columns doc_id, text) against the
+    persistent index; returns the novel docs (doc_id, dedup_key) as a
+    Dataset, or None if this epoch id already committed (idempotent)."""
+    from ..functions.dedup import exact_dedup_key
+
+    if os.path.exists(_manifest_path(index_dir, epoch_id)):
+        return None
+    committed = committed_epochs(index_dir)
+    assert all(e < epoch_id for e in committed), \
+        f"epoch {epoch_id} must be newer than committed {committed[-1:]}"
+    key_fn = key_fn or exact_dedup_key
+    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        keyed = key_fn(df)
+        h = pd.util.hash_array(keyed["dedup_key"].to_numpy(),
+                               categorize=False)
+        return keyed.assign(part=(h % num_partitions).astype("int64"))
+
+    visible = set(committed)
+
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """One partition's task: batch-local first-wins, then drop keys
+        already in THIS partition's committed delta chain, then append
+        this epoch's novel keys as one delta (tmp→rename, idempotent —
+        deterministic content, fixed filename)."""
+        p = int(g["part"].iloc[0])
+        pdir = os.path.join(index_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        g = g.sort_values(["dedup_key", "doc_id"], kind="mergesort") \
+             .drop_duplicates("dedup_key")
+        seen_parts = []
+        for f in sorted(glob.glob(os.path.join(pdir, "keys-*.parquet"))):
+            # only COMMITTED deltas are authoritative; an uncommitted
+            # leftover from a crashed epoch must not suppress docs
+            if int(os.path.basename(f)[5:-8]) in visible:
+                seen_parts.append(pq.read_table(f, columns=["dedup_key"]))
+        if seen_parts:
+            seen = pa.concat_tables(seen_parts)["dedup_key"] \
+                .to_numpy(zero_copy_only=False)
+            g = g[~g["dedup_key"].isin(seen)]
+        novel = g[["doc_id", "dedup_key"]].reset_index(drop=True)
+        dst = os.path.join(pdir, f"keys-{epoch_id:06d}.parquet")
+        tmp = dst + f".tmp.{os.getpid()}"
+        pq.write_table(pa.table({
+            "dedup_key": pa.array(novel["dedup_key"].to_numpy(), pa.string()),
+        }), tmp, row_group_size=65536)
+        os.replace(tmp, dst)
+        return novel
+
+    novel = ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(dedup_partition, batch_format="pandas")
+    novel = novel.materialize()     # deltas durable before the commit
+    meta = {"epoch": epoch_id, "novel_docs": novel.count(),
+            "num_partitions": num_partitions}
+    mp = _manifest_path(index_dir, epoch_id)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mp + ".tmp", mp)     # commit point
+    return novel
+
+
+def index_keys(index_dir: str) -> "ray.data.Dataset":
+    """All committed keys (for audits): committed deltas only."""
+    visible = set(committed_epochs(index_dir))
+    files = [f for f in glob.glob(os.path.join(index_dir, "part=*",
+                                               "keys-*.parquet"))
+             if int(os.path.basename(f)[5:-8]) in visible]
+    return ray.data.read_parquet(files)

@@ -2372,6 +2372,51 @@ def _distinct_ids_ds(pairs: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("part").map_groups(uniq, batch_format="pandas")
 
 
+def q_dedup_ingest(sf_dir: str) -> pd.DataFrame:
+    """Incremental dedup against a PERSISTENT index (the streaming form of
+    dedup_exact — pipelines/dedup_ingest.py): the corpus arrives as two
+    ingest epochs (doc_id halves); epoch 2's novel docs are exactly those
+    whose key no earlier epoch saw, first-wins within the epoch. Exercises
+    the full epoch machinery (hash-partitioned delta index, manifest
+    commit, idempotent re-ingest) under the SQL oracle."""
+    from .pipelines.dedup_ingest import ingest_epoch
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"dedup_ingest_{key}")
+    out_path = os.path.join(root, "novel2.parquet")
+    if not os.path.exists(out_path):
+        n = _read(sf_dir, "documents", ["doc_id"]).num_rows
+        half = n // 2
+        ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+        idx = os.path.join(root, "index")
+        e1 = ds.filter(expr=f"doc_id < {half}")
+        e2 = ds.filter(expr=f"doc_id >= {half}")
+        r1 = ingest_epoch(e1, idx, 0, num_partitions=8)
+        r2 = ingest_epoch(e2, idx, 1, num_partitions=8)
+        assert r1 is not None and r2 is not None
+        t = pa.concat_tables(list(r2.iter_batches(batch_size=1 << 20,
+                                                  batch_format="pyarrow")))
+        tmp = out_path + f".tmp.{os.getpid()}"
+        pq.write_table(t.sort_by("doc_id"), tmp)
+        os.replace(tmp, out_path)
+    return pq.read_table(out_path).to_pandas()
+
+
+_DEDUP_INGEST_SQL = """
+WITH k AS (SELECT doc_id,
+                  array_to_string((string_split(text, ' '))[1:5], ' ')
+                      AS dedup_key
+           FROM documents),
+half AS (SELECT count(*) // 2 AS h FROM documents),
+e1 AS (SELECT * FROM k WHERE doc_id < (SELECT h FROM half)),
+w2 AS (SELECT dedup_key, min(doc_id) AS doc_id FROM k
+       WHERE doc_id >= (SELECT h FROM half) GROUP BY dedup_key)
+SELECT doc_id, dedup_key FROM w2
+WHERE dedup_key NOT IN (SELECT dedup_key FROM e1)
+ORDER BY doc_id
+"""
+
+
 def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
     """Global paragraph-level exact dedup (C4 §2.2 / RefinedWeb line-dedup
     granularity): docs shatter into 8-word pieces, a piece's FIRST global
@@ -2900,6 +2945,7 @@ REGISTRY: dict[str, tuple] = {
     "hash_embed_fast": (q_hash_embed_fast, None),
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
+    "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embed": (q_dedup_embed, _DEDUP_EMBED_SQL),
