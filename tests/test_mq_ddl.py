@@ -121,3 +121,24 @@ def test_mq_produce_consume_pipeline_matches_oracle(tmp_path):
     res2 = consume_mq(msg_dir, lake, num_partitions=8)
     assert res2["epochs"] == 0
     assert rp.lake_to_table(lake, res["wal_dir"]).equals(exp)
+
+
+@pytest.mark.parametrize("protocol", ["open_protocol", "avro"])
+def test_mq_pipeline_other_protocols(tmp_path, protocol):
+    """The MQ loop under every DML wire protocol (canal covered by the
+    test above): open-protocol text and Confluent-framed avro binary via
+    the file-backed schema registry; DDL broadcast stays canal-json."""
+    from tiflow_ray.pipelines.mq import consume_mq, produce_mq
+
+    root = str(tmp_path / "src")
+    reg, metas, info = fixtures.generate_tier(root, "t1")
+    msg_dir = str(tmp_path / "mq")
+    out = produce_mq(f"{root}/wal", msg_dir, num_partitions=4,
+                     protocol=protocol)
+    assert out["partitions"] == 4
+    lake = str(tmp_path / "lake")
+    res = consume_mq(msg_dir, lake, base_dir=f"{root}/base",
+                     num_partitions=8)
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp), f"{protocol} MQ-consumed lake diverged"

@@ -86,6 +86,8 @@ def main(argv=None):
     mp.add_argument("-P", "--partitions", type=int, default=16)
     mp.add_argument("--dispatcher", default="key",
                     choices=["key", "index-value", "ts", "table"])
+    mp.add_argument("--protocol", default="canal_json",
+                    choices=["canal_json", "open_protocol", "avro"])
 
     mc = sub.add_parser("mq-consume")   # message logs → replayed lake
     mc.add_argument("--messages", required=True)
@@ -162,7 +164,8 @@ def main(argv=None):
     elif a.cmd == "mq-produce":
         from .pipelines.mq import produce_mq
         print(json.dumps(produce_mq(a.wal, a.out, a.partitions,
-                                    dispatcher=a.dispatcher)))
+                                    dispatcher=a.dispatcher,
+                                    protocol=a.protocol)))
     elif a.cmd == "mq-consume":
         from .pipelines.mq import consume_mq
         print(json.dumps(consume_mq(a.messages, a.lake, base_dir=a.base,

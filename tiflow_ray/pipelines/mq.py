@@ -32,8 +32,12 @@ from . import replay as rp
 
 def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                dispatcher: str = "key", database: str = "tiflow",
-               table: str = "documents") -> dict:
-    """WAL → per-partition canal-json message logs + DDL broadcast.
+               table: str = "documents",
+               protocol: str = "canal_json") -> dict:
+    """WAL → per-partition message logs (canal-json / open-protocol text,
+    or Confluent-framed avro binary via the file-backed schema registry)
+    + a canal-json DDL broadcast (the control channel is canal-json under
+    every protocol — its isDdl envelope carries the DDL SQL text).
 
     One `groupby(mq_partition).map_groups` pass: each partition's whole
     stream is encoded by one task (offsets must be dense per partition —
@@ -59,8 +63,12 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
             if c not in sup:
                 sup.append(c)
 
-    sink = MqSinkStage(database=database, table=table,
-                       protocol="canal_json")
+    registry_root = None
+    if protocol == "avro":
+        registry_root = os.path.join(out_dir, "_registry")
+        os.makedirs(registry_root, exist_ok=True)
+    sink = MqSinkStage(database=database, table=table, protocol=protocol,
+                       registry_root=registry_root)
 
     def emit_partition(t: pa.Table) -> pa.Table:
         msgs = sink(t)
@@ -81,11 +89,13 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                 .map_groups(emit_partition, batch_format="pyarrow")
                 .take_all())                     # P rows — tiny
 
-    ddl_msgs = sink.ddl_stream(registry, num_partitions)
+    ddl_sink = sink if protocol == "canal_json" else \
+        MqSinkStage(database=database, table=table, protocol="canal_json")
+    ddl_msgs = ddl_sink.ddl_stream(registry, num_partitions)
     os.makedirs(os.path.join(out_dir, "_ddl"), exist_ok=True)
     pq.write_table(ddl_msgs, os.path.join(out_dir, "_ddl",
                                           "messages.parquet"))
-    meta = {"protocol": "canal_json", "columns": sup,
+    meta = {"protocol": protocol, "columns": sup,
             "database": database, "table": table,
             "num_partitions": num_partitions, "dispatcher": dispatcher}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -105,12 +115,28 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
     driver; replay is the standard epoch engine. The derived WAL lives
     inside the lake (`_mq_wal`) like the optimistic remount dir — the
     consumer's relay log."""
-    from ..sources.codecs import decode_canal_ddl_lines, decode_canal_lines
+    from ..sources.codecs import (decode_canal_ddl_lines, decode_canal_lines,
+                                  decode_open_protocol_lines)
 
     with open(os.path.join(msg_dir, "meta.json")) as f:
         meta = json.load(f)
-    assert meta["protocol"] == "canal_json", meta["protocol"]
+    protocol = meta["protocol"]
     sup = list(meta["columns"])
+    if protocol == "canal_json":
+        def decode_msgs(payloads, cols=sup):
+            return decode_canal_lines([p for p in payloads], cols)
+    elif protocol == "open_protocol":
+        def decode_msgs(payloads, cols=sup):
+            return decode_open_protocol_lines([p for p in payloads], cols)
+    elif protocol == "avro":
+        from ..sinks.avro_registry import AvroMessageDecoder
+        reg_root = os.path.join(msg_dir, "_registry")
+
+        def decode_msgs(payloads, cols=sup, _root=reg_root):
+            # one decoder per task; its schema cache amortizes per file
+            return AvroMessageDecoder(_root, cols).decode(list(payloads))
+    else:
+        raise ValueError(f"unknown MQ protocol {protocol}")
 
     # registry from the DDL broadcast stream (partition 0's copy)
     ddl_msgs = pq.read_table(os.path.join(msg_dir, "_ddl",
@@ -139,7 +165,7 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                             "cols": list(m["columns"])})
                 continue
             msgs = pq.read_table(row["src"]).sort_by("offset")
-            ev = decode_canal_lines(msgs["payload"].to_pylist(), sup)
+            ev = decode_msgs(msgs["payload"].to_pylist())
             ev = ev.take(pa.compute.sort_indices(
                 ev, sort_keys=[("commit_ts", "ascending"),
                                ("start_ts", "ascending")]))
