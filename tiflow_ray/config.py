@@ -130,6 +130,14 @@ class ReplayConfig:
     # pipelines consume this)
     binlog_filter: object | None = None
 
+    # BDR (bidirectional replication) mode (cdc ReplicaConfig.BDRMode):
+    # the applier marks every row it writes (tidb_cdc_write_source analog
+    # — sink/dmlsink/txn/mysql/mysql.go:751-756), and a changefeed in BDR
+    # mode DROPS captured events whose `write_source` is nonzero, so two
+    # clusters replicating into each other never loop. Events without the
+    # column (or null) are local writes and always replicate.
+    bdr_mode: bool = False
+
     # coarse table selector (the changefeed `rules = ['*.*', '!test.*']`
     # surface; tidb table-filter semantics): a stages.table_filter
     # .TableFilter. When set, WAL segments must carry `table_name` (and

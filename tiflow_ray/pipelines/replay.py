@@ -248,7 +248,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     if cfg.replay_mode == "two_pass" and (cfg.event_predicate is not None
                                           or cfg.expr_filter_rules
                                           or cfg.online_ddl is not None
-                                          or cfg.table_filter is not None):
+                                          or cfg.table_filter is not None
+                                          or cfg.bdr_mode):
         raise ValueError(
             "replay_mode='two_pass' cannot be combined with event_predicate/"
             "expr_filter_rules: the thin pass does not read payload columns, "
@@ -266,9 +267,11 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
     # online-DDL / table-filter modes read the table routing column so the
     # Normalize-stage predicate can drop ghost/trash or unselected-table
     # DML; Normalize's final projection then discards it (not an image col)
-    read_cols = (cols + ["table_name"]
-                 if cfg.online_ddl is not None or cfg.table_filter is not None
-                 else cols)
+    read_cols = list(cols)
+    if cfg.online_ddl is not None or cfg.table_filter is not None:
+        read_cols.append("table_name")
+    if cfg.bdr_mode:
+        read_cols.append("write_source")
 
     # block count ≫ cores: parquet files are few and large, so without an
     # override the read fans out only #files wide and the whole pipeline
@@ -321,6 +324,27 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                                 batch_size=cfg.batch_size)
             enforce_range = True
     predicate = cfg.event_predicate
+    if cfg.bdr_mode:
+        def _bdr_mask(t):
+            import numpy as _np
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            if "write_source" not in t.column_names:
+                return _pa.array(_np.ones(t.num_rows, dtype=bool))
+            ws = t["write_source"]
+            # null / 0 = local write → replicate; nonzero = CDC-applied
+            return _pc.fill_null(_pc.equal(_pc.fill_null(ws.cast(
+                _pa.int64()), 0), 0), True)
+        if predicate is None:
+            predicate = _bdr_mask
+        else:
+            user_bdr = predicate
+
+            def predicate(t, _u=user_bdr, _m=_bdr_mask):     # AND-compose
+                import numpy as _np
+                import pyarrow as _pa
+                return _pa.array(_np.asarray(_u(t), dtype=bool)
+                                 & _np.asarray(_m(t), dtype=bool))
     if cfg.table_filter is not None:
         tfilt = cfg.table_filter
 

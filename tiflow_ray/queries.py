@@ -486,6 +486,52 @@ def q_cdc_replay_online(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir)
 
 
+def q_cdc_replay_bdr(sf_dir: str) -> pa.Table:
+    """BDR-mode replay, oracle-checked against the same SQL twin as
+    cdc_replay: the WAL carries the local stream (write_source=0) PLUS
+    echo events a peer changefeed applied (write_source=1, cloned at +1
+    commit_ts with a poisoned source value — they would win LWW and
+    corrupt the hash if the BDR filter missed them). cfg.bdr_mode drops
+    the echoes at Normalize (tidb_cdc_write_source analog)."""
+    from .config import ReplayConfig
+    from .fixtures import write_wal_segments
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    b_root = os.path.join(root, "bdr")
+    done = os.path.join(b_root, "_staged")
+    if not os.path.exists(done):
+        wal = pa.concat_tables(
+            [pq.read_table(s.path)
+             for s in list_segments(os.path.join(root, "wal"))],
+            promote_options="default")
+        local = wal.append_column(
+            "write_source", pa.array(np.zeros(wal.num_rows, np.int64)))
+        echo = wal.filter(pa.array(np.arange(wal.num_rows) % 4 == 0))
+        echo = echo.set_column(
+            echo.column_names.index("commit_ts"), "commit_ts",
+            pa.array(echo["commit_ts"].to_numpy(zero_copy_only=False) + 1,
+                     pa.uint64()))
+        echo = echo.set_column(
+            echo.column_names.index("source"), "source",
+            pa.array(np.full(echo.num_rows, "bdr-echo"), pa.string()))
+        echo = echo.append_column(
+            "write_source", pa.array(np.ones(echo.num_rows, np.int64)))
+        write_wal_segments(pa.concat_tables([local, echo]),
+                           os.path.join(b_root, "wal"), CDC_SEGMENTS,
+                           registry)
+        os.makedirs(done, exist_ok=True)
+
+    cfg = ReplayConfig(wal_dir=os.path.join(b_root, "wal"),
+                       lake_dir=os.path.join(root, "lake_bdr"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2,
+                       bdr_mode=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    return rp.lake_to_table(cfg.lake_dir)
+
+
 def q_cdc_replay_mq(sf_dir: str) -> pa.Table:
     """The full MQ loop as a replication path, oracle-checked against the
     SAME SQL twin as cdc_replay: WAL → produce_mq (dispatch + canal-json
@@ -2907,6 +2953,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
     "cdc_replay_online": (q_cdc_replay_online, _CDC_REPLAY_DDL_SQL),
     "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
+    "cdc_replay_bdr": (q_cdc_replay_bdr, _CDC_REPLAY_SQL),
     "online_ddl_filter": (q_online_ddl_filter, _ONLINE_DDL_FILTER_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
