@@ -401,3 +401,23 @@ def test_knn_pq_recall_and_compression():
         x - np.concatenate([books[i][rng.integers(0, 32, 256)]
                             for i in range(m_sub)], axis=1), axis=1).mean()
     assert err < 0.7 * rand
+
+
+def test_sequence_pack_invariants(ray_session):
+    """Packing invariants: offsets are an exact ordered prefix sum
+    (contiguous, gap-free), chunk spans match the token budget, and a doc
+    never starts inside another doc's span."""
+    import numpy as np
+
+    from tiflow_ray.queries import q_sequence_pack
+    out = q_sequence_pack(SF).sort_values("doc_id")
+    start = out["start_off"].to_numpy()
+    n = out["n_tok"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()      # gap-free concat
+    assert (out["chunk_first"] == start // 1024).all()
+    assert (out["chunk_last"] == (start + n - 1) // 1024).all()
+    assert (out["off_in_chunk"] == start % 1024).all()
+    assert (out["chunk_last"] >= out["chunk_first"]).all()
+    total = int(start[-1] + n[-1])
+    assert int(out["chunk_last"].max()) == (total - 1) // 1024

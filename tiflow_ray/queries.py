@@ -2418,6 +2418,36 @@ def _distinct_ids_ds(pairs: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("part").map_groups(uniq, batch_format="pandas")
 
 
+def q_sequence_pack(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (concat-then-chunk at a 1024-token budget): every
+    doc's global token offset via a distributed ordered prefix sum —
+    range-partition by doc_id, per-range sums to the driver (O(P)),
+    exclusive prefix broadcast back, one in-range cumsum per task
+    (functions/pack.py)."""
+    from .functions.pack import pack_offsets
+    n = _read(sf_dir, "documents", ["doc_id"]).num_rows
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_offsets(ds, seq_len=1024, n_docs=n, num_ranges=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SEQUENCE_PACK_SQL = """
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, n_tok,
+             COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start_off
+      FROM d)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 1024 AS BIGINT) AS chunk_first,
+       CAST((start_off + n_tok - 1) // 1024 AS BIGINT) AS chunk_last,
+       CAST(start_off % 1024 AS BIGINT) AS off_in_chunk
+FROM c ORDER BY doc_id
+"""
+
+
 def q_dedup_ingest(sf_dir: str) -> pd.DataFrame:
     """Incremental dedup against a PERSISTENT index (the streaming form of
     dedup_exact — pipelines/dedup_ingest.py): the corpus arrives as two
@@ -2993,6 +3023,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
+    "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embed": (q_dedup_embed, _DEDUP_EMBED_SQL),
