@@ -421,3 +421,21 @@ def test_sequence_pack_invariants(ray_session):
     assert (out["chunk_last"] >= out["chunk_first"]).all()
     total = int(start[-1] + n[-1])
     assert int(out["chunk_last"].max()) == (total - 1) // 1024
+
+
+def test_lm_novelty_scoring(ray_session):
+    """Docs made of reference bigrams score 0 novel; unseen-bigram docs
+    score all-novel and fail the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from tiflow_ray.functions.text import LmNovelty
+    ref_rows = pd.Series(["a b c d", "d e f"])
+    _, gh = LmNovelty.bigram_hashes(ref_rows)
+    scorer = LmNovelty(np.unique(gh))
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["a b c", "x y z w", "a b x y"]})
+    out = scorer(df).set_index("doc_id")
+    assert out.loc[0, "novel_2grams"] == 0 and bool(out.loc[0, "lm_keep"])
+    assert out.loc[1, "known_2grams"] == 0 and not bool(out.loc[1, "lm_keep"])
+    assert out.loc[2, "n_2grams"] == 3 and out.loc[2, "known_2grams"] == 1

@@ -349,3 +349,47 @@ class RepetitionStats:
             "top_2gram_count": top_gram,
             "gopher_keep": keep,
         })
+
+
+class LmNovelty:
+    """Reference-LM novelty filter (the CCNet / Wenzek et al. 2020 shape:
+    score documents against a language model trained on a trusted
+    reference corpus; high perplexity ⇒ out-of-domain/noise). Discretized
+    to EXACT integers so the SQL twin hash-matches: the "model" is the
+    bigram vocabulary of a deterministic reference slice, and each doc
+    scores (known_2grams, novel_2grams) — the novel fraction is the
+    discrete essence of the perplexity gate. The reference bigram set is
+    built once per actor from a broadcast ref (`ray.put`), never per
+    batch; scoring is one hash pass + np.isin per batch."""
+
+    def __init__(self, ref_bigrams):
+        import ray as _ray
+        b = _ray.get(ref_bigrams) if not isinstance(ref_bigrams, np.ndarray) \
+            else ref_bigrams
+        self.ref = np.sort(np.asarray(b, np.uint64))
+
+    @staticmethod
+    def bigram_hashes(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """(row_index, bigram_hash) per adjacent word pair."""
+        rows, h = _exploded_word_hashes(text)
+        adj = rows[1:] == rows[:-1]
+        gh = (h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:])[adj]
+        return rows[:-1][adj], gh
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        rows, gh = self.bigram_hashes(df["text"])
+        known = np.zeros(n, np.int64)
+        if len(rows):
+            hit = np.isin(gh, self.ref, assume_unique=False)
+            known = np.bincount(rows[hit], minlength=n).astype(np.int64)
+        total = np.bincount(rows, minlength=n).astype(np.int64) \
+            if len(rows) else np.zeros(n, np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_2grams": total,
+            "known_2grams": known,
+            "novel_2grams": total - known,
+            # integer-arithmetic gate: keep docs <50% novel bigrams
+            "lm_keep": (total - known) * 2 < total,
+        })

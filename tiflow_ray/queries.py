@@ -2155,6 +2155,46 @@ FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id
 """
 
 
+def q_lm_novelty(sf_dir: str) -> pd.DataFrame:
+    """Reference-LM novelty filter (CCNet shape, discretized): the
+    'model' is the bigram vocabulary of a deterministic reference slice
+    (first 10% of doc_ids — at 100 TB this is your curated reference
+    corpus, sampled once), broadcast via ray.put; each batch scores
+    known/novel bigram counts with one hash pass + np.isin."""
+    from .functions.text import LmNovelty
+    n = _read(sf_dir, "documents", ["doc_id"]).num_rows
+    ref_docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"],
+                             filters=[("doc_id", "<", n // 10)]).to_pandas()
+    _, gh = LmNovelty.bigram_hashes(ref_docs["text"])
+    ref = ray.put(np.unique(gh))
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LmNovelty, fn_constructor_args=(ref,),
+                         batch_format="pandas", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LM_NOVELTY_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (SELECT doc_id,
+        unnest([l[i] || chr(31) || l[i+1] for i in range(1, len(l))]) AS gram
+      FROM d),
+ref AS (SELECT DISTINCT gram FROM g
+        WHERE doc_id < (SELECT count(*) // 10 FROM documents)),
+s AS (SELECT d.doc_id,
+        CAST(count(g.gram) AS BIGINT) AS n_2grams,
+        CAST(COALESCE(sum(CASE WHEN r.gram IS NOT NULL THEN 1 END), 0)
+             AS BIGINT) AS known_2grams
+      FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+             LEFT JOIN ref r ON g.gram = r.gram
+      GROUP BY d.doc_id)
+SELECT doc_id, n_2grams, known_2grams,
+       n_2grams - known_2grams AS novel_2grams,
+       (n_2grams - known_2grams) * 2 < n_2grams AS lm_keep
+FROM s ORDER BY doc_id
+"""
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from .functions.text import lang_id_batch
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
@@ -3012,6 +3052,7 @@ REGISTRY: dict[str, tuple] = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "lang_id": (q_lang_id, _LANG_ID_SQL),
     "repetition_stats": (q_repetition_stats, _REPETITION_SQL),
+    "lm_novelty": (q_lm_novelty, _LM_NOVELTY_SQL),
     "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
     "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
