@@ -439,3 +439,43 @@ def test_lm_novelty_scoring(ray_session):
     assert out.loc[0, "novel_2grams"] == 0 and bool(out.loc[0, "lm_keep"])
     assert out.loc[1, "known_2grams"] == 0 and not bool(out.loc[1, "lm_keep"])
     assert out.loc[2, "n_2grams"] == 3 and out.loc[2, "known_2grams"] == 1
+
+
+def test_corpus_kmeans_lloyd_monotone_and_deterministic(ray_session):
+    """Distributed Lloyd loop: the mean-cosine objective is nondecreasing
+    across iterations, a rerun is bit-identical (fixed seed, ordered
+    reduces), clusters are nonempty, and assignments agree with a local
+    numpy replica of the same algorithm."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tiflow_ray.functions.similarity import (assign_clusters,
+                                                 corpus_kmeans,
+                                                 kmeans_cosine,
+                                                 normalize_rows)
+
+    ds = ray.data.read_parquet(SF + "/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    c1, h1 = corpus_kmeans(ds, k=6, iters=4)
+    c2, h2 = corpus_kmeans(ds, k=6, iters=4)
+    assert h1 == h2 and np.array_equal(c1, c2)           # deterministic
+    assert all(b >= a - 1e-12 for a, b in zip(h1, h1[1:]))  # monotone
+
+    a = assign_clusters(ds, c1).to_pandas()
+    assert a["cluster"].nunique() >= 2
+    # local replica: same init, same updates
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    x = normalize_rows(np.stack(t.sort_values("vec_id")["embedding"]
+                                .to_numpy()))
+    c = kmeans_cosine(np.stack(ds.limit(4096).to_pandas()["embedding"]
+                               .to_numpy()), 6, seed=11)
+    for _ in range(4):
+        asg = np.argmax(x @ c.T, axis=1)
+        for j in range(6):
+            if (asg == j).any():
+                c[j] = x[asg == j].mean(axis=0)
+        c = normalize_rows(c)
+    # distributed partial sums reassociate float adds vs the local loop —
+    # agreement to ~1e-6 is the correct expectation, not bit equality
+    assert np.allclose(c, c1, atol=1e-5)

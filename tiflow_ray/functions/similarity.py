@@ -502,3 +502,72 @@ class PqSearch:
         return pa.table({"query_id": pa.array(np.concatenate(out_q)),
                          "vec_id": pa.array(np.concatenate(out_v)),
                          "sim": pa.array(np.concatenate(out_s))})
+
+
+def corpus_kmeans(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
+                  seed: int = 11, init_sample: int = 4096):
+    """Distributed spherical k-means over the WHOLE corpus (semantic
+    clustering for data mixing / SemDeDup-style curation) — the classic
+    Lloyd loop as Ray Data passes: centroids broadcast per iteration
+    (`ray.put`, O(k·d)); every batch emits PARTIAL per-cluster vector
+    sums + counts (k rows per batch, never the vectors); the driver
+    reduces O(k·d·B) partials and renormalizes. Corpus never leaves the
+    workers; driver state is k centroids. Init = spherical k-means on a
+    bounded driver-side sample (ds.limit), same as IVF training.
+
+    Returns (centroids, history) where history[i] is the mean cosine of
+    every row to its assigned centroid at iteration i — must be
+    nondecreasing (the Lloyd guarantee), which the tests assert."""
+    sample = ds.limit(init_sample).to_pandas()
+    c = kmeans_cosine(np.stack(sample["embedding"].to_numpy()), k,
+                      seed=seed)
+    history = []
+    for _ in range(iters):
+        cref = ray.put(c)
+
+        def partial(t: pa.Table, _cr=cref) -> pa.Table:
+            cc = ray.get(_cr)
+            m = normalize_rows(_stack(t["embedding"]))
+            sims = m @ cc.T
+            a = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(m)), a]
+            sums = np.zeros_like(cc)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(cc)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(cc), dtype=np.int64)),
+                "vec_sum": pa.array(list(sums.astype(np.float64))),
+                "count": pa.array(counts),
+                "sim_sum": pa.array(np.bincount(
+                    a, weights=best, minlength=len(cc))),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        g = parts.groupby("cluster")
+        counts = g["count"].sum().to_numpy()
+        sims = g["sim_sum"].sum().to_numpy()
+        sums = np.stack(g["vec_sum"].apply(
+            lambda s: np.sum(np.stack(s.to_numpy()), axis=0)).to_numpy())
+        nz = counts > 0
+        c = c.copy()
+        c[nz] = normalize_rows(sums[nz] / counts[nz, None])
+        history.append(float(sims.sum() / max(counts.sum(), 1)))
+    return c, history
+
+
+def assign_clusters(ds: "ray.data.Dataset", centroids: np.ndarray):
+    """Final assignment pass: (vec_id, cluster, sim) per row."""
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table, _cr=cref) -> pa.Table:
+        cc = ray.get(_cr)
+        m = normalize_rows(_stack(t["embedding"]))
+        sims = m @ cc.T
+        a = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "sim": pa.array(sims[np.arange(len(m)), a]),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1996,6 +1996,25 @@ def q_knn_ivf(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_corpus_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-corpus spherical k-means (semantic clustering for
+    data curation): Lloyd iterations as Ray passes — broadcast centroids,
+    per-batch partial sums, O(k·d) driver reduce — then one assignment
+    pass. Rows-only oracle (iterative float algorithm); the Lloyd
+    monotonicity and determinism live in pytest. Output: per-cluster
+    size + mean cosine."""
+    from .functions.similarity import assign_clusters, corpus_kmeans
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, hist = corpus_kmeans(ds, k=8, iters=4)
+    a = assign_clusters(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        cents).to_pandas()
+    out = a.groupby("cluster", as_index=False).agg(
+        n=("vec_id", "size"), mean_sim=("sim", "mean"))
+    out["n"] = out["n"].astype("int64")
+    out["final_objective"] = hist[-1]
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def q_knn_pq(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) — the compressed-
     vector scale path beside IVF and LSH: codebooks train on a driver-side
@@ -2287,6 +2306,45 @@ FROM (SELECT doc_id,
              - 7 * length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
              AS quality_score
       FROM documents)
+"""
+
+
+def q_domain_mix(sf_dir: str) -> pd.DataFrame:
+    """Domain mixing / weighted downsampling (the pretraining data-mix
+    step: sample each source at its own target rate, deterministically by
+    content identity so reruns and reshards agree). Per-source rates ride
+    a broadcast dict; the keep decision is md5(doc_id) % 100 < rate —
+    stateless, vectorized, and exactly reproducible in SQL. Emits the
+    per-source kept/total counts (partial per batch, tiny final merge)."""
+    from .functions.text import md5_u64
+
+    rates = {f"src{i}": (80 if i % 3 == 0 else 40 if i % 3 == 1 else 10)
+             for i in range(20)}
+    ds = _ds(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].astype(str).map(md5_u64)
+        rate = df["source"].map(rates).fillna(0).astype("int64")
+        keep = (h % 100) < rate
+        return pd.DataFrame({"source": df["source"], "n": 1,
+                             "kept": keep.astype("int64")}) \
+            .groupby("source", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["kept"] = out["kept"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_DOMAIN_MIX_SQL = """
+SELECT source, count(*) AS n,
+       CAST(COALESCE(sum(CASE WHEN
+           md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+           (CASE CAST(substr(source, 4) AS BIGINT) % 3
+                 WHEN 0 THEN 80 WHEN 1 THEN 40 ELSE 10 END)
+           THEN 1 END), 0) AS BIGINT) AS kept
+FROM documents GROUP BY source ORDER BY source
 """
 
 
@@ -3047,6 +3105,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_lsh": (q_knn_lsh, None),
     "knn_ivf": (q_knn_ivf, None),
     "knn_pq": (q_knn_pq, None),
+    "corpus_kmeans": (q_corpus_kmeans, None),
     "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
     "sync_diff": (q_sync_diff, None),
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
@@ -3058,6 +3117,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
     "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
     "sample_split": (q_sample_split, _SAMPLE_SPLIT_SQL),
+    "domain_mix": (q_domain_mix, _DOMAIN_MIX_SQL),
     "lake_token_stats": (q_lake_token_stats, _LAKE_TOKEN_STATS_SQL),
     "hash_embed": (q_hash_embed, _HASH_EMBED_SQL),
     "hash_embed_fast": (q_hash_embed_fast, None),
