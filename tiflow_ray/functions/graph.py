@@ -1,0 +1,162 @@
+"""Distributed connected components over a duplicate-pair graph.
+
+After near-dup detection (minhash / simhash / embedding verify) the pairs
+form a graph; the unit of removal is its connected COMPONENT (keep one
+canonical doc per component, drop the rest). Transitivity matters: a~b
+and b~c put a,b,c in one cluster even when a~c never surfaced as a pair.
+
+Algorithm: iterative label propagation with pointer hops ("hash-to-min",
+Rastogi et al. 2013 "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds" shape): every node holds a label (min node id seen);
+each round a node takes the min over (its label, neighbors' labels, its
+label's label — the pointer hop that gives the logarithmic bound).
+Converges in O(log d) rounds instead of O(d) plain propagation.
+
+Everything is hash-partitioned Datasets: one round = two shuffles
+(join-by-key, then min-by-node), each a `groupby(part).map_groups` with
+ONE vectorized pandas kernel per partition — no driver-side state beyond
+the O(1) changed-count, no per-node Python. At 100 TB: edges+labels are
+shipped log(d) times; labels (one row per doc) never land on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _parts(n: int | None = None) -> int:
+    import os
+    return n or int(os.environ.get("TIFLOW_SHUFFLE_PARTS", 16))
+
+
+def _with_part(df: pd.DataFrame, key: str, n: int) -> pd.DataFrame:
+    h = pd.util.hash_array(df[key].to_numpy(), categorize=False)
+    return df.assign(part=(h % n).astype("int64"))
+
+
+def connected_components(edges: ray.data.Dataset,
+                         nodes: ray.data.Dataset,
+                         num_parts: int | None = None,
+                         max_rounds: int = 50) -> ray.data.Dataset:
+    """edges: (a:int64, b:int64) — undirected, symmetrized here;
+    nodes: (node:int64) — every node, including isolated ones.
+    Returns a Dataset (node:int64, cluster:int64) where cluster = min
+    node id of the component."""
+    n = _parts(num_parts)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+            "b": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
+        })
+
+    edges = edges.map_batches(sym, batch_format="pandas").materialize()
+    labels = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "lab": df["node"].to_numpy()}),
+        batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # pointer edges: node -> its current label (the grandparent hop)
+        vedges = labels.map_batches(
+            lambda df: pd.DataFrame({"a": df["lab"].to_numpy(),
+                                     "b": df["node"].to_numpy()}),
+            batch_format="pandas")
+
+        def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["a"].to_numpy(),
+                                 "nbr": df["b"].to_numpy(),
+                                 "lab": np.int64(-1),
+                                 "isl": np.int8(0)})
+
+        def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["node"].to_numpy(),
+                                 "nbr": np.int64(-1),
+                                 "lab": df["lab"].to_numpy(),
+                                 "isl": np.int8(1)})
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            # hash join inside the partition: label lookup for every edge
+            # whose source key lives here, fully vectorized
+            labs = g.loc[g["isl"] == 1, ["key", "lab"]]
+            e = g.loc[g["isl"] == 0, ["key", "nbr"]]
+            m = e.merge(labs, on="key", how="inner")
+            msgs = pd.DataFrame({"node": m["nbr"].to_numpy(),
+                                 "lab": m["lab"].to_numpy(),
+                                 "old": np.int64(-1)})
+            mine = pd.DataFrame({"node": labs["key"].to_numpy(),
+                                 "lab": labs["lab"].to_numpy(),
+                                 "old": labs["lab"].to_numpy()})
+            return pd.concat([msgs, mine], ignore_index=True)
+
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("node", as_index=False).agg(
+                lab=("lab", "min"), old=("old", "max"))
+            return pd.DataFrame({
+                "node": agg["node"].to_numpy(),
+                "lab": agg["lab"].to_numpy(),
+                "changed": (agg["lab"] < agg["old"]).to_numpy()
+                .astype("int64"),
+            })
+
+        tagged = edges.union(vedges).map_batches(
+            tag_edges, batch_format="pandas").union(
+            labels.map_batches(tag_labels, batch_format="pandas"))
+        stage1 = tagged.map_batches(
+            lambda df: _with_part(df, "key", n), batch_format="pandas") \
+            .groupby("part").map_groups(propagate, batch_format="pandas")
+        # repartition bounds the label block count: without it every
+        # union adds blocks (labels' blocks ≈ edges + 2·labels after one
+        # round — exponential growth in per-block overhead)
+        new_labels = stage1.map_batches(
+            lambda df: _with_part(df, "node", n), batch_format="pandas") \
+            .groupby("part").map_groups(take_min, batch_format="pandas") \
+            .repartition(n).materialize()
+
+        changed = new_labels.sum("changed")
+        # keep the changed column in place (tag_labels/vedges only read
+        # node/lab) — dropping it would cost one more execution per round
+        labels = new_labels
+        if not changed:
+            return labels.map_batches(
+                lambda df: df[["node", "lab"]]
+                .rename(columns={"lab": "cluster"}),
+                batch_format="pandas")
+    raise RuntimeError(f"connected_components: no convergence in "
+                       f"{max_rounds} rounds")
+
+
+def attach_cluster_sizes(labels: ray.data.Dataset,
+                         num_parts: int | None = None) -> ray.data.Dataset:
+    """(node, cluster) → (node, cluster, cluster_size): one distributed
+    count per cluster plus a tag-join back onto the members — the same
+    union-tag groupby join used everywhere else (no driver collect)."""
+    n = _parts(num_parts)
+
+    # pre-count members per (batch, cluster) so the shuffle ships one
+    # partial row per distinct cluster per batch, not one per member
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby("cluster", as_index=False).size()
+        return pd.DataFrame({"node": np.int64(-1),
+                             "cluster": p["cluster"].to_numpy(),
+                             "n": p["size"].to_numpy().astype("int64")})
+
+    def count_final(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.loc[g["node"] < 0].groupby("cluster", as_index=False) \
+            .agg(cluster_size=("n", "sum"))
+        members = g.loc[g["node"] >= 0, ["node", "cluster"]]
+        out = members.merge(sizes, on="cluster", how="left")
+        out["cluster_size"] = out["cluster_size"].astype("int64")
+        return out
+
+    members = labels.map_batches(
+        lambda df: df.assign(n=np.int64(1)), batch_format="pandas")
+    tagged = members.union(labels.map_batches(partials,
+                                              batch_format="pandas"))
+    return tagged.map_batches(
+        lambda df: _with_part(df, "cluster", n), batch_format="pandas") \
+        .groupby("part").map_groups(count_final, batch_format="pandas")

@@ -3061,6 +3061,199 @@ GROUP BY 1
 """
 
 
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction: deterministic PII (emails/phones/IPv4) is planted on
+    the documents with the same concat arithmetic as the SQL twin, then
+    counted and scrubbed by one vectorized regex pass per pattern
+    (functions/safety.py — patterns restricted to the `re`∩RE2 dialect).
+    The hash compare covers the REDACTED TEXT itself, not just counts."""
+    from .functions.safety import pii_redact_batch
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy().astype(np.int64)
+        s = pd.Series(df["text"].to_numpy())
+        email = ("user" + pd.Series(i % 100).astype(str)
+                 + "@mail" + pd.Series(i % 7).astype(str) + ".example.com")
+        phone = ("555-" + pd.Series(i % 1000).astype(str).str.zfill(3)
+                 + "-" + pd.Series(i % 10000).astype(str).str.zfill(4))
+        ip = ("10." + pd.Series(i % 256).astype(str) + ".0."
+              + pd.Series(i % 250).astype(str))
+        aug = s.copy()
+        m0 = i % 3 == 0
+        aug[m0] = s[m0] + " contact " + email[m0] + " call " + phone[m0]
+        m1 = i % 3 == 1
+        aug[m1] = s[m1] + " host " + ip[m1]
+        return pd.DataFrame({"doc_id": i, "text": aug.to_numpy()})
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(plant, batch_format="pandas") \
+            .map_batches(pii_redact_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PII_REDACT_SQL_TEMPLATE = """
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+                || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         WHEN doc_id % 3 = 1 THEN
+           text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL}')) AS n_emails,
+  len(regexp_extract_all(text, '{IPV4}')) AS n_ips,
+  len(regexp_extract_all(text, '{PHONE}')) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{EMAIL}', '<EMAIL>', 'g'),
+      '{IPV4}', '<IP>', 'g'),
+      '{PHONE}', '<PHONE>', 'g') AS clean_text
+FROM aug
+"""
+
+
+def _pii_sql() -> str:
+    from .functions.safety import EMAIL_SQL, IPV4_SQL, PHONE_SQL
+    return (_PII_REDACT_SQL_TEMPLATE
+            .replace("{EMAIL}", EMAIL_SQL)
+            .replace("{IPV4}", IPV4_SQL)
+            .replace("{PHONE}", PHONE_SQL))
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): overlapping
+    8-word shingles of a held-out benchmark slice (doc_id % 41 == 3 —
+    standing in for an external eval suite, small BY ASSUMPTION the way
+    real eval suites are, not a corpus fraction) are broadcast once; every
+    training doc counts its overlap in one vectorized hash pass. Docs with
+    any overlap are flagged. Contamination is made real by splicing the
+    first 12 benchmark words into every doc_id % 10 == 7 training doc —
+    the same arithmetic as the SQL twin."""
+    from .functions.safety import Decontaminate, bench_shingles
+
+    # benchmark slice + splice map: small side, one filtered Ray pass
+    bench = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 41 == 3], batch_format="pandas") \
+        .to_pandas()
+    splice_map = {int(r.doc_id): " " + " ".join(r.text.split(" ")[:12])
+                  for r in bench.itertuples()}
+    ref = ray.put(bench_shingles(bench["text"], k=8))
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy().astype(np.int64)
+        keep = i % 41 != 3
+        i = i[keep]
+        t = pd.Series(df["text"].to_numpy()[keep])
+        add = pd.Series((i // 41) * 41 + 3).map(splice_map)
+        add = add.where((i % 10 == 7) & add.notna(), "")
+        return pd.DataFrame({"doc_id": i, "text": (t + add).to_numpy()})
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(plant, batch_format="pandas") \
+            .map_batches(Decontaminate, fn_constructor_args=(ref,),
+                         batch_format="pandas", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DECONTAMINATE_SQL = """
+WITH b AS (SELECT doc_id AS bid, text AS btext FROM documents
+           WHERE doc_id % 41 = 3),
+aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND b.btext IS NOT NULL
+              THEN d.text || ' ' ||
+                   array_to_string((string_split(b.btext, ' '))[1:12], ' ')
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN b ON b.bid = (d.doc_id // 41) * 41 + 3
+  WHERE d.doc_id % 41 <> 3),
+dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM aug),
+s AS (SELECT doc_id,
+             unnest(CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+                    ELSE [array_to_string(l[i:i+7], ' ')
+                          for i in range(1, len(l) - 6)] END) AS sh
+      FROM dl),
+bl AS (SELECT string_split(btext, ' ') AS l FROM b),
+bs AS (SELECT DISTINCT
+             unnest(CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+                    ELSE [array_to_string(l[i:i+7], ' ')
+                          for i in range(1, len(l) - 6)] END) AS sh
+       FROM bl),
+agg AS (SELECT s.doc_id,
+               count(*) AS n_shingles,
+               COALESCE(sum(CASE WHEN bs.sh IS NOT NULL THEN 1 END), 0)
+                   AS n_overlap
+        FROM s LEFT JOIN bs ON s.sh = bs.sh
+        GROUP BY s.doc_id)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap > 0 AS contaminated
+FROM agg
+"""
+
+
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-CLUSTER extraction: near-dup pairs only give edges;
+    the unit of removal is the connected component (a~b, b~c ⇒ one
+    cluster even though a~c never surfaced). Distributed hash-to-min
+    label propagation with pointer hops — O(log d) rounds, two shuffles
+    per round, nothing on the driver (functions/graph.py). The edge set
+    here is a deterministic md5-derived pair graph (block-local back
+    links) reproduced verbatim in the SQL twin's recursive CTE, so the
+    CLUSTER ASSIGNMENT itself is hash-checked."""
+    from .functions.graph import attach_cluster_sizes, connected_components
+    from .functions.text import md5_u64
+
+    def edges_batch(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy().astype(np.int64)
+        block = (i // 20) * 20
+        # one md5 per row — the same bit-exact DuckDB-parity contract
+        # (and cost class) as doc_fingerprint
+        m = np.array([md5_u64(str(v)) % 7 for v in i], dtype=np.int64)
+        b = np.maximum(block, i - 1 - m)
+        sel = (i % 5 != 0) & (i > block)
+        return pd.DataFrame({"a": i[sel], "b": b[sel]})
+
+    ds = _ds(sf_dir, "documents", ["doc_id"])
+    edges = ds.map_batches(edges_batch, batch_format="pandas")
+    nodes = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["doc_id"].to_numpy().astype(np.int64)}),
+        batch_format="pandas")
+    labels = connected_components(edges, nodes)
+    out = attach_cluster_sizes(labels).to_pandas() \
+        .rename(columns={"node": "doc_id"})
+    out["is_canonical"] = out["doc_id"] == out["cluster"]
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "cluster", "cluster_size", "is_canonical"]]
+
+
+_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+e0 AS (SELECT doc_id AS a,
+              greatest((doc_id // 20) * 20,
+                       doc_id - 1 - CAST(md5_number_lower(
+                           CAST(doc_id AS VARCHAR)) % 7 AS BIGINT)) AS b
+       FROM documents
+       WHERE doc_id % 5 <> 0 AND doc_id > (doc_id // 20) * 20),
+es AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+r(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT es.b, r.lab FROM r JOIN es ON es.a = r.node),
+c AS (SELECT node AS doc_id, min(lab) AS cluster FROM r GROUP BY node),
+sz AS (SELECT cluster, count(*) AS cluster_size FROM c GROUP BY cluster)
+SELECT c.doc_id, c.cluster, sz.cluster_size,
+       c.doc_id = c.cluster AS is_canonical
+FROM c JOIN sz USING (cluster)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3122,6 +3315,9 @@ REGISTRY: dict[str, tuple] = {
     "hash_embed": (q_hash_embed, _HASH_EMBED_SQL),
     "hash_embed_fast": (q_hash_embed_fast, None),
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "pii_redact": (q_pii_redact, _pii_sql()),
+    "decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
+    "dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
