@@ -1,0 +1,151 @@
+"""Data-selection operators for training-corpus curation:
+
+- DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed n-gram bucket
+  distributions of a small TARGET corpus vs the RAW corpus give an
+  importance score per document; keep docs that look more target-like.
+  Discretized to integer arithmetic (per-bucket sign via cross
+  multiplication, no float log-ratios) so the SQL twin hashes bit-exactly.
+- Distributed rank / ntile (curriculum binning): exact global rank of an
+  integer-valued column without a global sort — one histogram pass
+  (O(value range) driver state, the bounded-domain analog of
+  sample-quantile partitioning), then per-value-partition tie-breaking.
+
+Both follow the two-pass broadcast shape: pass 1 reduces a small summary
+(bucket counts / histogram) to the driver, pass 2 streams the corpus
+against the broadcast summary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from .text import md5_u64
+
+#: number of hash buckets for DSIR n-gram features
+DSIR_BUCKETS = 256
+
+
+def _doc_gram_strings(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """All unigram + bigram OCCURRENCES per doc (bigrams joined with
+    chr(31), matching the SQL twin). Returns (grams, doc_idx)."""
+    words_per_doc = [t.split(" ") for t in text]
+    nw = np.array([len(w) for w in words_per_doc], np.int64)
+    uni = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+    bi = np.array(["\x1f".join(p) for ws in words_per_doc
+                   for p in zip(ws, ws[1:])], dtype=object)
+    doc_uni = np.repeat(np.arange(len(nw)), nw)
+    doc_bi = np.repeat(np.arange(len(nw)), np.maximum(nw - 1, 0))
+    return (np.concatenate([uni, bi]),
+            np.concatenate([doc_uni, doc_bi]))
+
+
+def _bucketize(grams: np.ndarray) -> np.ndarray:
+    """md5-bucket per gram occurrence — md5 once per DISTINCT gram in the
+    batch (the doc_fingerprint/HashEmbed DuckDB-parity contract), gathered
+    back over occurrences via the unique inverse."""
+    if len(grams) == 0:
+        return np.empty(0, np.int64)
+    distinct, inverse = np.unique(grams, return_inverse=True)
+    db = np.array([md5_u64(g) % DSIR_BUCKETS for g in distinct], np.int64)
+    return db[inverse]
+
+
+def dsir_bucket_partials(df: pd.DataFrame, target_sources) -> pd.DataFrame:
+    """Pass 1 kernel: per-batch (bucket, raw_count, target_count) partials
+    — the batch-local combiner, O(DSIR_BUCKETS) rows shipped per batch."""
+    grams, doc_idx = _doc_gram_strings(df["text"])
+    b = _bucketize(grams)
+    is_target = df["source"].isin(target_sources).to_numpy()[doc_idx]
+    raw = np.bincount(b, minlength=DSIR_BUCKETS)
+    tgt = np.bincount(b[is_target], minlength=DSIR_BUCKETS)
+    return pd.DataFrame({"b": np.arange(DSIR_BUCKETS, dtype=np.int64),
+                         "r": raw.astype("int64"),
+                         "t": tgt.astype("int64")})
+
+
+def dsir_signs(partials: pd.DataFrame) -> np.ndarray:
+    """Reduce partials to the per-bucket importance sign: +1 where the
+    bucket is over-represented in the target (t/T > r/R via integer cross
+    multiplication), else -1."""
+    agg = partials.groupby("b").agg(r=("r", "sum"), t=("t", "sum"))
+    r = np.zeros(DSIR_BUCKETS, np.int64)
+    t = np.zeros(DSIR_BUCKETS, np.int64)
+    r[agg.index.to_numpy()] = agg["r"].to_numpy()
+    t[agg.index.to_numpy()] = agg["t"].to_numpy()
+    T, R = int(t.sum()), int(r.sum())
+    return np.where(t * R > r * T, np.int64(1), np.int64(-1))
+
+
+class DsirScore:
+    """Pass 2 kernel: broadcast sign table (ray.put once), per-batch gram
+    pass + sign gather + per-doc sum."""
+
+    def __init__(self, signs_ref):
+        self.signs = np.asarray(ray.get(signs_ref), dtype=np.int64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        grams, doc_idx = _doc_gram_strings(df["text"])
+        b = _bucketize(grams)
+        score = np.bincount(doc_idx, weights=self.signs[b],
+                            minlength=len(df)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "score": score,
+            "dsir_keep": score > 0,
+        })
+
+
+def value_histogram(ds: ray.data.Dataset, col: str,
+                    max_value: int) -> np.ndarray:
+    """Distributed exact histogram of a bounded non-negative int column:
+    per-batch bincount partials (one O(range) row per batch), summed on
+    the driver. O(max_value) driver state — for unbounded domains swap in
+    a sampled-quantile boundary pass; the two-phase shape is identical."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.bincount(df[col].to_numpy(), minlength=max_value + 1)
+        if len(h) > max_value + 1:
+            raise ValueError(f"{col} exceeds max_value={max_value}")
+        return pd.DataFrame({"v": np.arange(max_value + 1, dtype=np.int64),
+                             "n": h.astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = np.zeros(max_value + 1, np.int64)
+    agg = parts.groupby("v")["n"].sum()
+    hist[agg.index.to_numpy()] = agg.to_numpy()
+    return hist
+
+
+def rank_buckets(ds: ray.data.Dataset, col: str, id_col: str,
+                 hist: np.ndarray, n_buckets: int = 10,
+                 num_parts: int = 16) -> ray.data.Dataset:
+    """Exact global rank of (col, id_col) and its ntile bucket, without a
+    global sort: cum-below offsets from the broadcast histogram + ONE
+    hash-partition shuffle on the VALUE for within-value tie-breaking
+    (every row of one value lands in one partition; ties ranked by id)."""
+    cum_below = np.concatenate([[0], np.cumsum(hist)[:-1]])
+    total = int(hist.sum())
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[col].to_numpy(), categorize=False)
+        return df.assign(part=(h % num_parts).astype("int64"))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        # cum_below rides the closure (O(range), small by contract)
+        g = g.sort_values([col, id_col])
+        v = g[col].to_numpy()
+        within = np.arange(len(g)) - np.searchsorted(v, v, side="left")
+        rank = cum_below[v] + within
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            col: v,
+            "global_rank": rank.astype("int64"),
+            "bucket": (n_buckets * rank // total).astype("int64"),
+        })
+
+    return ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(rank_part, batch_format="pandas")

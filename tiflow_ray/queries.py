@@ -3254,6 +3254,79 @@ FROM c JOIN sz USING (cluster)
 """
 
 
+def q_dsir_select(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023), integer-
+    discretized: pass 1 reduces hashed unigram+bigram bucket counts
+    (target slice vs whole corpus) to a 256-entry sign table — per-batch
+    bincount combiner, O(buckets) shipped per batch; pass 2 broadcasts
+    the signs (ray.put once) and scores every doc in one vectorized gram
+    pass. Keep = more target-like than raw (functions/select.py)."""
+    from .functions.select import DsirScore, dsir_bucket_partials, dsir_signs
+    target = ("src0", "src1", "src2", "src3")
+    ds = _ds(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return dsir_bucket_partials(df, target)
+
+    signs = dsir_signs(
+        ds.map_batches(partials, batch_format="pandas").to_pandas())
+    out = ds.map_batches(DsirScore, fn_constructor_args=(ray.put(signs),),
+                         batch_format="pandas", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DSIR_SQL = """
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l
+           FROM documents),
+g AS (SELECT doc_id, source, unnest(l) AS gram FROM d
+      UNION ALL
+      SELECT doc_id, source,
+             unnest([l[i] || chr(31) || l[i+1]
+                     for i in range(1, len(l))]) AS gram
+      FROM d),
+gb AS (SELECT doc_id, source,
+              CAST(md5_number_lower(gram) % 256 AS BIGINT) AS b FROM g),
+rc AS (SELECT b, count(*) AS r,
+              COALESCE(sum(CASE WHEN source IN
+                  ('src0', 'src1', 'src2', 'src3') THEN 1 END), 0) AS t
+       FROM gb GROUP BY b),
+tot AS (SELECT sum(r) AS R, sum(t) AS T FROM rc),
+s AS (SELECT rc.b,
+             CASE WHEN rc.t * tot.R > rc.r * tot.T THEN 1 ELSE -1 END AS sgn
+      FROM rc, tot),
+sc AS (SELECT gb.doc_id, sum(s.sgn) AS score
+       FROM gb JOIN s USING (b) GROUP BY gb.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS dsir_keep
+FROM sc
+"""
+
+
+def q_curriculum_rank(sf_dir: str) -> pd.DataFrame:
+    """Exact global rank + decile bucket of n_chars (curriculum /
+    length-bucketing order) WITHOUT a global sort: one histogram pass
+    (O(value range) driver state, the bounded-int analog of sampled
+    quantile boundaries) broadcasts cum-below offsets; one hash-partition
+    shuffle on the VALUE breaks ties by doc_id (functions/select.py)."""
+    from .functions.select import rank_buckets, value_histogram
+    ds = _ds(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = value_histogram(ds, "n_chars", max_value=4096)
+    out = rank_buckets(ds, "n_chars", "doc_id", hist,
+                       n_buckets=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CURRICULUM_SQL = """
+WITH r AS (SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                      AS global_rank
+           FROM documents)
+SELECT doc_id, n_chars, CAST(global_rank AS BIGINT) AS global_rank,
+       CAST(10 * global_rank // (SELECT count(*) FROM documents)
+            AS BIGINT) AS bucket
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3318,6 +3391,8 @@ REGISTRY: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, _pii_sql()),
     "decontaminate": (q_decontaminate, _DECONTAMINATE_SQL),
     "dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
+    "dsir_select": (q_dsir_select, _DSIR_SQL),
+    "curriculum_rank": (q_curriculum_rank, _CURRICULUM_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
