@@ -60,6 +60,23 @@ def test_value_histogram_and_rank_buckets():
     assert out["bucket"].tolist() == exp["bucket"].tolist()
 
 
+def test_shuffle_positions_is_seeded_permutation():
+    from tiflow_ray.functions.select import shuffle_positions
+    ids = np.arange(200, dtype=np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = shuffle_positions(ds, "doc_id", seed="a") \
+        .to_pandas().sort_values("doc_id")
+    # exact permutation of 0..n-1
+    assert sorted(out["shuffle_pos"].tolist()) == list(range(200))
+    # deterministic for a seed; different for another
+    again = shuffle_positions(ds, "doc_id", seed="a") \
+        .to_pandas().sort_values("doc_id")
+    other = shuffle_positions(ds, "doc_id", seed="b") \
+        .to_pandas().sort_values("doc_id")
+    assert out["shuffle_pos"].tolist() == again["shuffle_pos"].tolist()
+    assert out["shuffle_pos"].tolist() != other["shuffle_pos"].tolist()
+
+
 def test_value_histogram_rejects_out_of_range():
     from tiflow_ray.functions.select import value_histogram
     ds = ray.data.from_pandas(pd.DataFrame(

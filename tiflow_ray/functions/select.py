@@ -149,3 +149,54 @@ def rank_buckets(ds: ray.data.Dataset, col: str, id_col: str,
 
     return ds.map_batches(add_part, batch_format="pandas") \
         .groupby("part").map_groups(rank_part, batch_format="pandas")
+
+
+def shuffle_positions(ds: ray.data.Dataset, id_col: str, seed: str,
+                      bucket_bits: int = 8) -> ray.data.Dataset:
+    """Deterministic global shuffle for training order: every row gets an
+    exact permutation index = its rank under (md5(id:seed), id) — the
+    seeded pseudo-random order a trainer consumes the corpus in — WITHOUT
+    a global sort. Two passes: (1) count rows per top-`bucket_bits` hash
+    bucket, cumsum on the driver (O(2^bits) state); (2) one shuffle keyed
+    on the bucket, within-bucket sort + broadcast offset. The md5-per-row
+    cost is the doc_fingerprint DuckDB-parity contract."""
+    n_buckets = 1 << bucket_bits
+    shift = np.uint64(64 - bucket_bits)
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = np.array([md5_u64(f"{v}:{seed}") for v in ids], np.uint64)
+        return pd.DataFrame({id_col: ids, "hv": h,
+                             "bucket": (h >> shift).astype("int64")})
+
+    hds = ds.map_batches(hashed, batch_format="pandas").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(df["bucket"].to_numpy(), minlength=n_buckets)
+        return pd.DataFrame({"v": np.arange(n_buckets, dtype=np.int64),
+                             "n": c.astype("int64")})
+
+    parts = hds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = np.zeros(n_buckets, np.int64)
+    agg = parts.groupby("v")["n"].sum()
+    hist[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, grp in g.groupby("bucket"):
+            grp = grp.sort_values(["hv", id_col])
+            pos = offsets[b] + np.arange(len(grp), dtype=np.int64)
+            out.append(pd.DataFrame({id_col: grp[id_col].to_numpy(),
+                                     "shuffle_pos": pos}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({id_col: np.empty(0, g[id_col].dtype),
+                          "shuffle_pos": np.empty(0, np.int64)})
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        # partition BY bucket value (not hash-of-bucket): all rows of one
+        # bucket must land together for the offset math
+        return df.assign(part=df["bucket"] % 16)
+
+    return hds.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(rank_part, batch_format="pandas")

@@ -3327,6 +3327,29 @@ FROM r
 """
 
 
+def q_global_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global shuffle (training-order permutation): exact
+    rank under (md5(doc_id:seed), doc_id) with NO global sort — hash
+    top-bits bucket histogram → driver cumsum (O(256)) → one bucket-keyed
+    shuffle with within-bucket sort + broadcast offsets
+    (functions/select.py shuffle_positions)."""
+    from .functions.select import shuffle_positions
+    ds = _ds(sf_dir, "documents", ["doc_id"])
+    out = shuffle_positions(ds, "doc_id", seed="s7").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_GLOBAL_SHUFFLE_SQL = """
+WITH h AS (SELECT doc_id,
+                  md5_number_lower(CAST(doc_id AS VARCHAR) || ':s7') AS hv
+           FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3393,6 +3416,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
     "dsir_select": (q_dsir_select, _DSIR_SQL),
     "curriculum_rank": (q_curriculum_rank, _CURRICULUM_SQL),
+    "global_shuffle": (q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
