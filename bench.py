@@ -96,7 +96,8 @@ def bench_queries(sf_dir: str) -> dict:
                  "doc_fingerprint_fast", "hash_embed", "hash_embed_fast",
                  "dedup_minhash", "dedup_simhash", "dedup_embed",
                  "knn_search", "knn_lsh", "knn_ivf", "agg_partial",
-                 "lww_compact"]:
+                 "lww_compact", "pii_redact", "decontaminate",
+                 "dsir_select", "global_shuffle"]:
         fn = Q.REGISTRY[name][0]
         t0 = time.perf_counter()
         if name in ("knn_lsh", "knn_ivf"):

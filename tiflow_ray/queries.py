@@ -3350,6 +3350,49 @@ FROM h
 """
 
 
+def q_top_k_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed top-k heavy hitters (corpus vocabulary head):
+    per-batch value_counts combiner (O(distinct) shipped per batch, not
+    O(words)) → ONE hash-partition shuffle on the word → per-partition
+    exact sum + LOCAL top-k → driver merges O(P·k) rows. Exact because
+    each word's total lives wholly in one partition; the local top-k
+    bound is safe for the same reason."""
+    K = 50
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"word": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy().astype("int64")})
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["word"].to_numpy(), categorize=False)
+        return df.assign(part=(h % _shuffle_parts()).astype("int64"))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("word", as_index=False)["n"].sum()
+        s = s.sort_values(["n", "word"], ascending=[False, True]).head(K)
+        return s[["word", "n"]]
+
+    ds = _ds(sf_dir, "documents", ["text"])
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(local_topk, batch_format="pandas") \
+        .to_pandas()
+    out = out.sort_values(["n", "word"], ascending=[False, True]).head(K) \
+        .reset_index(drop=True)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+_TOP_K_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+SELECT word, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk
+FROM c ORDER BY n DESC, word LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3417,6 +3460,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_select": (q_dsir_select, _DSIR_SQL),
     "curriculum_rank": (q_curriculum_rank, _CURRICULUM_SQL),
     "global_shuffle": (q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
+    "top_k_tokens": (q_top_k_tokens, _TOP_K_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
