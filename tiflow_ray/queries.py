@@ -3393,6 +3393,95 @@ FROM c ORDER BY n DESC, word LIMIT 50
 """
 
 
+def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The composed corpus-curation pipeline a training-data user actually
+    runs, as ONE streaming Ray chain: Gopher repetition gate (per batch) →
+    benchmark-slice exclusion → exact dedup (the single shuffle) →
+    decontamination against broadcast benchmark shingles → BPE token
+    count. Each stage reuses the standalone operator's kernel; the SQL
+    twin composes the same CTEs, so the hash check covers the
+    COMPOSITION (stage order + survivor set), not just the pieces."""
+    from .functions.dedup import exact_dedup_key
+    from .functions.safety import Decontaminate, bench_shingles
+    from .functions.text import RepetitionStats, bpe_count_batch
+
+    bench = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 41 == 3], batch_format="pandas") \
+        .to_pandas()
+    ref = ray.put(bench_shingles(bench["text"], k=8))
+
+    rep = RepetitionStats()
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        stats = rep(df).set_index("doc_id")
+        keep = stats.loc[df["doc_id"], "gopher_keep"].to_numpy() \
+            & (df["doc_id"].to_numpy() % 41 != 3)
+        return df.loc[keep, ["doc_id", "text"]]
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["dedup_key"].to_numpy(), categorize=False)
+        return df.assign(part=(h % _shuffle_parts()).astype("int64"))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return g.loc[~g["dedup_key"].duplicated(), ["doc_id", "text"]]
+
+    decon = Decontaminate(ref, k=8)
+
+    def drop_contaminated(df: pd.DataFrame) -> pd.DataFrame:
+        flags = decon(df)
+        return df.loc[~flags["contaminated"].to_numpy(),
+                      ["doc_id", "text"]]
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(gate, batch_format="pandas") \
+        .map_batches(lambda df: exact_dedup_key(df).assign(
+            text=df["text"].to_numpy()), batch_format="pandas") \
+        .map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(keep_first, batch_format="pandas") \
+        .map_batches(drop_contaminated, batch_format="pandas") \
+        .map_batches(bpe_count_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CURATION_SQL = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l
+           FROM documents),
+w AS (SELECT doc_id, unnest(l) AS word FROM d),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                  AS dupc,
+              CAST(max(c) AS BIGINT) AS topc
+       FROM wc GROUP BY doc_id),
+kept1 AS (SELECT d.doc_id, d.text, d.l FROM d JOIN wa USING (doc_id)
+          WHERE wa.dupc * 10 < wa.n_words * 3
+            AND wa.topc * 5 < wa.n_words
+            AND d.doc_id % 41 <> 3),
+win AS (SELECT min(doc_id) AS doc_id FROM kept1
+        GROUP BY array_to_string(l[1:5], ' ')),
+kept2 AS (SELECT k.doc_id, k.text, k.l FROM kept1 k JOIN win USING (doc_id)),
+s AS (SELECT doc_id,
+             unnest(CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+                    ELSE [array_to_string(l[i:i+7], ' ')
+                          for i in range(1, len(l) - 6)] END) AS sh
+      FROM kept2),
+bl AS (SELECT string_split(text, ' ') AS l FROM documents
+       WHERE doc_id % 41 = 3),
+bs AS (SELECT DISTINCT
+             unnest(CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+                    ELSE [array_to_string(l[i:i+7], ' ')
+                          for i in range(1, len(l) - 6)] END) AS sh
+       FROM bl),
+dirty AS (SELECT DISTINCT s.doc_id FROM s JOIN bs USING (sh))
+SELECT k.doc_id,
+       len(regexp_extract_all(k.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+           AS n_bpe
+FROM kept2 k LEFT JOIN dirty ON k.doc_id = dirty.doc_id
+WHERE dirty.doc_id IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3461,6 +3550,7 @@ REGISTRY: dict[str, tuple] = {
     "curriculum_rank": (q_curriculum_rank, _CURRICULUM_SQL),
     "global_shuffle": (q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
     "top_k_tokens": (q_top_k_tokens, _TOP_K_SQL),
+    "curation_pipeline": (q_curation_pipeline, _CURATION_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
