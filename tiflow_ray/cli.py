@@ -80,6 +80,12 @@ def main(argv=None):
     w.add_argument("--wal", required=True)
     w.add_argument("--lake", required=True)
 
+    rw = sub.add_parser("rewind")   # point-in-time rollback to an epoch
+    rw.add_argument("--lake", required=True)
+    rw.add_argument("--epoch", type=int, required=True)
+    rw.add_argument("--wal", help="verify the span above the target is "
+                                  "still replayable from this WAL")
+
     mp = sub.add_parser("mq-produce")   # WAL → partitioned message logs
     mp.add_argument("--wal", required=True)
     mp.add_argument("--out", required=True)
@@ -161,6 +167,9 @@ def main(argv=None):
         print(json.dumps(rp.repartition_lake(a.lake, a.num_partitions)))
     elif a.cmd == "wal-gc":
         print(json.dumps(rp.gc_wal(a.wal, a.lake)))
+    elif a.cmd == "rewind":
+        from .state.checkpoint import LakeState
+        print(json.dumps(LakeState(a.lake).rewind(a.epoch, wal_dir=a.wal)))
     elif a.cmd == "mq-produce":
         from .pipelines.mq import produce_mq
         print(json.dumps(produce_mq(a.wal, a.out, a.partitions,

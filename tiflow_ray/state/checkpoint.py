@@ -126,6 +126,81 @@ class LakeState:
         return {"manifests_removed": manifests_removed,
                 "files_removed": files_removed}
 
+    def rewind(self, epoch: int, wal_dir: str | None = None) -> dict:
+        """Point-in-time rewind: make committed `epoch` the lake head
+        again (changefeed rollback — the inverse of resume; the PITR move
+        `cdc redo apply` enables downstream). Replay after rewind re-reads
+        WAL segments past the target watermark through the NORMAL epoch
+        path, so rewind+replay ≡ resume from an older checkpoint.
+
+        Safety rails:
+        - the target manifest must exist (not GC'd) and every data file it
+          references must still exist — else the rewind would land on an
+          unreadable head;
+        - when `wal_dir` is given, every WAL segment the REMOVED manifests
+          had applied must still exist there: those are exactly the files
+          replay needs to rebuild (target, old-head], and `gc_wal` may
+          have dropped them — fail loudly instead of silently losing the
+          span;
+        - manifests are removed NEWEST-FIRST, so `latest()` points at a
+          fully-committed manifest at every intermediate step (a crash
+          mid-rewind leaves a consistent, merely less-rewound lake);
+        - data files referenced only by removed manifests are swept last
+          (pure GC — losing the sweep to a crash is harmless)."""
+        epochs = self.committed_epochs()
+        if epoch not in epochs:
+            raise ValueError(
+                f"rewind target epoch {epoch} is not committed "
+                f"(have {epochs}) — GC'd or never reached")
+        target = self.load(epoch)
+        missing = []
+        for meta in target.parts.values():
+            for p in [meta.get("path")] + \
+                    [d["path"] for d in meta.get("deltas", [])]:
+                if p and not os.path.exists(p):
+                    missing.append(p)
+        if missing:
+            raise ValueError(
+                f"rewind target epoch {epoch} references GC'd data files "
+                f"(e.g. {missing[0]}); pick a retained epoch")
+
+        removed_epochs = [e for e in epochs if e > epoch]
+        if wal_dir is not None:
+            # segments_applied is CUMULATIVE per manifest; only the span
+            # ABOVE the target needs to be re-playable
+            need = set()
+            for e in removed_epochs:
+                need.update(self.load(e).segments_applied)
+            need -= set(target.segments_applied)
+            gone = sorted(s for s in need if not os.path.exists(
+                os.path.join(wal_dir, s)) and not os.path.exists(s))
+            if gone:
+                raise ValueError(
+                    f"rewind to epoch {epoch} needs WAL segments already "
+                    f"GC'd (e.g. {gone[0]}) — the span above the target "
+                    "cannot be replayed; rewind refused")
+
+        for e in sorted(removed_epochs, reverse=True):
+            os.remove(self._mpath(e))
+        referenced: set[str] = set()
+        for e in self.committed_epochs():
+            m = self.load(e)
+            for meta in m.parts.values():
+                if meta.get("path"):
+                    referenced.add(os.path.realpath(meta["path"]))
+                for d in meta.get("deltas", []):
+                    referenced.add(os.path.realpath(d["path"]))
+        files_removed = 0
+        for p in glob.glob(os.path.join(
+                os.path.realpath(os.path.join(self.lake_dir, "data")),
+                "part=*", "*.parquet")):
+            if os.path.realpath(p) not in referenced:
+                os.remove(p)
+                files_removed += 1
+        return {"manifests_removed": len(removed_epochs),
+                "files_removed": files_removed,
+                "watermark_ts": target.watermark_ts}
+
     def data_path(self, part: int, epoch: int) -> str:
         d = os.path.join(self.lake_dir, "data", f"part={part}")
         os.makedirs(d, exist_ok=True)
