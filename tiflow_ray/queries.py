@@ -3482,6 +3482,56 @@ WHERE dirty.doc_id IS NULL
 """
 
 
+def q_url_filter(sf_dir: str) -> pd.DataFrame:
+    """URL/domain filtering (UT1-blocklist shape): host + TLD extraction
+    with compiled regexes and a broadcast blocklist membership test —
+    the crawl-pipeline gate that runs before any content look. URLs are
+    derived deterministically from (source, doc_id) with the same concat
+    arithmetic as the SQL twin."""
+    import re as _re
+    host_re = _re.compile(r"^https://([^/]+)")
+    tld_re = _re.compile(r"\.([a-z]+)$")
+    blocked_hosts = frozenset(
+        f"src{i}.example.com" for i in (0, 5, 10, 15)) | {
+        "src3.example.org", "src7.example.net"}
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy().astype(np.int64)
+        tld = pd.Series(np.array(["com", "org", "net"])[i % 3])
+        url = ("https://" + pd.Series(df["source"].to_numpy())
+               + ".example." + tld + "/p/" + pd.Series(i).astype(str))
+        host = url.str.extract(host_re, expand=False)
+        return pd.DataFrame({
+            "doc_id": i,
+            "url": url.to_numpy(),
+            "host": host.to_numpy(),
+            "tld": host.str.extract(tld_re, expand=False).to_numpy(),
+            "blocked": host.isin(blocked_hosts).to_numpy(),
+        })
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "source"])
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_URL_FILTER_SQL = """
+WITH u AS (SELECT doc_id,
+                  'https://' || source || '.example.' ||
+                  CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       ELSE 'net' END || '/p/' || CAST(doc_id AS VARCHAR)
+                      AS url
+           FROM documents),
+h AS (SELECT doc_id, url,
+             regexp_extract(url, '^https://([^/]+)', 1) AS host FROM u)
+SELECT doc_id, url, host,
+       regexp_extract(host, '\\.([a-z]+)$', 1) AS tld,
+       host IN ('src0.example.com', 'src5.example.com', 'src10.example.com',
+                'src15.example.com', 'src3.example.org',
+                'src7.example.net') AS blocked
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3551,6 +3601,7 @@ REGISTRY: dict[str, tuple] = {
     "global_shuffle": (q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
     "top_k_tokens": (q_top_k_tokens, _TOP_K_SQL),
     "curation_pipeline": (q_curation_pipeline, _CURATION_SQL),
+    "url_filter": (q_url_filter, _URL_FILTER_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
