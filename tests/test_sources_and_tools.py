@@ -518,4 +518,21 @@ def test_cli_end_to_end(t1_noddl_fixture, tmp_path):
         [sys.executable, "-m", "tiflow_ray.cli", "show", "--lake", lake],
         capture_output=True, text=True, env=env, timeout=60)
     assert show.returncode == 0
-    assert json.loads(show.stdout)["epoch"] >= 1
+    head = json.loads(show.stdout)["epoch"]
+    assert head >= 1
+    # rewind one epoch, then replay forward again to the same head
+    rw = subprocess.run(
+        [sys.executable, "-m", "tiflow_ray.cli", "rewind", "--lake", lake,
+         "--epoch", str(head - 1), "--wal", f"{root}/wal"],
+        capture_output=True, text=True, env=env, timeout=60)
+    assert rw.returncode == 0, rw.stderr[-2000:]
+    assert json.loads(rw.stdout)["manifests_removed"] == 1
+    out2 = subprocess.run(
+        [sys.executable, "-m", "tiflow_ray.cli", "--num-cpus", "4",
+         "replay", "--wal", f"{root}/wal", "--lake", lake, "-P", "8"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert json.loads(subprocess.run(
+        [sys.executable, "-m", "tiflow_ray.cli", "show", "--lake", lake],
+        capture_output=True, text=True, env=env,
+        timeout=60).stdout)["epoch"] == head
