@@ -80,12 +80,23 @@ def bench_replay(root: str, P: int) -> dict:
     segments = list_segments(cfg.wal_dir)
     raw_events = sum(s.rows for s in segments)
 
-    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
-    t0 = time.perf_counter()
-    res = rp.run_replay(cfg)
-    dt = time.perf_counter() - t0
-    return {"sec": dt, "events": raw_events, "epochs": len(res.epochs),
-            "events_per_sec": raw_events / dt}
+    # min over GRAFT_REPS fresh-lake repetitions (default 2): the sandbox
+    # shares its host and /proc/stat shows multi-minute external-steal
+    # windows (BASELINE.md "Bench variability") — min-of-reps is the honest
+    # estimator under additive noise; every rep is reported alongside
+    reps = max(1, int(os.environ.get("GRAFT_REPS", "2")))
+    secs, epochs = [], 0
+    for _ in range(reps):
+        shutil.rmtree(lake, ignore_errors=True)
+        rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+        t0 = time.perf_counter()
+        res = rp.run_replay(cfg)
+        secs.append(time.perf_counter() - t0)
+        epochs = len(res.epochs)
+    dt = min(secs)
+    return {"sec": dt, "events": raw_events, "epochs": epochs,
+            "events_per_sec": raw_events / dt,
+            "reps_sec": [round(s, 3) for s in secs]}
 
 
 def bench_queries(sf_dir: str) -> dict:
@@ -143,6 +154,7 @@ def run_once() -> dict:
         "events": replay["events"],
         "events_per_sec": round(replay["events_per_sec"], 1),
         "epochs": replay["epochs"],
+        "flagship_reps_sec": replay["reps_sec"],
     }
 
 
@@ -162,7 +174,7 @@ def run_scaling() -> dict:
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SKIP_QUERIES="1")
+                   GRAFT_SKIP_QUERIES="1", GRAFT_REPS="1")
         walls, best = [], None
         for _ in range(reps):  # min over fresh processes damps cache jitter
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -279,7 +291,7 @@ def run_weak_scaling() -> dict:
 
     def sub(ncpu: int, events: int) -> float:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SCALE_EVENTS=str(events), GRAFT_SKIP_QUERIES="1")
+                   GRAFT_SCALE_EVENTS=str(events), GRAFT_SKIP_QUERIES="1", GRAFT_REPS="1")
         walls = []
         for _ in range(reps):
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
