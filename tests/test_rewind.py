@@ -98,6 +98,27 @@ def test_rewind_refuses_when_wal_span_gcd(t1_fixture, tmp_path):
     lake.rewind(target)
 
 
+def test_rewind_across_repartition_restores_old_layout(t1_fixture, tmp_path):
+    """Rewind past a repartition commit: the target manifest carries the
+    OLD partition count, so replay resumes under the old layout and still
+    converges (manifests are self-describing)."""
+    root, reg, *_ = t1_fixture
+    cfg = mkcfg(root, tmp_path)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg, max_epochs=2)
+    lake = LakeState(cfg.lake_dir)
+    pre_repart_head = lake.committed_epochs()[-1]
+    rp.repartition_lake(cfg.lake_dir, 16)            # 8 → 16 split commit
+    assert lake.latest().num_partitions == 16
+
+    lake.rewind(pre_repart_head, wal_dir=cfg.wal_dir)
+    assert lake.latest().num_partitions == 8
+    rp.run_replay(cfg)                               # resumes at P=8
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp)
+
+
 def test_rewind_crash_midway_leaves_consistent_head(t1_fixture, tmp_path):
     """Manifests are removed newest-first: simulate the crash by removing
     only the newest manifest (what a half-done rewind leaves) — latest()
