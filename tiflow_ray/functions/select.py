@@ -110,13 +110,17 @@ def value_histogram(ds: ray.data.Dataset, col: str,
         h = np.bincount(df[col].to_numpy(), minlength=max_value + 1)
         if len(h) > max_value + 1:
             raise ValueError(f"{col} exceeds max_value={max_value}")
-        return pd.DataFrame({"v": np.arange(max_value + 1, dtype=np.int64),
-                             "n": h.astype("int64")})
+        nz = np.flatnonzero(h)   # ship only the occupied values
+        return pd.DataFrame({"v": nz.astype("int64"),
+                             "n": h[nz].astype("int64")})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # distributed final sum: the driver receives ≤ range rows total, not
+    # O(batches × range)
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("v").aggregate(Sum(on="n", alias_name="n")).to_pandas()
     hist = np.zeros(max_value + 1, np.int64)
-    agg = parts.groupby("v")["n"].sum()
-    hist[agg.index.to_numpy()] = agg.to_numpy()
+    hist[agg["v"].to_numpy()] = agg["n"].to_numpy()
     return hist
 
 
@@ -173,13 +177,15 @@ def shuffle_positions(ds: ray.data.Dataset, id_col: str, seed: str,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         c = np.bincount(df["bucket"].to_numpy(), minlength=n_buckets)
-        return pd.DataFrame({"v": np.arange(n_buckets, dtype=np.int64),
-                             "n": c.astype("int64")})
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"v": nz.astype("int64"),
+                             "n": c[nz].astype("int64")})
 
-    parts = hds.map_batches(partial, batch_format="pandas").to_pandas()
+    from ray.data.aggregate import Sum
+    agg = hds.map_batches(partial, batch_format="pandas") \
+        .groupby("v").aggregate(Sum(on="n", alias_name="n")).to_pandas()
     hist = np.zeros(n_buckets, np.int64)
-    agg = parts.groupby("v")["n"].sum()
-    hist[agg.index.to_numpy()] = agg.to_numpy()
+    hist[agg["v"].to_numpy()] = agg["n"].to_numpy()
     offsets = np.concatenate([[0], np.cumsum(hist)[:-1]])
 
     def rank_part(g: pd.DataFrame) -> pd.DataFrame:

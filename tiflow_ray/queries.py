@@ -3140,6 +3140,10 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     bench = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda df: df[df["doc_id"] % 41 == 3], batch_format="pandas") \
         .to_pandas()
+    # eval suites are a few thousand docs; refuse to broadcast a "benchmark"
+    # that is actually corpus-scale (the r1 driver-materialization trap)
+    assert len(bench) <= 250_000, \
+        f"benchmark slice has {len(bench)} docs — not an eval suite"
     splice_map = {int(r.doc_id): " " + " ".join(r.text.split(" ")[:12])
                   for r in bench.itertuples()}
     ref = ray.put(bench_shingles(bench["text"], k=8))
@@ -3268,8 +3272,12 @@ def q_dsir_select(sf_dir: str) -> pd.DataFrame:
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         return dsir_bucket_partials(df, target)
 
+    from ray.data.aggregate import Sum
     signs = dsir_signs(
-        ds.map_batches(partials, batch_format="pandas").to_pandas())
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("b").aggregate(Sum(on="r", alias_name="r"),
+                                Sum(on="t", alias_name="t"))
+        .to_pandas())   # distributed final sum: driver sees ≤ 256 rows
     out = ds.map_batches(DsirScore, fn_constructor_args=(ray.put(signs),),
                          batch_format="pandas", concurrency=2).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -3408,6 +3416,8 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     bench = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda df: df[df["doc_id"] % 41 == 3], batch_format="pandas") \
         .to_pandas()
+    assert len(bench) <= 250_000, \
+        f"benchmark slice has {len(bench)} docs — not an eval suite"
     ref = ray.put(bench_shingles(bench["text"], k=8))
 
     rep = RepetitionStats()
