@@ -83,3 +83,23 @@ def test_value_histogram_rejects_out_of_range():
         {"v": np.array([1, 2, 99], np.int64)}))
     with pytest.raises(Exception):
         value_histogram(ds, "v", max_value=10)
+
+
+def test_chunk_docs_batch_windows_and_overlap():
+    # chunking lives in functions/pack.py; tested here with the other
+    # corpus-prep kernels
+    from tiflow_ray.functions.pack import chunk_docs_batch
+    words = [f"w{i}" for i in range(60)]
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [" ".join(words), "a b c", " ".join(words[:32])],
+    })
+    out = chunk_docs_batch(df, width=32, stride=24)
+    g0 = out[out["doc_id"] == 0]["chunk_text"].tolist()
+    # 60 words -> 3 chunks: [0:32), [24:56), [48:60)
+    assert g0 == [" ".join(words[0:32]), " ".join(words[24:56]),
+                  " ".join(words[48:60])]
+    assert out[out["doc_id"] == 1]["chunk_text"].tolist() == ["a b c"]
+    # exactly width words -> one chunk, no phantom second window
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == \
+        [" ".join(words[:32])]

@@ -72,3 +72,38 @@ def pack_offsets(ds: "ray.data.Dataset", seq_len: int,
     # pass 2: range tasks place their docs (same groupby shuffle key —
     # ranges are contiguous so each group is one independent cumsum)
     return toks.groupby("part").map_groups(place, batch_format="pandas")
+
+
+def chunk_docs_batch(df: pd.DataFrame, width: int = 32,
+                     stride: int = 24) -> pd.DataFrame:
+    """Sliding-window document chunking (RAG / long-context pretraining
+    prep): split each doc into word windows of `width` with overlap
+    `width - stride`. Fully vectorized — one polars explode, then each
+    word is assigned its ≤2 owning chunks by arithmetic (a word at
+    position p belongs to chunk p//stride, and to the previous chunk
+    when p % stride < width - stride), one groupby joins chunks back.
+    No Python per chunk; embarrassingly parallel per batch."""
+    assert 0 < stride <= width <= 2 * stride, \
+        "word membership is ≤2 chunks only when width <= 2*stride"
+    import polars as pl
+    s = pl.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                      "text": df["text"].to_numpy()})
+    ex = (s.with_columns(pl.col("text").str.split(" "))
+           .with_columns(n=pl.col("text").list.len())
+           .explode("text")
+           .with_columns(pos=pl.int_range(pl.len()).over("doc_id")))
+    n_chunks = (pl.when(pl.col("n") <= width).then(1)
+                .otherwise((pl.col("n") - width + stride - 1) // stride + 1))
+    ex = ex.with_columns(nc=n_chunks)
+    a = ex.with_columns(chunk_idx=pl.col("pos") // stride) \
+        .filter(pl.col("chunk_idx") < pl.col("nc"))
+    b = ex.with_columns(chunk_idx=pl.col("pos") // stride - 1) \
+        .filter((pl.col("chunk_idx") >= 0)
+                & (pl.col("pos") % stride < width - stride))
+    out = (pl.concat([a, b])
+           .sort(["doc_id", "chunk_idx", "pos"])
+           .group_by(["doc_id", "chunk_idx"], maintain_order=True)
+           .agg(chunk_text=pl.col("text").str.join(" ")))
+    res = out.to_pandas()
+    res["chunk_idx"] = res["chunk_idx"].astype("int64")
+    return res[["doc_id", "chunk_idx", "chunk_text"]]

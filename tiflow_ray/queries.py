@@ -3542,6 +3542,31 @@ FROM h
 """
 
 
+def q_doc_chunk(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window document chunking (RAG / long-context prep): word
+    windows of 32 with stride 24. One polars explode per batch; each word
+    is assigned its ≤2 owning chunks by arithmetic, one groupby rebuilds
+    chunk texts (functions/pack.chunk_docs_batch) — no Python per chunk."""
+    from .functions.pack import chunk_docs_batch
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(chunk_docs_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+_DOC_CHUNK_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, l, len(l) AS n,
+             CASE WHEN len(l) <= 32 THEN 1
+                  ELSE ((len(l) - 32 + 23) // 24) + 1 END AS nc
+      FROM d)
+SELECT doc_id,
+       unnest([i for i in range(0, nc)]) AS chunk_idx,
+       unnest([array_to_string(l[i*24 + 1:least(i*24 + 32, n)], ' ')
+               for i in range(0, nc)]) AS chunk_text
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3612,6 +3637,7 @@ REGISTRY: dict[str, tuple] = {
     "top_k_tokens": (q_top_k_tokens, _TOP_K_SQL),
     "curation_pipeline": (q_curation_pipeline, _CURATION_SQL),
     "url_filter": (q_url_filter, _URL_FILTER_SQL),
+    "doc_chunk": (q_doc_chunk, _DOC_CHUNK_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
