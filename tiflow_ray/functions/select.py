@@ -44,14 +44,30 @@ def _doc_gram_strings(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
             np.concatenate([doc_uni, doc_bi]))
 
 
+# worker-persistent gram→bucket memo: corpora are zipfian, so distinct
+# grams repeat across batches — md5 (the DuckDB-parity contract) runs once
+# per gram per WORKER instead of once per gram per batch. Capped so a
+# pathological vocabulary can't grow the worker heap unboundedly.
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_MAX = 2_000_000
+
+
 def _bucketize(grams: np.ndarray) -> np.ndarray:
-    """md5-bucket per gram occurrence — md5 once per DISTINCT gram in the
-    batch (the doc_fingerprint/HashEmbed DuckDB-parity contract), gathered
-    back over occurrences via the unique inverse."""
+    """md5-bucket per gram occurrence — md5 once per DISTINCT UNSEEN gram
+    (doc_fingerprint/HashEmbed DuckDB-parity contract), gathered back over
+    occurrences via the unique inverse."""
     if len(grams) == 0:
         return np.empty(0, np.int64)
     distinct, inverse = np.unique(grams, return_inverse=True)
-    db = np.array([md5_u64(g) % DSIR_BUCKETS for g in distinct], np.int64)
+    cache = _BUCKET_CACHE
+    db = np.empty(len(distinct), np.int64)
+    for i, g in enumerate(distinct):
+        b = cache.get(g)
+        if b is None:
+            b = md5_u64(g) % DSIR_BUCKETS
+            if len(cache) < _BUCKET_CACHE_MAX:
+                cache[g] = b
+        db[i] = b
     return db[inverse]
 
 
