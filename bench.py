@@ -84,7 +84,7 @@ def bench_replay(root: str, P: int) -> dict:
     # shares its host and /proc/stat shows multi-minute external-steal
     # windows (BASELINE.md "Bench variability") — min-of-reps is the honest
     # estimator under additive noise; every rep is reported alongside
-    reps = max(1, int(os.environ.get("GRAFT_REPS", "2")))
+    reps = max(1, int(os.environ.get("GRAFT_REPS", "3")))
     secs, epochs = [], 0
     for _ in range(reps):
         shutil.rmtree(lake, ignore_errors=True)
