@@ -112,6 +112,40 @@ def test_connected_components_path_graph_log_rounds():
     assert set(lab.values()) == {0}
 
 
+def _union_find_oracle(edge_list, node_list):
+    parent = {n: n for n in node_list}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    roots = {}
+    for n in node_list:
+        r = find(n)
+        roots.setdefault(r, []).append(n)
+    return {n: min(ns) for r, ns in roots.items() for n in ns}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_graphs_match_union_find(seed):
+    rng = np.random.default_rng(seed)
+    n = 200
+    nodes = list(range(n))
+    m = 250
+    edges = list(zip(rng.integers(0, n, m).tolist(),
+                     rng.integers(0, n, m).tolist()))
+    edges = [(a, b) for a, b in edges if a != b]   # drop self loops
+    got = _cc(edges, nodes)
+    assert got == _union_find_oracle(edges, nodes)
+
+
 def test_attach_cluster_sizes():
     from tiflow_ray.functions.graph import (attach_cluster_sizes,
                                             connected_components)
