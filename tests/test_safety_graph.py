@@ -158,3 +158,60 @@ def test_attach_cluster_sizes():
         .to_pandas().sort_values("node")
     assert out["cluster"].tolist() == [1, 1, 1, 7]
     assert out["cluster_size"].tolist() == [3, 3, 3, 1]
+
+
+def test_pii_regex_parity_fuzz():
+    """Fuzz the re∩RE2 dialect claim: counts and redacted text must agree
+    between pandas/re and DuckDB/RE2 on adversarial random strings."""
+    import duckdb
+    from tiflow_ray.functions.safety import (EMAIL_SQL, IPV4_SQL,
+                                             PHONE_SQL, pii_redact_batch)
+    rng = np.random.default_rng(11)
+    alphabet = list("ab1. @-%_") + ["555-", "@x.io", "1.2.3.4", "12",
+                                    "9.9.9.999", "000-000-0000", ".com"]
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(1, 30)))
+             for _ in range(200)]
+    got = pii_redact_batch(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT len(regexp_extract_all(t, '{EMAIL_SQL}')) AS n_emails,
+               len(regexp_extract_all(t, '{IPV4_SQL}')) AS n_ips,
+               len(regexp_extract_all(t, '{PHONE_SQL}')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{EMAIL_SQL}', '<EMAIL>', 'g'),
+                   '{IPV4_SQL}', '<IP>', 'g'),
+                   '{PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+        FROM (SELECT unnest(?) AS t)""", [texts]).df()
+    assert got["n_emails"].tolist() == exp["n_emails"].tolist()
+    assert got["n_ips"].tolist() == exp["n_ips"].tolist()
+    assert got["n_phones"].tolist() == exp["n_phones"].tolist()
+    assert got["clean_text"].tolist() == exp["clean_text"].tolist()
+
+
+def test_decontaminate_matches_bruteforce_oracle():
+    """Random word-soup texts: n_overlap/contaminated must equal a plain
+    Python shingle-set oracle (same k, same whole-doc fallback)."""
+    from tiflow_ray.functions.safety import Decontaminate, bench_shingles
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    def mk(n): return " ".join(rng.choice(vocab, size=n))
+    bench_texts = [mk(rng.integers(3, 20)) for _ in range(5)]
+    texts = [mk(rng.integers(1, 25)) for _ in range(60)]
+    k = 8
+
+    def sh(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)] \
+            if len(w) >= k else [t]
+
+    bset = {s for t in bench_texts for s in sh(t)}
+    ref = ray.put(bench_shingles(pd.Series(bench_texts), k=k))
+    out = Decontaminate(ref, k=k)(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    for i, t in enumerate(texts):
+        grams = sh(t)
+        exp_overlap = sum(1 for g in grams if g in bset)
+        assert out["n_shingles"][i] == len(grams)
+        assert out["n_overlap"][i] == exp_overlap, (i, t)
+        assert bool(out["contaminated"][i]) == (exp_overlap > 0)
