@@ -230,12 +230,22 @@ def _record_baseline(r: dict) -> None:
             best = json.load(f)
     except OSError:
         pass
-    if best is None or r["scaling_efficiency"] > best.get("scaling_efficiency", 0):
+    # physicality guard: strong-scaling efficiency > 1.0 means the SMALL
+    # config was externally slowed (contention), not that the engine
+    # super-scaled — such samples are noise and must never become "best"
+    physical = r["scaling_efficiency"] <= 1.0 and \
+        r.get("scaling_efficiency_median", 0) <= 1.0
+    if physical and (best is None or
+                     r["scaling_efficiency"] > best.get("scaling_efficiency", 0)):
         best = dict(r, label="best_observed_across_rounds")
         with open(best_path, "w") as f:
             json.dump(best, f, indent=1)
 
     path = os.path.join(here, "BASELINE.md")
+    if not physical:
+        # don't let a contention-window sample clobber the recorded
+        # section either; the JSON line still reports it for the log
+        return
     try:
         with open(path) as f:
             text = f.read()
