@@ -3573,6 +3573,52 @@ FROM p
 """
 
 
+def q_distinct_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed COUNT DISTINCT (the `unique` operator family done
+    scale-right): per-batch local unique (the combiner — ships distincts,
+    not occurrences) → ONE hash-partition shuffle on the value →
+    per-partition vectorized unique count → tiny final sum. Never
+    materializes the value set anywhere."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def explode_unique(df: pd.DataFrame) -> pd.DataFrame:
+        words = pd.unique(df["text"].str.split(" ").explode())
+        srcs = pd.unique(df["source"])
+        vals = np.concatenate([words.astype(object), srcs.astype(object)])
+        kind = np.concatenate([np.zeros(len(words), np.int8),
+                               np.ones(len(srcs), np.int8)])
+        h = pd.util.hash_array(vals, categorize=False)
+        return pd.DataFrame({"val": vals, "kind": kind,
+                             "part": (h % _shuffle_parts()).astype("int64")})
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["kind", "val"]).groupby("kind").size()
+        return pd.DataFrame({
+            "n_distinct_words": [int(out.get(0, 0))],
+            "n_distinct_sources": [int(out.get(1, 0))],
+        })
+
+    parts = ds.map_batches(explode_unique, batch_format="pandas") \
+        .groupby("part").map_groups(count_part, batch_format="pandas") \
+        .to_pandas()
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).num_rows
+    return pd.DataFrame({
+        "n_docs": [np.int64(n_docs)],
+        "n_distinct_words": [np.int64(parts["n_distinct_words"].sum())],
+        "n_distinct_sources": [np.int64(parts["n_distinct_sources"].sum())],
+    })
+
+
+_DISTINCT_STATS_SQL = """
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT w) FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+           AS n_distinct_words,
+       count(DISTINCT source) AS n_distinct_sources
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3644,6 +3690,7 @@ REGISTRY: dict[str, tuple] = {
     "curation_pipeline": (q_curation_pipeline, _CURATION_SQL),
     "url_filter": (q_url_filter, _URL_FILTER_SQL),
     "doc_chunk": (q_doc_chunk, _DOC_CHUNK_SQL),
+    "distinct_stats": (q_distinct_stats, _DISTINCT_STATS_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
