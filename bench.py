@@ -80,7 +80,7 @@ def bench_replay(root: str, P: int) -> dict:
     segments = list_segments(cfg.wal_dir)
     raw_events = sum(s.rows for s in segments)
 
-    # min over GRAFT_REPS fresh-lake repetitions (default 2): the sandbox
+    # min over GRAFT_REPS fresh-lake repetitions (default 3): the sandbox
     # shares its host and /proc/stat shows multi-minute external-steal
     # windows (BASELINE.md "Bench variability") — min-of-reps is the honest
     # estimator under additive noise; every rep is reported alongside

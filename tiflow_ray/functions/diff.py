@@ -30,10 +30,8 @@ def _row_digest(t: pa.Table, key: str) -> tuple[np.ndarray, np.ndarray]:
     cols = sorted(t.column_names)
     df = t.select(cols).to_pandas()
     ser = df.astype(str).agg("\x1f".join, axis=1) if len(df) else pd.Series([], dtype=str)
-    dig = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
-         for s in ser),
-        dtype=np.uint64, count=len(ser))
+    from .text import md5_u64_many
+    dig = md5_u64_many(ser.to_numpy(dtype=object))
     keys = df[key].astype(str).to_numpy(dtype=object) if len(df) else np.array([], object)
     return keys, dig
 

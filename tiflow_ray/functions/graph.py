@@ -55,7 +55,21 @@ def connected_components(edges: ray.data.Dataset,
         })
 
     edges = edges.map_batches(sym, batch_format="pandas").materialize()
-    labels = nodes.map_batches(
+    # seed labels from nodes ∪ edge endpoints: a label-less endpoint would
+    # block propagation across itself in round 1 and the loop would
+    # converge early with silently unmerged components (ADVICE r3). One
+    # extra union + per-partition dedup pass buys correctness regardless
+    # of whether the caller's `nodes` covers every endpoint.
+    endpoint_nodes = edges.map_batches(
+        lambda df: pd.DataFrame({"node": np.unique(df["a"].to_numpy())}),
+        batch_format="pandas")
+    seeds = nodes.union(endpoint_nodes).map_batches(
+        lambda df: _with_part(df, "node", n), batch_format="pandas") \
+        .groupby("part").map_groups(
+            lambda g: pd.DataFrame(
+                {"node": np.unique(g["node"].to_numpy())}),
+            batch_format="pandas")
+    labels = seeds.map_batches(
         lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
                                  "lab": df["node"].to_numpy()}),
         batch_format="pandas").materialize()

@@ -25,10 +25,15 @@ from .dedup import batch_gram_hashes
 
 # Patterns restricted to syntax with identical semantics in Python `re`
 # and RE2 (DuckDB): char classes, bounded repeats, \d, \b. No lookaround,
-# no backreferences.
-EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
-IPV4_RE = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
-PHONE_RE = re.compile(r"\d{3}-\d{3}-\d{4}")
+# no backreferences. Compiled with re.ASCII because RE2's \d and \b are
+# ASCII-only while Python's are Unicode-aware on str (e.g. '١٢٣' matches
+# \d without the flag) — re.ASCII pins both engines to the same character
+# classes so the redacted-text hash parity holds on non-ASCII corpora
+# (ADVICE r3).
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                      re.ASCII)
+IPV4_RE = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", re.ASCII)
+PHONE_RE = re.compile(r"\d{3}-\d{3}-\d{4}", re.ASCII)
 
 # the same patterns as SQL string literals (single-quoted SQL does not
 # process backslashes, so these are byte-identical to the Python sources)

@@ -53,21 +53,31 @@ _BUCKET_CACHE_MAX = 2_000_000
 
 
 def _bucketize(grams: np.ndarray) -> np.ndarray:
-    """md5-bucket per gram occurrence — md5 once per DISTINCT UNSEEN gram
-    (doc_fingerprint/HashEmbed DuckDB-parity contract), gathered back over
-    occurrences via the unique inverse."""
+    """md5-bucket per gram occurrence — md5 once per DISTINCT gram
+    (doc_fingerprint/HashEmbed DuckDB-parity contract) via the vectorized
+    DuckDB md5 kernel, gathered back over occurrences via the unique
+    inverse. The per-worker memo still short-circuits grams seen in
+    earlier batches (zipfian corpora)."""
     if len(grams) == 0:
         return np.empty(0, np.int64)
     distinct, inverse = np.unique(grams, return_inverse=True)
     cache = _BUCKET_CACHE
     db = np.empty(len(distinct), np.int64)
+    miss_idx = []
     for i, g in enumerate(distinct):
         b = cache.get(g)
         if b is None:
-            b = md5_u64(g) % DSIR_BUCKETS
-            if len(cache) < _BUCKET_CACHE_MAX:
-                cache[g] = b
-        db[i] = b
+            miss_idx.append(i)
+        else:
+            db[i] = b
+    if miss_idx:
+        from .text import md5_u64_many
+        miss_idx = np.asarray(miss_idx, np.int64)
+        hashed = (md5_u64_many(distinct[miss_idx])
+                  % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+        db[miss_idx] = hashed
+        if len(cache) < _BUCKET_CACHE_MAX:
+            cache.update(zip(distinct[miss_idx], hashed.tolist()))
     return db[inverse]
 
 
@@ -94,7 +104,12 @@ def dsir_signs(partials: pd.DataFrame) -> np.ndarray:
     r[agg.index.to_numpy()] = agg["r"].to_numpy()
     t[agg.index.to_numpy()] = agg["t"].to_numpy()
     T, R = int(t.sum()), int(r.sum())
-    return np.where(t * R > r * T, np.int64(1), np.int64(-1))
+    # arbitrary-precision Python ints: at 100 TB scale R ~ 1e13 and
+    # per-bucket t ~ 1e11, so the int64 products would silently wrap while
+    # the DuckDB twin sums into HUGEINT — only 256 comparisons, so the
+    # Python loop is free (ADVICE r3)
+    return np.array([1 if int(ti) * R > int(ri) * T else -1
+                     for ti, ri in zip(t, r)], np.int64)
 
 
 class DsirScore:
@@ -111,6 +126,82 @@ class DsirScore:
                             minlength=len(df)).astype("int64")
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
+            "score": score,
+            "dsir_keep": score > 0,
+        })
+
+
+def dsir_doc_buckets(df: pd.DataFrame, target_sources) -> "pa.Table":
+    """Shared pass for both DSIR stages: ONE gram explode + md5 bucketize
+    per document, reduced to per-doc SPARSE bucket counts (bks:list<int16>,
+    cnts:list<int64>). The partial-count stage and the scoring stage both
+    consume this intermediate, so the expensive split+md5 work runs once
+    per corpus instead of once per stage (VERDICT r3 #5). The sparse rows
+    are far smaller than the text (≤256 entries per doc) — cheap to
+    materialize, and both downstream passes are pure numpy."""
+    import pyarrow as pa
+    grams, doc_idx = _doc_gram_strings(df["text"])
+    b = _bucketize(grams)
+    ndocs = len(df)
+    key = doc_idx * DSIR_BUCKETS + b
+    uk, cnt = np.unique(key, return_counts=True)
+    d = (uk // DSIR_BUCKETS).astype(np.int64)
+    bk = (uk % DSIR_BUCKETS).astype(np.int16)
+    per_doc = np.bincount(d, minlength=ndocs)
+    offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+    return pa.table({
+        "doc_id": pa.Array.from_pandas(df["doc_id"]),
+        "is_target": pa.array(
+            df["source"].isin(target_sources).to_numpy()),
+        "bks": pa.ListArray.from_arrays(pa.array(offsets),
+                                        pa.array(bk, pa.int16())),
+        "cnts": pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(cnt.astype(np.int64), pa.int64())),
+    })
+
+
+def _flat_lists(t) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(bks_flat, cnts_flat, lengths) from a pyarrow batch of sparse rows."""
+    bks = t.column("bks").combine_chunks()
+    cnts = t.column("cnts").combine_chunks()
+    import pyarrow.compute as pc
+    lengths = pc.list_value_length(bks).to_numpy().astype(np.int64)
+    return (bks.flatten().to_numpy().astype(np.int64),
+            cnts.flatten().to_numpy(), lengths)
+
+
+def dsir_partials_from_buckets(t) -> pd.DataFrame:
+    """Pass-1 combiner over the sparse intermediate: O(DSIR_BUCKETS) rows
+    per batch. Integer-exact: counts stay < 2^53 per batch by construction
+    (bincount's float64 accumulation is exact in that range); the final
+    cross-multiplication uses Python ints (dsir_signs)."""
+    bks, cnts, lengths = _flat_lists(t)
+    is_t = np.repeat(t.column("is_target").to_numpy(zero_copy_only=False),
+                     lengths)
+    raw = np.bincount(bks, weights=cnts, minlength=DSIR_BUCKETS)
+    tgt = np.bincount(bks[is_t], weights=cnts[is_t],
+                      minlength=DSIR_BUCKETS)
+    return pd.DataFrame({"b": np.arange(DSIR_BUCKETS, dtype=np.int64),
+                         "r": raw.astype("int64"),
+                         "t": tgt.astype("int64")})
+
+
+class DsirScoreFromBuckets:
+    """Pass-2 scorer over the sparse intermediate: broadcast sign table
+    (ray.put once, read once per actor), score = Σ cnts·signs[bks]."""
+
+    def __init__(self, signs_ref):
+        self.signs = np.asarray(ray.get(signs_ref), dtype=np.int64)
+
+    def __call__(self, t) -> pd.DataFrame:
+        bks, cnts, lengths = _flat_lists(t)
+        nrows = t.num_rows
+        contribs = cnts * self.signs[bks]
+        row_idx = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
+        score = np.bincount(row_idx, weights=contribs,
+                            minlength=nrows).astype("int64")
+        return pd.DataFrame({
+            "doc_id": t.column("doc_id").to_pandas().to_numpy(),
             "score": score,
             "dsir_keep": score > 0,
         })
@@ -172,7 +263,8 @@ def rank_buckets(ds: ray.data.Dataset, col: str, id_col: str,
 
 
 def shuffle_positions(ds: ray.data.Dataset, id_col: str, seed: str,
-                      bucket_bits: int = 8) -> ray.data.Dataset:
+                      bucket_bits: int = 8,
+                      num_parts: int | None = None) -> ray.data.Dataset:
     """Deterministic global shuffle for training order: every row gets an
     exact permutation index = its rank under (md5(id:seed), id) — the
     seeded pseudo-random order a trainer consumes the corpus in — WITHOUT
@@ -180,12 +272,16 @@ def shuffle_positions(ds: ray.data.Dataset, id_col: str, seed: str,
     bucket, cumsum on the driver (O(2^bits) state); (2) one shuffle keyed
     on the bucket, within-bucket sort + broadcast offset. The md5-per-row
     cost is the doc_fingerprint DuckDB-parity contract."""
+    from .graph import _parts
+    n_parts = _parts(num_parts)
     n_buckets = 1 << bucket_bits
     shift = np.uint64(64 - bucket_bits)
 
     def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        from .text import md5_u64_many
         ids = df[id_col].to_numpy()
-        h = np.array([md5_u64(f"{v}:{seed}") for v in ids], np.uint64)
+        keys = np.array([f"{v}:{seed}" for v in ids], dtype=object)
+        h = md5_u64_many(keys)
         return pd.DataFrame({id_col: ids, "hv": h,
                              "bucket": (h >> shift).astype("int64")})
 
@@ -217,8 +313,9 @@ def shuffle_positions(ds: ray.data.Dataset, id_col: str, seed: str,
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         # partition BY bucket value (not hash-of-bucket): all rows of one
-        # bucket must land together for the offset math
-        return df.assign(part=df["bucket"] % 16)
+        # bucket must land together for the offset math; modulo n_parts
+        # so the shuffle width follows the cluster size (ADVICE r3)
+        return df.assign(part=df["bucket"] % n_parts)
 
     return hds.map_batches(add_part, batch_format="pandas") \
         .groupby("part").map_groups(rank_part, batch_format="pandas")

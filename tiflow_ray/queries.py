@@ -3217,8 +3217,10 @@ def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
         i = df["doc_id"].to_numpy().astype(np.int64)
         block = (i // 20) * 20
         # one md5 per row — the same bit-exact DuckDB-parity contract
-        # (and cost class) as doc_fingerprint
-        m = np.array([md5_u64(str(v)) % 7 for v in i], dtype=np.int64)
+        # (and cost class) as doc_fingerprint; vectorized DuckDB md5
+        from .functions.text import md5_u64_many
+        m = (md5_u64_many(np.array([str(v) for v in i], dtype=object))
+             % np.uint64(7)).astype(np.int64)
         b = np.maximum(block, i - 1 - m)
         sel = (i % 5 != 0) & (i > block)
         return pd.DataFrame({"a": i[sel], "b": b[sel]})
@@ -3271,21 +3273,39 @@ def q_dsir_select(sf_dir: str) -> pd.DataFrame:
     bincount combiner, O(buckets) shipped per batch; pass 2 broadcasts
     the signs (ray.put once) and scores every doc in one vectorized gram
     pass. Keep = more target-like than raw (functions/select.py)."""
-    from .functions.select import DsirScore, dsir_bucket_partials, dsir_signs
+    from .functions.select import (DsirScoreFromBuckets, dsir_doc_buckets,
+                                   dsir_partials_from_buckets, dsir_signs)
     target = ("src0", "src1", "src2", "src3")
     ds = _ds(sf_dir, "documents", ["doc_id", "text", "source"])
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
-        return dsir_bucket_partials(df, target)
+    # ONE gram explode + md5 pass over the corpus, reduced to per-doc
+    # sparse bucket counts and materialized (far smaller than the text);
+    # both the partial-count pass and the scoring pass then stream the
+    # sparse rows with pure-numpy kernels (r3 verdict: the explode used
+    # to run twice and dominated the query)
+    buckets = ds.map_batches(
+        lambda df: dsir_doc_buckets(df, target),
+        batch_format="pandas").materialize()
 
-    from ray.data.aggregate import Sum
+    # two-level combine instead of a groupby().aggregate() shuffle: each
+    # batch emits 256 partial rows, a shuffle-free repartition(16) merges
+    # them, one sum-within-block pass leaves ≤ 16×256 rows for the driver
+    # — bounded at any corpus size, and ~4s cheaper than the Sum aggregate
+    # at 32 cpus (measured r4)
+    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("b", as_index=False).agg(r=("r", "sum"),
+                                                   t=("t", "sum"))
+
     signs = dsir_signs(
-        ds.map_batches(partials, batch_format="pandas")
-        .groupby("b").aggregate(Sum(on="r", alias_name="r"),
-                                Sum(on="t", alias_name="t"))
-        .to_pandas())   # distributed final sum: driver sees ≤ 256 rows
-    out = ds.map_batches(DsirScore, fn_constructor_args=(ray.put(signs),),
-                         batch_format="pandas", concurrency=2).to_pandas()
+        buckets.map_batches(dsir_partials_from_buckets,
+                            batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(_sum_block, batch_format="pandas", batch_size=None)
+        .to_pandas())
+    out = buckets.map_batches(DsirScoreFromBuckets,
+                              fn_constructor_args=(ray.put(signs),),
+                              batch_format="pyarrow",
+                              concurrency=2).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
