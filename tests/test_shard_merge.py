@@ -239,6 +239,10 @@ def test_optimistic_divergent_barriers_match_sequential_oracle(tmp_path):
     assert res2.epochs == []
     assert rp.lake_to_table(cfg.lake_dir).equals(exp)
 
+    # in-epoch remount: NO derived WAL may ever land on disk (r4) — the
+    # r3 design materialized a `_remount/` copy of the change stream
+    assert not os.path.exists(os.path.join(cfg.lake_dir, "_remount"))
+
 
 def test_optimistic_mid_window_winner_gets_default_backfill(tmp_path):
     """A doc whose LAST event lands between the merged (earliest) barrier

@@ -114,6 +114,14 @@ class ReplayConfig:
     # keys can never collide downstream. None = off.
     shard_key_mapping: dict | None = None
 
+    # optimistic shard-merge in-epoch remount (set internally by
+    # run_replay_sharded(mode="optimistic")): abs WAL dir →
+    # (shard_registry_json, ColumnMappingRule | None). When set, the epoch
+    # read groups files by (shard, physical schema), re-mounts each batch
+    # under the synthesized merged schema AT READ TIME — no derived WAL is
+    # ever written to disk (r3 verdict #4). None = off.
+    remount_shards: dict | None = None
+
     # user-extension hooks (§2.10): expression/UDF filter evaluated per batch
     # after decode — fn(pa.Table) -> boolean mask (M6 expr-filter analog)
     event_predicate: object | None = None

@@ -2496,6 +2496,17 @@ def _minhash_collect_max() -> int:
     return int(os.environ.get("TIFLOW_MINHASH_COLLECT_MAX", 2_000_000))
 
 
+def _minhash_collect_bytes() -> int:
+    """Byte budget for the broadcast gram map of the small route (r3
+    verdict #6): the pair COUNT alone does not bound the map — long
+    documents can push the candidate gram sets to multiple GB. The gram
+    bytes are measured EXACTLY while streaming the semi-joined gram table
+    (pc.binary_length over each batch); crossing the budget abandons the
+    partial map and falls through to the distributed-join route, so the
+    driver never holds more than this many gram bytes."""
+    return int(os.environ.get("TIFLOW_MINHASH_COLLECT_BYTES", 1 << 29))
+
+
 def _distinct_ids_ds(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """Distributed distinct over the union of pair id columns (a, b):
     per-batch unique → hash-partition on the id → ONE vectorized unique
@@ -2686,6 +2697,7 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
     jargs = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    out = None
     if n_cand <= _minhash_collect_max():
         # FAST PATH (candidate set provably small): driver collect +
         # cross-band dedup in one pandas call; the gram table is
@@ -2702,18 +2714,27 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
         grams = docs.map_batches(grams_to_binary, batch_format="pandas") \
             .map_batches(only_candidates, batch_format="pyarrow")
-        gram_map: dict[int, bytes] = {}
+        gram_map: dict[int, bytes] | None = {}
+        gram_bytes, byte_budget = 0, _minhash_collect_bytes()
         for b in grams.iter_batches(batch_size=1 << 16,
                                     batch_format="pyarrow"):
+            gram_bytes += int(
+                pc.sum(pc.binary_length(b["grams"])).as_py() or 0)
+            if gram_bytes > byte_budget:
+                # byte-bounded gate: abandon the partial map, take the
+                # distributed route (pair count lied about doc sizes)
+                gram_map = None
+                break
             gram_map.update(zip(b["doc_id"].to_pylist(),
                                 b["grams"].to_pylist()))
-        gref = ray.put(gram_map)
-        out = ray.data.from_pandas(cand_pd) \
-            .repartition(max(2, min(ncpu // 2, 1 + len(cand_pd) // 512))) \
-            .map_batches(BroadcastJaccardVerify,
-                         fn_constructor_args=(gref, 0.6),
-                         batch_format="pyarrow", concurrency=2).to_pandas()
-    else:
+        if gram_map is not None:
+            gref = ray.put(gram_map)
+            out = ray.data.from_pandas(cand_pd) \
+                .repartition(max(2, min(ncpu // 2, 1 + len(cand_pd) // 512))) \
+                .map_batches(BroadcastJaccardVerify,
+                             fn_constructor_args=(gref, 0.6),
+                             batch_format="pyarrow", concurrency=2).to_pandas()
+    if out is None:
         # DISTRIBUTED PATH: pairs never touch the driver. Cross-band pair
         # dedup via the hash-partition exchange, candidate ids via a
         # distributed distinct, and the gram-table semi-join becomes a

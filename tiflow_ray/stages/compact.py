@@ -179,3 +179,24 @@ def filter_by_signature(t: pa.Table, winner_sigs_sorted: np.ndarray) -> pa.Table
     np.clip(idx, 0, len(winner_sigs_sorted) - 1, out=idx)
     keep = winner_sigs_sorted[idx] == sig
     return t if keep.all() else t.filter(pa.array(keep))
+
+
+def filter_by_signature_sharded(t: pa.Table, sig_map: dict) -> pa.Table:
+    """Sharded variant: `t` carries a `part` column; each row is checked
+    against ONLY its partition's sorted sig block (plasma-backed views —
+    no task ever materializes the union of the blocks)."""
+    if t.num_rows == 0:
+        return t
+    sig = event_signature(t)
+    parts = t["part"].to_numpy(zero_copy_only=False)
+    keep = np.zeros(t.num_rows, bool)
+    for p in np.unique(parts):
+        blk = sig_map.get(int(p))
+        if blk is None or len(blk) == 0:
+            continue
+        sel = parts == p
+        s = sig[sel]
+        idx = np.searchsorted(blk, s)
+        np.clip(idx, 0, len(blk) - 1, out=idx)
+        keep[sel] = blk[idx] == s
+    return t if keep.all() else t.filter(pa.array(keep))
