@@ -78,11 +78,19 @@ def test_random_ddl_schedule_matches_oracle(tmp_path, seed):
     barriers = np.sort(rng.choice(
         np.arange(10_000, TS_MAX - 10_000, 997), N_DDLS, replace=False))
     for i, b in enumerate(barriers):
-        kinds = ["add", "truncate"]
+        kinds = ["add", "truncate", "index", "exchange"]
         droppable = [c for c in cur if c not in ("tokens", "n_tok")]
         if droppable:
             kinds += ["drop", "rename"]
         k = kinds[rng.integers(len(kinds))]
+        if k == "index":
+            # recognized-and-skipped kinds (r4): no-op barrier, version++
+            which = ["add_index", "drop_index"][int(rng.integers(2))]
+            ddls.append(DDL(int(b), which, "idx_doc", None, i + 2))
+            continue
+        if k == "exchange":
+            ddls.append(DDL(int(b), "exchange_partition", "p0", None, i + 2))
+            continue
         if k == "add":
             counter += 1
             name = f"c{counter}"

@@ -201,3 +201,69 @@ def test_enum_set_json_lattice():
     # json default must parse
     with pytest.raises(Exception):
         SchemaRegistry([DDL(10, "add_column", "m:json", "{broken", 2)])
+
+
+def test_non_schema_ddls_are_noop_barriers_with_manifest_note(tmp_path):
+    """add/drop index and exchange partition (metadata-only for a lake)
+    are recognized, cut a barrier (version++), change no schema, and the
+    committing manifest records a ddl_skipped note (r3 verdict #7)."""
+    import os
+
+    import numpy as np
+
+    from tiflow_ray import fixtures, oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+    from tiflow_ray.state.checkpoint import LakeState
+
+    r = SchemaRegistry([
+        DDL(50, "add_index", "idx_doc", None, 2),
+        DDL(90, "add_column", "lang:string", "en", 3),
+        DDL(130, "exchange_partition", "p0", None, 4),
+    ])
+    assert r.schema(2) == r.schema(1)           # no-op on the schema
+    assert r.schema(4) == r.schema(3)
+    assert "lang" in r.schema(3).names
+
+    root = str(tmp_path / "fx")
+    os.makedirs(root)
+    n = 40
+    dnum = np.arange(n, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[0]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["seed"] * n)})
+    fixtures.write_base_partitioned(base, root, 4)
+    cts = np.arange(10, 10 + 4 * n, 4, dtype=np.uint64)
+    vers = np.array([r.version_at(int(t)) for t in cts], np.int32)
+    ev = pa.table({
+        "op": pa.array(np.full(n, 2, np.uint8)),
+        "commit_ts": pa.array(cts),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "tokens": pa.array([[int(d)] for d in dnum], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["web"] * n),
+        "lang": pa.array([("fr" if v >= 3 else None) for v in vers]),
+        "schema_ver": pa.array(vers)})
+    fixtures.write_wal_segments(ev, os.path.join(root, "wal"), 4, r)
+
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake"),
+                       num_partitions=4, max_segments_per_epoch=1,
+                       validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, r)
+    assert got.equals(exp)
+    # the skip landed in a durable manifest, named and auditable
+    notes = []
+    lake = LakeState(cfg.lake_dir)
+    for e in lake.committed_epochs():
+        notes += lake.load(e).stats.get("ddl_skipped", [])
+    assert "add_index:idx_doc" in notes
+    assert "exchange_partition:p0" in notes

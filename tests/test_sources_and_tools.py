@@ -77,6 +77,50 @@ def test_avro_codec_roundtrip():
         decode_avro(blob, list(reversed(t.column_names)))
 
 
+def test_avro_block_splitter_parallel_decode(tmp_path):
+    """One OCF segment fans out BLOCK-granular (r3 verdict #8): the split
+    planner walks block headers (no datum decode), groups them into ≥8
+    byte ranges for a single file, and the range-decode pipeline
+    reassembles the exact table the whole-file decoder produces."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from tiflow_ray.sources.codecs import (AvroRangeDecoder,
+                                           avro_block_ranges, decode_avro,
+                                           encode_avro, plan_avro_splits)
+    n = 4000
+    t = pa.table({
+        "op": pa.array(np.full(n, 2, np.uint8)),
+        "commit_ts": pa.array(np.arange(1, n + 1, dtype=np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array([f"doc{i:07d}" for i in range(n)]),
+        "tokens": pa.array([[i % 100, i % 7] for i in range(n)],
+                           pa.list_(pa.int32())),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.full(n, 2, np.int32)),
+        "source": pa.array(["web"] * n),
+        "schema_ver": pa.array(np.ones(n, np.int32)),
+    })
+    blob = encode_avro(t, block_rows=50)            # many blocks
+    assert len(avro_block_ranges(blob)) == n // 50
+    path = str(tmp_path / "seg.avro")
+    with open(path, "wb") as f:
+        f.write(blob)
+    # tiny target_bytes stands in for a 512MB file at 8MB targets
+    items = plan_avro_splits([path], list(t.column_names),
+                             target_bytes=len(blob) // 16)
+    assert len(items) >= 8, f"only {len(items)} ranges for one segment"
+    got = pa.concat_tables(
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(AvroRangeDecoder(list(t.column_names)),
+                     batch_format="pyarrow", batch_size=1)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    got = got.take(pa.compute.sort_indices(got, sort_keys=[
+        ("commit_ts", "ascending")]))
+    assert got.equals(decode_avro(blob, list(t.column_names)))
+
+
 def test_craft_codec_roundtrip():
     """Craft-style binary columnar message (design of pkg/sink/codec/craft:
     delta-zigzag-varint ts chunks, nullable length-prefixed value chunks,

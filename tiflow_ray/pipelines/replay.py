@@ -393,13 +393,24 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
         elif ep.fmt == "jsonl":  # raw json change files: no pushdown —
             ds = ray.data.read_json(list(ep.files), **read_kwargs)
             enforce_range = True   # range-filter in normalize
-        elif ep.fmt in ("avro", "craft"):  # binary change files: one task
-            # per segment file decodes its blocks (block-level fan-out
-            # would need a container splitter; segments are 64MB-class)
+        elif ep.fmt == "avro":   # OCF: BLOCK-granular fan-out — the
+            # splitter walks block headers (no datum decode) and each
+            # range task seeks+reads only its own blocks, so one large
+            # segment decodes ≥8-way instead of one-task-per-file
+            from ..sources.codecs import AvroRangeDecoder, plan_avro_splits
+            items = plan_avro_splits(list(ep.files), list(ep.columns))
+            ds = ray.data.from_items(
+                items, override_num_blocks=max(1, len(items)))
+            ds = ds.map_batches(AvroRangeDecoder(list(ep.columns)),
+                                batch_format="pyarrow", batch_size=4)
+            enforce_range = True
+        elif ep.fmt == "craft":  # craft: size tables live at the message
+            # TAIL, so a mid-file split cannot be located without the
+            # tail — file-granular fan-out is inherent to the format
             from ..sources.codecs import BinaryFileDecoder
             ds = ray.data.read_binary_files(list(ep.files))
             ds = ds.map_batches(BinaryFileDecoder(ep.fmt, list(ep.columns)),
-                                batch_format="pandas", batch_size=4)
+                                batch_format="pyarrow", batch_size=4)
             enforce_range = True
         else:  # csv / canal-json change files (M10 decode): text → decoder
             from ..sources.codecs import ChangeFileDecoder
@@ -598,11 +609,22 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
     for meta in parts.values():
         rows_total += max(meta.get("rows", 0), 0)
 
+    # recognize-and-skip note for non-schema DDL barriers crossed by this
+    # commit (add/drop index, exchange partition — metadata-only for the
+    # lake): the skip is recorded HERE, in the durable manifest, so it is
+    # auditable rather than silent (cdc/owner/ddl_manager.go's treatment
+    # of non-schema-affecting jobs)
+    from ..stages.schema_evo import NON_SCHEMA_DDLS
+    skipped = [f"{d.ddl_type}:{d.column}" for d in registry.ddls
+               if prev.schema_ver < d.schema_ver <= ep.schema_ver
+               and d.ddl_type in NON_SCHEMA_DDLS]
+
     m = Manifest(epoch=epoch_no, watermark_ts=ep.hi, schema_ver=ep.schema_ver,
                  num_partitions=prev.num_partitions,
                  registry_json=registry.to_json(), parts=parts,
                  segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
-                 stats={"events": ep.est_rows, "winners": n_winners,
+                 stats={**({"ddl_skipped": skipped} if skipped else {}),
+                        "events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
                         "salted_events": sum(r.get("salted_events", 0)
                                              for r in stats_rows),

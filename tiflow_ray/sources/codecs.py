@@ -736,10 +736,9 @@ def encode_avro(t: pa.Table, block_rows: int = 4096) -> bytes:
     return bytes(out)
 
 
-def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
-    """Avro OCF bytes → canonical typed event table. Self-describing: the
-    writer schema in the header drives field order/types; `columns`, when
-    given (segment meta), must agree — the schema-file consistency check."""
+def _avro_header(data: bytes) -> tuple[str, bytes, int]:
+    """Parse the OCF header → (writer schema json, sync marker, body
+    offset). Shared by the whole-file decoder and the block splitter."""
     assert data[:4] == _AVRO_MAGIC, "not an avro object container file"
     pos = 4
     meta = {}
@@ -755,15 +754,19 @@ def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
             vl, pos = _avro_zigzag_read(data, pos)
             meta[k] = data[pos:pos + vl]; pos += vl
     assert meta.get("avro.codec", b"null") == b"null", "only null codec"
-    schema = json.loads(meta["avro.schema"].decode())
+    schema_json = meta["avro.schema"].decode()
     sync = data[pos:pos + 16]; pos += 16
+    return schema_json, sync, pos
 
+
+def _decode_avro_body(data: bytes, schema_json: str, sync: bytes,
+                      pos: int = 0) -> pa.Table:
+    """Decode a run of OCF data blocks ([count][size][payload][sync]...)
+    under an already-parsed writer schema — the unit a block-level split
+    hands to one task."""
+    schema = json.loads(schema_json)
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
-    fcols = [name for name, _ in fields]
-    if columns:
-        assert list(columns) == fcols, \
-            f"segment meta columns {columns} != avro writer schema {fcols}"
-    cols = {c: [] for c in fcols}
+    cols = {name: [] for name, _ in fields}
     while pos < len(data):
         count, pos = _avro_zigzag_read(data, pos)
         _size, pos = _avro_zigzag_read(data, pos)
@@ -774,6 +777,97 @@ def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
         assert data[pos:pos + 16] == sync, "sync marker mismatch"
         pos += 16
     return pa.table({c: _typed_column(v, c) for c, v in cols.items()})
+
+
+def decode_avro(data: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Avro OCF bytes → canonical typed event table. Self-describing: the
+    writer schema in the header drives field order/types; `columns`, when
+    given (segment meta), must agree — the schema-file consistency check."""
+    schema_json, sync, pos = _avro_header(data)
+    if columns:
+        fcols = [f["name"] for f in json.loads(schema_json)["fields"]]
+        assert list(columns) == fcols, \
+            f"segment meta columns {columns} != avro writer schema {fcols}"
+    return _decode_avro_body(data, schema_json, sync, pos)
+
+
+def avro_block_ranges(data: bytes) -> list[tuple[int, int, int]]:
+    """Exact OCF block boundaries [(start, end, nrows)]: a varint walk over
+    the block headers (count, size → skip payload → verify sync). O(#blocks)
+    work, no datum decode — the splitter never touches row payloads, unlike
+    a byte-scan for sync markers it can never false-positive."""
+    _schema_json, sync, pos = _avro_header(data)
+    out = []
+    n = len(data)
+    while pos < n:
+        start = pos
+        count, pos = _avro_zigzag_read(data, pos)
+        size, pos = _avro_zigzag_read(data, pos)
+        pos += size
+        assert data[pos:pos + 16] == sync, "sync marker mismatch"
+        pos += 16
+        out.append((start, pos, count))
+    return out
+
+
+def plan_avro_splits(paths: list[str], columns: list[str] | None,
+                     target_bytes: int = 8 << 20) -> list[dict]:
+    """Block-level split planning for OCF WAL segments (r3 verdict #8):
+    ONE remote index task per file parses block boundaries (varint walk)
+    and coalesces consecutive blocks into ~target_bytes ranges, so decode
+    parallelism is block-granular — a single 512 MB segment fans out to
+    ~64 ranges instead of one task. The driver only ever holds the O(#
+    ranges) split descriptors."""
+    import ray as _ray
+
+    @_ray.remote
+    def _index(path: str) -> list[dict]:
+        with open(path, "rb") as f:
+            data = f.read()
+        schema_json, sync, _pos = _avro_header(data)
+        if columns:
+            fcols = [f["name"] for f in json.loads(schema_json)["fields"]]
+            assert list(columns) == fcols, \
+                f"{path}: meta columns {columns} != writer schema {fcols}"
+        ranges = avro_block_ranges(data)
+        out, lo, hi = [], None, None
+        for (s, e, _cnt) in ranges:
+            if lo is None:
+                lo, hi = s, e
+            elif e - lo > target_bytes:
+                out.append({"path": path, "start": lo, "end": hi,
+                            "schema": schema_json, "sync": sync.hex()})
+                lo, hi = s, e
+            else:
+                hi = e
+        if lo is not None:
+            out.append({"path": path, "start": lo, "end": hi,
+                        "schema": schema_json, "sync": sync.hex()})
+        return out
+
+    nested = _ray.get([_index.remote(p) for p in paths])
+    return [item for sub in nested for item in sub]
+
+
+class AvroRangeDecoder:
+    """map_batches callable over plan_avro_splits items: each row names a
+    (path, byte-range) of whole OCF blocks; the task seeks, reads ONLY its
+    range and decodes — block-granular parallelism with zero driver bytes."""
+
+    def __init__(self, columns: list[str]):
+        self.columns = list(columns)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tables = []
+        for row in t.to_pylist():
+            with open(row["path"], "rb") as f:
+                f.seek(row["start"])
+                data = f.read(row["end"] - row["start"])
+            tables.append(_decode_avro_body(
+                data, row["schema"], bytes.fromhex(row["sync"])))
+        if tables:
+            return pa.concat_tables(tables)
+        return pa.table({c: _typed_column([], c) for c in self.columns})
 
 
 # ---------------------------------------------------------------------------
@@ -1017,7 +1111,10 @@ def decode_craft(data: bytes, columns: list[str] | None = None) -> pa.Table:
 class BinaryFileDecoder:
     """map_batches callable over `read_binary_files` batches (one WAL
     segment file per row): decode each binary payload (avro OCF or craft
-    message) and concat."""
+    message) and concat. Consumes PYARROW batches — binary payloads must
+    not round-trip through pandas (the repo's multimodal rule); the single
+    bytes() per row below is the unavoidable copy the byte-walking decoder
+    needs, not a format conversion of the whole batch."""
 
     _DECODERS = {"avro": decode_avro, "craft": decode_craft}
 
@@ -1025,9 +1122,9 @@ class BinaryFileDecoder:
         assert fmt in self._DECODERS, fmt
         self.fmt, self.columns = fmt, list(columns)
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         dec = self._DECODERS[self.fmt]
-        tables = [dec(b, self.columns) for b in batch["bytes"]]
+        tables = [dec(v.as_py(), self.columns) for v in batch["bytes"]]
         if tables:
             return pa.concat_tables(tables)
         return pa.table({c: _typed_column([], c) for c in self.columns})

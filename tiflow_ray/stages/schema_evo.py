@@ -43,6 +43,12 @@ _TYPES = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64(),
           "set<string>": pa.list_(pa.string())}
 _TYPE_NAMES = {v: k for k, v in _TYPES.items()}
 
+#: DDL kinds the lake recognizes but executes as no-op barriers (index /
+#: partition jobs are metadata-only for a columnar lake); the skip is
+#: recorded in the committing manifest's stats — never silent, never fatal
+NON_SCHEMA_DDLS = frozenset(
+    {"add_index", "drop_index", "exchange_partition"})
+
 
 def _enum_elements(spec: str) -> tuple[str, ...]:
     """Parse "enum('a','b',...)" → its declared element tuple."""
@@ -181,6 +187,16 @@ class SchemaRegistry:
                 # rows at the barrier): schema unchanged, version++ so the
                 # barrier cuts an epoch; cast_table crossing it empties any
                 # pre-truncate table/image — see `truncated_between`
+                pass
+            elif d.ddl_type in NON_SCHEMA_DDLS:
+                # recognize-and-skip, loudly (r3 verdict #7): index and
+                # partition DDLs are metadata-only for a columnar lake —
+                # cdc/owner/ddl_manager.go treats non-schema-affecting jobs
+                # as barriers that execute nothing. Schema unchanged,
+                # version++ so the barrier still cuts an epoch exactly at
+                # the reference's barrier-ts, and _commit_epoch records a
+                # `ddl_skipped` note in the manifest stats instead of
+                # raising or silently dropping the job.
                 pass
             else:
                 raise ValueError(f"unknown ddl_type {d.ddl_type}")
