@@ -1,0 +1,211 @@
+"""Multi-table changefeed: N tables with independent DDL schedules through
+ONE changefeed — per-table registries, per-(table, part) lake chains,
+per-table progress in one atomic manifest (r3 verdict #1).
+
+Reference parity targets: cdc/processor/sinkmanager/manager.go:404-413
+(per-table sink progress), cdc/entry/schema_storage.go:40-151 (per-table
+schema snapshots)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tiflow_ray import fixtures, oracle
+from tiflow_ray.config import ReplayConfig
+from tiflow_ray.pipelines import multitable as mt
+from tiflow_ray.stages.schema_evo import DDL, SchemaRegistry
+from tiflow_ray.state.checkpoint import LakeState
+
+N_DOCS = 150
+N_EVENTS = 1_200
+TS_MAX = 40_000
+B1, B2, B3 = 9_000, 17_000, 29_000
+
+
+def _registries():
+    return {
+        "ta": SchemaRegistry([]),
+        "tb": SchemaRegistry([DDL(B1, "add_column", "lang:string",
+                                  "und", 2)]),
+        "tc": SchemaRegistry([DDL(B2, "add_column", "score:int32", "7", 2),
+                              DDL(B3, "drop_column", "source", None, 3)]),
+    }
+
+
+def _setup(tmp_path, lag_table: str | None = None,
+           lag_cutoff: int = TS_MAX // 2):
+    """One shared multitable WAL + per-table single-table roots for the
+    independent sequential oracle. Same doc_id VALUES in every table —
+    replay isolation is the thing under test."""
+    regs = _registries()
+    names = sorted(regs)
+    root = str(tmp_path / "mt")
+    os.makedirs(root)
+
+    dnum = np.arange(N_DOCS, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[int(d)] for d in dnum], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(N_DOCS, np.int32)),
+        "source": pa.array(["seed"] * N_DOCS),
+    })
+    base_dirs = {}
+    for t in names:
+        troot = os.path.join(root, f"oracle_{t}")
+        fixtures.write_base_partitioned(base, troot, 8)
+        base_dirs[t] = os.path.join(troot, "base")
+
+    rng = np.random.default_rng(7)
+    cts = np.sort(rng.choice(np.arange(1, TS_MAX), N_EVENTS, replace=False))
+    tbl = np.array(names, object)[np.arange(N_EVENTS) % 3]
+    if lag_table:
+        # the lagging table simply has no events past the cutoff — its
+        # sink progress (last_touched_epoch) must stall while others run
+        keep = ~((tbl == lag_table) & (cts > lag_cutoff))
+        cts, tbl = cts[keep], tbl[keep]
+    n = len(cts)
+    docs = rng.integers(0, N_DOCS, n)
+    ops = rng.choice([1, 2, 3], n, p=[0.15, 0.55, 0.30]).astype(np.uint8)
+    has_img = ops != 1
+    vers = np.array([regs[t].version_at(int(c))
+                     for t, c in zip(tbl, cts)], np.int32)
+
+    def img(vals, mask):
+        return [v if m else None for v, m in zip(vals, mask)]
+
+    cols = {
+        "op": pa.array(ops),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array(fixtures.doc_name(docs)),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "tokens": pa.array(img([[int(d) * 3 + int(c) % 11] for d, c
+                                in zip(docs, cts)], has_img),
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(img([1] * n, has_img), pa.int32()),
+        # tc drops source at B3: events past it carry no source image
+        "source": pa.array(img(
+            [f"s{int(c) % 4}" for c in cts],
+            has_img & ~((tbl == "tc") & (cts > B3))), pa.string()),
+        "lang": pa.array(img(
+            [f"L{int(d) % 3}" for d in docs],
+            has_img & (tbl == "tb") & (cts > B1)), pa.string()),
+        "score": pa.array(img(
+            [int(d) % 100 for d in docs],
+            has_img & (tbl == "tc") & (cts > B2)), pa.int32()),
+        "schema_ver": pa.array(vers),
+        "table_name": pa.array(tbl, pa.string()),
+    }
+    wal = pa.table(cols)
+    wal_dir = os.path.join(root, "wal")
+    fixtures.write_wal_segments(wal, wal_dir, 6)
+    mt.write_multitable_registries(wal_dir, regs)
+
+    # per-table oracle roots: that table's events only, its own ddl.json
+    for t in names:
+        sub = wal.filter(pa.array(tbl == t)).drop_columns(["table_name"])
+        if t == "ta":           # ta never sees lang/score columns
+            sub = sub.drop_columns(["lang", "score"])
+        elif t == "tb":
+            sub = sub.drop_columns(["score"])
+        fixtures.write_wal_segments(
+            sub, os.path.join(root, f"oracle_{t}", "wal"), 4, regs[t])
+    return root, regs, base_dirs, wal_dir
+
+
+def _expected(root, regs, t):
+    return oracle.replay_to_table(os.path.join(root, f"oracle_{t}"),
+                                  regs[t])
+
+
+def test_multitable_three_tables_independent_ddl(tmp_path):
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       validate=True)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+    res = mt.run_replay_multitable(cfg)
+    assert res.epochs, "nothing committed"
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        exp = _expected(root, regs, t)
+        assert got.equals(exp), f"table {t} diverged from its oracle"
+    # schemas really are independent (same changefeed, same commit)
+    assert "lang" not in mt.multitable_lake_to_table(
+        cfg.lake_dir, "ta").column_names
+    assert "score" in mt.multitable_lake_to_table(
+        cfg.lake_dir, "tc").column_names
+    assert "source" not in mt.multitable_lake_to_table(
+        cfg.lake_dir, "tc").column_names
+    # ONE manifest holds per-table progress side by side
+    m = LakeState(cfg.lake_dir).latest()
+    ts = m.stats["tables"]
+    assert set(ts) == set(regs)
+    assert ts["tb"]["schema_ver"] == 2 and ts["tc"]["schema_ver"] == 3
+    assert len({v["watermark_ts"] for v in ts.values()}) == 1
+    regs_back = {t: SchemaRegistry.from_json(rj)
+                 for t, rj in json.loads(m.registry_json).items()}
+    assert regs_back["tb"].to_json() == regs["tb"].to_json()
+    # idempotent re-run
+    res2 = mt.run_replay_multitable(cfg)
+    assert res2.epochs == []
+
+
+def test_multitable_per_table_resume_and_lag(tmp_path):
+    """Stop mid-stream, verify each table equals its oracle AT that
+    watermark, resume to the end; the lagging table's sink progress
+    (last_touched_epoch) stalls while resolved-ts progress advances —
+    the per-table progress split sinkmanager tracks."""
+    cutoff = TS_MAX // 2
+    root, regs, base_dirs, wal_dir = _setup(tmp_path, lag_table="tc",
+                                            lag_cutoff=cutoff)
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake"),
+                       num_partitions=8, max_segments_per_epoch=2)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+
+    from tiflow_ray.sources.wal import list_segments
+    segs = list_segments(wal_dir)
+    mid = segs[len(segs) // 2 - 1].watermark_ts
+    mt.run_replay_multitable(cfg, upto_ts=mid)
+    m_mid = LakeState(cfg.lake_dir).latest()
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        exp = oracle.replay_to_table(os.path.join(root, f"oracle_{t}"),
+                                     regs[t], max_watermark=mid)
+        assert got.equals(exp), f"table {t} wrong at mid-resume point"
+
+    mt.run_replay_multitable(cfg)
+    m_end = LakeState(cfg.lake_dir).latest()
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        assert got.equals(_expected(root, regs, t)), \
+            f"table {t} wrong after resume"
+    ts = m_end.stats["tables"]
+    # resolved-ts progress: every table at the final watermark
+    assert len({v["watermark_ts"] for v in ts.values()}) == 1
+    assert ts["ta"]["watermark_ts"] == m_end.watermark_ts
+    # sink progress: the lagging table stopped being touched earlier
+    assert ts["tc"]["last_touched_epoch"] < ts["ta"]["last_touched_epoch"]
+    # crash-sim: drop the newest manifest, rerun → converges to the same
+    es = LakeState(cfg.lake_dir).committed_epochs()
+    os.remove(os.path.join(cfg.lake_dir, "_manifest",
+                           f"epoch-{es[-1]:06d}.json"))
+    mt.run_replay_multitable(cfg)
+    for t in sorted(regs):
+        assert mt.multitable_lake_to_table(cfg.lake_dir, t).equals(
+            _expected(root, regs, t)), f"table {t} wrong after crash-resume"
+
+
+def test_multitable_rejects_undeclared_table(tmp_path):
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    two = {t: r for t, r in regs.items() if t != "tc"}
+    cfg = ReplayConfig(wal_dir=wal_dir,
+                       lake_dir=os.path.join(root, "lake_rej"),
+                       num_partitions=8)
+    mt.bootstrap_multitable(cfg, two, {t: base_dirs[t] for t in two})
+    with pytest.raises(Exception, match="undeclared"):
+        mt.run_replay_multitable(cfg, tables=two)

@@ -685,6 +685,155 @@ def q_cdc_replay_optimistic(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir)
 
 
+def stage_cdc_multitable_fixture(sf_dir: str) -> tuple[str, dict]:
+    """Derive a THREE-table changefeed from the single-table CDC fixture:
+    events route to table `t{event_id % 3}`; each table has an independent
+    DDL schedule (ta: none; tb: add lang@b1; tc: add score@b2 + drop
+    source@b3, barriers at 1/3, 1/2, 3/4 of the ts span). All three tables
+    share the same base content and the same doc_id VALUE SPACE — replay
+    isolation across tables is exactly the thing under test."""
+    from .pipelines import multitable as mtp
+    from .stages.schema_evo import DDL
+
+    root, _ = stage_cdc_fixture(sf_dir, False)
+    mt_root = os.path.join(root, "multitable")
+    done = os.path.join(mt_root, "_staged.json")
+    if os.path.exists(done):
+        with open(done) as f:
+            raw = json.load(f)
+        return mt_root, {t: SchemaRegistry.from_json(rj)
+                         for t, rj in raw.items()}
+
+    from .sources.wal import list_segments
+    wal = pa.concat_tables(
+        [pq.read_table(s.path)
+         for s in list_segments(os.path.join(root, "wal"))],
+        promote_options="default")
+    cts = wal["commit_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sts = wal["start_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    docnum = np.array([int(s.rsplit("-", 1)[-1])
+                       for s in wal["doc_id"].to_pylist()], np.int64)
+    has_img = wal["op"].to_numpy(zero_copy_only=False) != 1
+    lo, hi = int(cts.min()), int(cts.max())
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + (hi - lo) // 2
+    b3 = lo + 3 * (hi - lo) // 4
+    regs = {
+        "ta": SchemaRegistry([]),
+        "tb": SchemaRegistry([DDL(b1, "add_column", "lang:string",
+                                  "und", 2)]),
+        "tc": SchemaRegistry([DDL(b2, "add_column", "score:int32", "7", 2),
+                              DDL(b3, "drop_column", "source", None, 3)]),
+    }
+    tid = (sts % 3).astype(np.int64)
+    tbl = np.array(["ta", "tb", "tc"], object)[tid]
+    lang_all = np.asarray(LANGS, dtype=object)[(docnum * 31) % 5]
+    wal = wal.append_column("table_name", pa.array(tbl, pa.string()))
+    wal = wal.append_column("lang", pa.array(
+        np.where(has_img & (tid == 1) & (cts > b1), lang_all, None),
+        pa.string()))
+    wal = wal.append_column("score", pa.array(
+        [int(s) % 100 if ok else None for s, ok in
+         zip(sts, has_img & (tid == 2) & (cts > b2))], pa.int32()))
+    vers = np.ones(len(cts), np.int32)
+    for t_name, ids in (("tb", 1), ("tc", 2)):
+        sel = tid == ids
+        bar = np.array(regs[t_name].barriers(), np.int64)
+        vers[sel] = 1 + (cts[sel, None] > bar[None, :]).sum(axis=1)
+    wal = wal.set_column(wal.column_names.index("schema_ver"),
+                         "schema_ver", pa.array(vers))
+    wal_dir = os.path.join(mt_root, "wal")
+    write_wal_segments(wal, wal_dir, CDC_SEGMENTS)
+    mtp.write_multitable_registries(wal_dir, regs)
+    tmp = done + f".tmp.{os.getpid()}"
+    os.makedirs(mt_root, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({t: r.to_json() for t, r in regs.items()}, f)
+    os.replace(tmp, done)
+    return mt_root, regs
+
+
+def q_cdc_replay_multitable(sf_dir: str) -> pa.Table:
+    """Multi-table changefeed (r3 verdict #1 made real): three tables with
+    INDEPENDENT DDL schedules replicate through ONE changefeed — one WAL
+    read per epoch, a (table, partition)-keyed shuffle, per-table merge
+    workers and ONE atomic manifest carrying per-table watermarks/schema
+    versions (cdc/processor/sinkmanager/manager.go:404-413 per-table sink
+    progress; cdc/entry/schema_storage.go:40-151 per-table snapshots).
+    Output = union of the three final tables under the superset layout
+    (absent columns null), hash-checked against a per-table SQL twin."""
+    from .config import ReplayConfig
+    from .pipelines import multitable as mtp
+
+    mt_root, regs = stage_cdc_multitable_fixture(sf_dir)
+    root = os.path.dirname(mt_root)
+    cfg = ReplayConfig(wal_dir=os.path.join(mt_root, "wal"),
+                       lake_dir=os.path.join(mt_root, "lake"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    from .state.checkpoint import LakeState
+    base = os.path.join(root, "base")
+    if LakeState(cfg.lake_dir).latest() is None:
+        mtp.bootstrap_multitable(cfg, regs, {t: base for t in regs})
+    mtp.run_replay_multitable(cfg)
+
+    sup = ["doc_id", "tokens", "n_tok", "source", "lang", "score"]
+    types = {"source": pa.string(), "lang": pa.string(),
+             "score": pa.int32()}
+    pieces = []
+    for t_name in sorted(regs):
+        t = mtp.multitable_lake_to_table(cfg.lake_dir, t_name)
+        cols = {"table_name": pa.array([t_name] * t.num_rows)}
+        for c in sup:
+            cols[c] = t[c] if c in t.column_names else \
+                pa.nulls(t.num_rows, types[c])
+        pieces.append(pa.table(cols))
+    return pa.concat_tables(pieces)
+
+
+_CDC_MULTITABLE_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+wal AS ({_WAL_SQL}),
+rng AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+bar AS (SELECT lo + (hi - lo) // 3 AS b1, lo + (hi - lo) // 2 AS b2,
+               lo + 3 * (hi - lo) // 4 AS b3 FROM rng),
+wt AS (SELECT *, start_ts % 3 AS tid FROM wal),
+w AS (SELECT *, row_number() OVER (PARTITION BY tid, doc_id
+                                   ORDER BY commit_ts DESC, start_ts DESC,
+                                            op DESC) AS rn
+      FROM wt),
+win AS (SELECT * FROM w WHERE rn = 1),
+tids AS (SELECT unnest([0, 1, 2]) AS tid),
+bt AS (SELECT tids.tid, base.* FROM tids, base),
+f AS (SELECT COALESCE(win.tid, bt.tid) AS tid,
+             COALESCE(win.doc_id, bt.doc_id) AS doc_id,
+             CASE WHEN win.doc_id IS NULL THEN bt.tokens
+                  ELSE win.tokens END AS tokens,
+             CASE WHEN win.doc_id IS NULL THEN bt.n_tok
+                  ELSE win.n_tok END AS n_tok,
+             CASE WHEN win.doc_id IS NULL THEN bt.source
+                  ELSE win.source END AS source,
+             win.commit_ts AS wts, win.start_ts AS wsts
+      FROM bt FULL OUTER JOIN win
+        ON bt.doc_id = win.doc_id AND bt.tid = win.tid
+      WHERE win.op IS NULL OR win.op <> 1)
+SELECT CASE f.tid WHEN 0 THEN 'ta' WHEN 1 THEN 'tb' ELSE 'tc' END
+           AS table_name,
+       f.doc_id, f.tokens, f.n_tok,
+       CASE WHEN f.tid = 2 THEN NULL ELSE f.source END AS source,
+       CASE WHEN f.tid = 1 THEN
+            (CASE WHEN f.wts > bar.b1 THEN
+                 (['en','de','fr','zh','es'])[1 + CAST(
+                     CAST(substr(f.doc_id, 5) AS BIGINT) * 31 AS BIGINT) % 5]
+             ELSE 'und' END)
+       ELSE NULL END AS lang,
+       CASE WHEN f.tid = 2 THEN
+            (CASE WHEN f.wts > bar.b2 THEN CAST(f.wsts % 100 AS INTEGER)
+             ELSE CAST(7 AS INTEGER) END)
+       ELSE NULL END AS score
+FROM f, bar
+"""
+
+
 def stage_cdc_typed_fixture(sf_dir: str) -> tuple[str, SchemaRegistry]:
     """CDC fixture whose evolved columns exercise the widened type lattice:
     DECIMAL(18,6), TIMESTAMP(us), BINARY added via DDL barriers placed
@@ -3676,6 +3825,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "cdc_replay_optimistic": (q_cdc_replay_optimistic,
                               _CDC_REPLAY_OPTIMISTIC_SQL),
+    "cdc_replay_multitable": (q_cdc_replay_multitable, _CDC_MULTITABLE_SQL),
     "cdc_replay_truncate": (q_cdc_replay_truncate, _CDC_REPLAY_TRUNCATE_SQL),
     "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
     "cdc_replay_online": (q_cdc_replay_online, _CDC_REPLAY_DDL_SQL),
