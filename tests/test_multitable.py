@@ -209,3 +209,114 @@ def test_multitable_rejects_undeclared_table(tmp_path):
     mt.bootstrap_multitable(cfg, two, {t: base_dirs[t] for t in two})
     with pytest.raises(Exception, match="undeclared"):
         mt.run_replay_multitable(cfg, tables=two)
+
+
+def test_multitable_create_and_drop_table_lifecycle(tmp_path):
+    """CREATE TABLE joins the changefeed (empty) at its barrier; DROP
+    TABLE removes the table's chains from the manifest at its barrier
+    with a durable dropped-note. Both are ordinary epoch-cutting
+    barriers (cdc/owner/ddl_manager.go treats them as DDL jobs; the
+    sink adds/removes the table span)."""
+    regs = _registries()
+    regs["td"] = SchemaRegistry([])          # created mid-stream
+    names = sorted(regs)
+    root = str(tmp_path / "mt")
+    os.makedirs(root)
+    create_td = 15_000
+    drop_ta = 25_000
+    lcs = {t: mt.TableLifecycle() for t in names}
+    lcs["td"] = mt.TableLifecycle(created_ts=create_td)
+    lcs["ta"] = mt.TableLifecycle(dropped_ts=drop_ta)
+
+    dnum = np.arange(N_DOCS, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[int(d)] for d in dnum], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(N_DOCS, np.int32)),
+        "source": pa.array(["seed"] * N_DOCS)})
+    base_dirs = {}
+    for t in names:
+        if t == "td":
+            continue
+        troot = os.path.join(root, f"oracle_{t}")
+        fixtures.write_base_partitioned(base, troot, 8)
+        base_dirs[t] = os.path.join(troot, "base")
+    os.makedirs(os.path.join(root, "oracle_td"))
+
+    rng = np.random.default_rng(11)
+    cts = np.sort(rng.choice(np.arange(1, TS_MAX), N_EVENTS, replace=False))
+    tbl = np.array(names, object)[np.arange(N_EVENTS) % 4]
+    keep = ~(((tbl == "td") & (cts <= create_td))     # td: only after birth
+             | ((tbl == "ta") & (cts > drop_ta)))     # ta: none after drop
+    cts, tbl = cts[keep], tbl[keep]
+    n = len(cts)
+    docs = rng.integers(0, N_DOCS, n)
+    ops = rng.choice([1, 2, 3], n, p=[0.15, 0.55, 0.30]).astype(np.uint8)
+    has_img = ops != 1
+    vers = np.array([regs[t].version_at(int(c))
+                     for t, c in zip(tbl, cts)], np.int32)
+
+    def img(vals, mask):
+        return [v if m else None for v, m in zip(vals, mask)]
+
+    wal = pa.table({
+        "op": pa.array(ops),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array(fixtures.doc_name(docs)),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "tokens": pa.array(img([[int(d)] for d in docs], has_img),
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(img([1] * n, has_img), pa.int32()),
+        "source": pa.array(img([f"s{int(c) % 4}" for c in cts],
+                               has_img & ~((tbl == "tc") & (cts > B3))),
+                           pa.string()),
+        "lang": pa.array(img([f"L{int(d) % 3}" for d in docs],
+                             has_img & (tbl == "tb") & (cts > B1)),
+                         pa.string()),
+        "score": pa.array(img([int(d) % 100 for d in docs],
+                              has_img & (tbl == "tc") & (cts > B2)),
+                          pa.int32()),
+        "schema_ver": pa.array(vers),
+        "table_name": pa.array(tbl, pa.string()),
+    })
+    wal_dir = os.path.join(root, "wal")
+    fixtures.write_wal_segments(wal, wal_dir, 6)
+    mt.write_multitable_registries(wal_dir, regs, lcs)
+
+    for t in names:
+        sub = wal.filter(pa.array(tbl == t)).drop_columns(["table_name"])
+        if t in ("ta", "td"):
+            sub = sub.drop_columns(["lang", "score"])
+        elif t == "tb":
+            sub = sub.drop_columns(["score"])
+        fixtures.write_wal_segments(
+            sub, os.path.join(root, f"oracle_{t}", "wal"), 3, regs[t])
+    # td has no base: give its oracle an empty base dir
+    os.makedirs(os.path.join(root, "oracle_td", "base"), exist_ok=True)
+
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       validate=True)
+    mt.bootstrap_multitable(cfg, regs, base_dirs, lcs)
+    mt.run_replay_multitable(cfg)
+
+    # created table: exactly its own events, no base
+    got_td = mt.multitable_lake_to_table(cfg.lake_dir, "td")
+    exp_td = oracle.replay_to_table(os.path.join(root, "oracle_td"),
+                                    regs["td"])
+    assert got_td.equals(exp_td)
+    # surviving tables still match their oracles
+    for t in ("tb", "tc"):
+        assert mt.multitable_lake_to_table(cfg.lake_dir, t).equals(
+            _expected(root, regs, t)), t
+    # dropped table: manifest chains gone, durable note remains
+    m = LakeState(cfg.lake_dir).latest()
+    assert "ta" not in m.stats["tables"]
+    assert m.stats["dropped_tables"]["ta"]["dropped_ts"] == drop_ta
+    assert not any(k.startswith("ta/") for k in m.parts)
+    with pytest.raises(ValueError, match="dropped at ts"):
+        mt.multitable_lake_to_table(cfg.lake_dir, "ta")
+    # idempotent re-run
+    assert mt.run_replay_multitable(cfg).epochs == []

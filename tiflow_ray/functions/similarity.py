@@ -542,12 +542,38 @@ def corpus_kmeans(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
                     a, weights=best, minlength=len(cc))),
             })
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        g = parts.groupby("cluster")
-        counts = g["count"].sum().to_numpy()
-        sims = g["sim_sum"].sum().to_numpy()
-        sums = np.stack(g["vec_sum"].apply(
-            lambda s: np.sum(np.stack(s.to_numpy()), axis=0)).to_numpy())
+        def reduce_block(t: pa.Table) -> pa.Table:
+            # numpy partial-of-partials: every batch emits all k clusters,
+            # so k = max+1 is exact; np.add.at keeps it one fused pass
+            cl = t["cluster"].to_numpy()
+            kk = int(cl.max()) + 1
+            sums = _stack(t["vec_sum"])
+            agg = np.zeros((kk, sums.shape[1]))
+            np.add.at(agg, cl, sums)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "vec_sum": pa.array(list(agg)),
+                "count": pa.array(np.bincount(
+                    cl, weights=t["count"].to_numpy(),
+                    minlength=kk).astype(np.int64)),
+                "sim_sum": pa.array(np.bincount(
+                    cl, weights=t["sim_sum"].to_numpy(), minlength=kk)),
+            })
+
+        # two-level combine (r3 verdict minor #6): a shuffle-free
+        # repartition(16) + one sum-within-block pass leaves ≤ 16·k rows
+        # for the driver at ANY block count — the driver reduce is the
+        # same numpy kernel, never a pandas apply over list columns
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .repartition(16) \
+            .map_batches(reduce_block, batch_format="pyarrow",
+                         batch_size=None)
+        final = reduce_block(pa.concat_tables(
+            list(parts.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"))))
+        counts = final["count"].to_numpy()
+        sims = final["sim_sum"].to_numpy()
+        sums = _stack(final["vec_sum"])
         nz = counts > 0
         c = c.copy()
         c[nz] = normalize_rows(sums[nz] / counts[nz, None])

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -52,13 +53,20 @@ from .replay import ReplayResult, EpochResult, _READ_PLAN_LOCK
 
 
 class _UnionBarriers:
-    """plan_epochs shim: the union of every table's DDL barriers. Only
-    barriers() / version_at() are consulted by the planner; the 'version'
-    here is just the epoch-cut index, never a schema."""
+    """plan_epochs shim: the union of every table's DDL barriers PLUS the
+    create/drop-table lifecycle barriers. Only barriers() / version_at()
+    are consulted by the planner; the 'version' here is just the
+    epoch-cut index, never a schema."""
 
-    def __init__(self, registries: dict[str, SchemaRegistry]):
-        self._b = sorted({b for r in registries.values()
-                          for b in r.barriers()})
+    def __init__(self, registries: dict[str, SchemaRegistry],
+                 lifecycle: dict[str, "TableLifecycle"] | None = None):
+        bs = {b for r in registries.values() for b in r.barriers()}
+        for lc in (lifecycle or {}).values():
+            if lc.created_ts:
+                bs.add(lc.created_ts)
+            if lc.dropped_ts is not None:
+                bs.add(lc.dropped_ts)
+        self._b = sorted(bs)
 
     def barriers(self) -> list[int]:
         return list(self._b)
@@ -67,33 +75,75 @@ class _UnionBarriers:
         return 1 + sum(1 for b in self._b if b < ts)
 
 
-def load_multitable_registries(wal_dir: str) -> dict[str, SchemaRegistry]:
-    """WAL-dir convention: `tables.json` = {table: registry_json}."""
+@dataclass(frozen=True)
+class TableLifecycle:
+    """CREATE/DROP TABLE barriers for one table of the changefeed
+    (cdc/owner/ddl_manager.go handles both as ordinary DDL barriers; the
+    sink adds/removes the table span). created_ts=0 = existed at
+    bootstrap; dropped_ts=None = still live. Events outside
+    (created_ts, dropped_ts] fail loudly — a correct upstream can never
+    produce them."""
+    created_ts: int = 0
+    dropped_ts: int | None = None
+
+
+def load_multitable_registries(
+        wal_dir: str) -> tuple[dict[str, SchemaRegistry],
+                               dict[str, "TableLifecycle"]]:
+    """WAL-dir convention: `tables.json` = {table: registry_json} (legacy)
+    or {table: {"registry": rj, "created_ts": int, "dropped_ts": int?}}."""
     p = os.path.join(wal_dir, "tables.json")
     with open(p) as f:
         raw = json.load(f)
-    return {t: SchemaRegistry.from_json(rj) for t, rj in raw.items()}
+    regs, lcs = {}, {}
+    for t, v in raw.items():
+        if isinstance(v, str):
+            regs[t] = SchemaRegistry.from_json(v)
+            lcs[t] = TableLifecycle()
+        else:
+            regs[t] = SchemaRegistry.from_json(v["registry"])
+            lcs[t] = TableLifecycle(v.get("created_ts", 0),
+                                    v.get("dropped_ts"))
+    return regs, lcs
 
 
-def write_multitable_registries(wal_dir: str,
-                                tables: dict[str, SchemaRegistry]) -> None:
+def write_multitable_registries(
+        wal_dir: str, tables: dict[str, SchemaRegistry],
+        lifecycle: dict[str, "TableLifecycle"] | None = None) -> None:
     os.makedirs(wal_dir, exist_ok=True)
+    out = {}
+    for t, r in tables.items():
+        lc = (lifecycle or {}).get(t)
+        if lc is None or (lc.created_ts == 0 and lc.dropped_ts is None):
+            out[t] = r.to_json()
+        else:
+            out[t] = {"registry": r.to_json(),
+                      "created_ts": lc.created_ts,
+                      "dropped_ts": lc.dropped_ts}
     with open(os.path.join(wal_dir, "tables.json"), "w") as f:
-        json.dump({t: r.to_json() for t, r in tables.items()}, f)
+        json.dump(out, f)
 
 
 def bootstrap_multitable(cfg: ReplayConfig,
                          tables: dict[str, SchemaRegistry],
-                         base_dirs: dict[str, str]) -> Manifest:
+                         base_dirs: dict[str, str],
+                         lifecycle: dict[str, "TableLifecycle"] | None = None
+                         ) -> Manifest:
     """Metadata-only bootstrap over per-table base layouts
     (base_dirs[T]/part=p/*.parquet, hash(doc_id)%P co-partitioned). The
     same sampled co-partition guard as the single-table bootstrap runs
-    per table."""
+    per table. Tables with a future created_ts don't exist yet — they
+    join (empty) when replay crosses their creation barrier."""
     lake = LakeState(cfg.lake_dir)
     assert lake.latest() is None, "lake already bootstrapped"
     parts: dict[str, dict] = {}
     tstats: dict[str, dict] = {}
     for t_name in tables:
+        lc = (lifecycle or {}).get(t_name, TableLifecycle())
+        if lc.created_ts:
+            assert not base_dirs.get(t_name), \
+                f"{t_name} is created mid-stream; it cannot have a base"
+            continue
         bdir = base_dirs.get(t_name)
         tstats[t_name] = {"watermark_ts": 0, "schema_ver": 1,
                           "last_touched_epoch": 0}
@@ -162,8 +212,9 @@ class _MultiNormalize:
         if unknown:
             raise ValueError(
                 f"multitable changefeed received events for undeclared "
-                f"table(s) {sorted(unknown)}; declared: "
-                f"{sorted(self.table_names)}")
+                f"(or not-yet-created / already-dropped) table(s) "
+                f"{sorted(unknown)} in epoch ({self.lo}, {self.hi}]; "
+                f"active: {sorted(self.table_names)}")
         for c in self.cols:
             if c not in t.column_names:
                 t = t.append_column(
@@ -250,20 +301,27 @@ class _MultiMergeApply:
 
 def run_replay_multitable(cfg: ReplayConfig,
                           tables: dict[str, SchemaRegistry] | None = None,
-                          upto_ts: int | None = None) -> ReplayResult:
+                          upto_ts: int | None = None,
+                          lifecycle: dict[str, TableLifecycle] | None = None
+                          ) -> ReplayResult:
     """Replay the shared WAL into N per-table lake states through one
-    changefeed. `tables` defaults to the WAL's tables.json declaration."""
+    changefeed. `tables` defaults to the WAL's tables.json declaration.
+    `lifecycle` carries CREATE/DROP TABLE barriers: a created table joins
+    (empty) at its creation barrier; a dropped table's chains leave the
+    manifest at its drop barrier (a durable `dropped_tables` note stays)."""
     lake = LakeState(cfg.lake_dir)
     prev = lake.latest()
     assert prev is not None, "call bootstrap_multitable() first"
     if tables is None:
-        tables = load_multitable_registries(cfg.wal_dir)
+        tables, lifecycle = load_multitable_registries(cfg.wal_dir)
+    if lifecycle is None:
+        lifecycle = {t: TableLifecycle() for t in tables}
     table_names = sorted(tables)
     table_ids = {t: i for i, t in enumerate(table_names)}
     registries_json = {t: r.to_json() for t, r in tables.items()}
 
     segs = list_segments(cfg.wal_dir)
-    epochs = plan_epochs(segs, _UnionBarriers(tables),
+    epochs = plan_epochs(segs, _UnionBarriers(tables, lifecycle),
                          from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=upto_ts,
@@ -272,23 +330,44 @@ def run_replay_multitable(cfg: ReplayConfig,
     for ep in epochs:
         epoch_no = prev.epoch + 1
         stats_rows = _execute_epoch_mt(cfg, tables, table_names, table_ids,
-                                       registries_json, prev, ep, epoch_no)
-        prev, er = _commit_epoch_mt(lake, tables, registries_json, prev, ep,
-                                    epoch_no, stats_rows)
+                                       registries_json, lifecycle, prev,
+                                       ep, epoch_no)
+        prev, er = _commit_epoch_mt(lake, tables, registries_json,
+                                    lifecycle, prev, ep, epoch_no,
+                                    stats_rows)
         result.epochs.append(er)
     return result
 
 
+def _active_tables(table_names, lifecycle, ep: Epoch) -> list[str]:
+    """Tables live inside epoch (lo, hi]: created at/before lo (epochs are
+    cut at every creation barrier, so an epoch never straddles one) and
+    not dropped before hi."""
+    out = []
+    for t in table_names:
+        lc = lifecycle.get(t, TableLifecycle())
+        if lc.created_ts > ep.lo:
+            continue
+        if lc.dropped_ts is not None and lc.dropped_ts < ep.hi:
+            continue
+        out.append(t)
+    return out
+
+
 def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
-                      prev, ep: Epoch, epoch_no: int) -> list[dict]:
+                      lifecycle, prev, ep: Epoch, epoch_no: int
+                      ) -> list[dict]:
     if not ep.files:
         return []
     assert ep.fmt == "parquet", "multitable replay expects parquet WAL"
-    vers = {t: r.version_at(ep.hi) for t, r in tables.items()}
+    active = _active_tables(table_names, lifecycle, ep)
+    if not active:
+        return []
+    vers = {t: tables[t].version_at(ep.hi) for t in active}
     # union image fields; same-named columns must agree on type across
     # tables (checked here, loudly, at plan time)
     union: dict[str, pa.Field] = {}
-    for t_name in table_names:
+    for t_name in active:
         for f in tables[t_name].schema(vers[t_name]):
             if f.name == "doc_id":
                 continue
@@ -314,7 +393,7 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
         ds = ray.data.read_parquet(list(ep.files), columns=read_cols,
                                    filter=flt, **read_kwargs)
     ds = ds.map_batches(
-        _MultiNormalize(union_fields, table_names, ep.lo, ep.hi,
+        _MultiNormalize(union_fields, active, ep.lo, ep.hi,
                         validate=cfg.validate),
         batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(
@@ -341,10 +420,11 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
         merge_apply, batch_format="pyarrow").take_all()
 
 
-def _commit_epoch_mt(lake, tables, registries_json, prev, ep: Epoch,
-                     epoch_no: int, stats_rows: list[dict]):
+def _commit_epoch_mt(lake, tables, registries_json, lifecycle, prev,
+                     ep: Epoch, epoch_no: int, stats_rows: list[dict]):
     parts = dict(prev.parts)
     tstats = {t: dict(v) for t, v in prev.stats.get("tables", {}).items()}
+    dropped_notes = dict(prev.stats.get("dropped_tables", {}))
     n_winners = 0
     touched_tables = set()
     for r in stats_rows:
@@ -368,9 +448,25 @@ def _commit_epoch_mt(lake, tables, registries_json, prev, ep: Epoch,
         parts[key] = pm
         n_winners += r["delta_events"]
     for t_name, reg in tables.items():
+        lc = lifecycle.get(t_name, TableLifecycle())
+        if lc.created_ts > ep.hi or t_name in dropped_notes:
+            continue                         # not born yet / already gone
+        if lc.dropped_ts is not None and lc.dropped_ts <= ep.hi:
+            # DROP TABLE executed at its barrier: the table's chains leave
+            # the manifest; a durable note survives so later readers get a
+            # "dropped at ts" error instead of "never existed"
+            for key in [k for k in parts
+                        if k.rsplit("/", 1)[0] == t_name]:
+                del parts[key]
+            tstats.pop(t_name, None)
+            dropped_notes[t_name] = {"dropped_ts": lc.dropped_ts,
+                                     "epoch": epoch_no}
+            continue
         ts = tstats.setdefault(t_name, {"watermark_ts": 0, "schema_ver": 1,
-                                        "last_touched_epoch": 0})
-        # resolved-ts progress advances for EVERY declared table (an
+                                        "last_touched_epoch": 0,
+                                        **({"created_ts": lc.created_ts}
+                                           if lc.created_ts else {})})
+        # resolved-ts progress advances for EVERY live table (an
         # event-free epoch is still progress — TiCDC advances table
         # checkpoints on resolved ts); last_touched_epoch is the sink-side
         # per-table progress marker
@@ -387,7 +483,10 @@ def _commit_epoch_mt(lake, tables, registries_json, prev, ep: Epoch,
                                          | set(ep.files)),
                  stats={"events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
-                        "tables": tstats, "lo": ep.lo, "hi": ep.hi},
+                        "tables": tstats,
+                        **({"dropped_tables": dropped_notes}
+                           if dropped_notes else {}),
+                        "lo": ep.lo, "hi": ep.hi},
                  hash_fingerprint=prev.hash_fingerprint)
     lake.commit(m)
     rows_total = sum(max(meta.get("rows", 0), 0) for meta in parts.values())
@@ -404,6 +503,14 @@ def multitable_lake_to_table(lake_dir: str, table: str) -> pa.Table:
     assert m is not None, "no manifest"
     regs = {t: SchemaRegistry.from_json(rj)
             for t, rj in json.loads(m.registry_json).items()}
+    if table not in m.stats.get("tables", {}):
+        note = m.stats.get("dropped_tables", {}).get(table)
+        if note:
+            raise ValueError(
+                f"table {table!r} was dropped at ts {note['dropped_ts']} "
+                f"(epoch {note['epoch']})")
+        raise ValueError(f"table {table!r} is not part of this changefeed "
+                         f"(have: {sorted(m.stats.get('tables', {}))})")
     reg = regs[table]
     ver = m.stats["tables"][table]["schema_ver"]
     pieces = []
