@@ -100,6 +100,14 @@ class ReplayConfig:
     # merge_concurrency); off by default (stats strings are large)
     collect_stats: bool = False
 
+    # handle-key collation (cdc/entry/mounter.go:75-91: TiDB handle keys
+    # compare collation-aware): "binary" (default, byte equality) or "ci"
+    # (case-insensitive, utf8_general_ci-style lower-case normal form).
+    # Affects hashing/partitioning, LWW compaction identity and the
+    # base-merge anti-join; stored images keep the winner's spelling. The
+    # committing manifests record it so the read-side fold agrees.
+    key_collation: str = "binary"
+
     # behavior toggles
     precompact: bool = True           # per-batch LWW combiner before shuffle (DM compactor, T6)
     validate: bool = False            # extra per-batch invariant checks (tests)

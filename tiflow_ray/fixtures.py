@@ -432,10 +432,15 @@ def write_heartbeat_segment(wal_dir: str, watermark_ts: int) -> dict:
     return meta
 
 
-def write_base_partitioned(base: pa.Table, root: str, num_partitions: int) -> None:
+def write_base_partitioned(base: pa.Table, root: str, num_partitions: int,
+                           collation: str = "binary") -> None:
     """Hash-co-partition an arbitrary base-schema table into
-    base/part={p}/base.parquet (the lake bootstrap layout)."""
-    parts = hash_partition(base["doc_id"], num_partitions)
+    base/part={p}/base.parquet (the lake bootstrap layout). `collation`
+    must match the replaying config's key_collation (ci lakes partition
+    by the lower-cased key)."""
+    from .model import collation_key
+    parts = hash_partition(collation_key(base["doc_id"], collation),
+                           num_partitions)
     base = base.append_column("__part", pa.array(parts))
     for p in range(num_partitions):
         sub = base.filter(pa.compute.equal(base["__part"], p)).drop_columns(["__part"])

@@ -102,6 +102,25 @@ def key_hash64(doc_ids, seed: int = 0) -> np.ndarray:
     return s.hash(seed=seed).to_numpy()
 
 
+def collation_key(doc_ids, collation: str = "binary"):
+    """The comparison form of a handle key under the configured collation
+    (cdc/entry/mounter.go:75-91: TiDB's handle keys compare
+    collation-aware, e.g. utf8mb4_general_ci folds case). "binary" = byte
+    equality (default, zero cost); "ci" = case-insensitive via the
+    utf8_lower normal form. Hashing, partition assignment, LWW compaction
+    and base-merge anti-joins all compare THIS form; stored images keep
+    the winner's original spelling — exactly the reference split between
+    key comparison and row value."""
+    if collation == "binary":
+        return doc_ids
+    assert collation == "ci", f"unknown key collation {collation!r}"
+    import pyarrow.compute as pc
+    if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        return pc.utf8_lower(doc_ids)
+    return pc.utf8_lower(pa.array(np.asarray(doc_ids, dtype=object)
+                                  .astype(str)))
+
+
 def hash_fingerprint() -> str:
     """Fingerprint of the key-hash function over canary keys. Recorded in
     every manifest and re-verified on resume: lake layout depends on

@@ -63,10 +63,16 @@ def _image_of(ev: dict, registry: SchemaRegistry, ver: int) -> dict:
 
 
 def replay(root: str, registry: SchemaRegistry,
-           max_watermark: int | None = None) -> dict[str, dict]:
-    """Sequential replay → final table state as {doc_id: row_dict} under the
-    schema version in force at max_watermark (or the final version)."""
-    rows = load_base_rows(root)
+           max_watermark: int | None = None,
+           collation: str = "binary") -> dict[str, dict]:
+    """Sequential replay → final table state as {key: row_dict} under the
+    schema version in force at max_watermark (or the final version).
+    `collation` selects the handle-key comparison form (ci = lower-cased
+    dict key); row images keep their own spelling."""
+    def k(doc_id):
+        return doc_id.lower() if collation == "ci" else doc_id
+
+    rows = {k(d): r for d, r in load_base_rows(root).items()}
     events = load_wal_events(root, max_watermark)
     # global total order; doc_id as final key only for cross-doc determinism
     events.sort(key=lambda e: (e["commit_ts"], e["start_ts"], e["op"], e["doc_id"]))
@@ -84,18 +90,18 @@ def replay(root: str, registry: SchemaRegistry,
         assert ev_ver == cur_ver, (ev, cur_ver)
         op = ev["op"]
         if op == OP_DELETE:
-            rows.pop(ev["doc_id"], None)
+            rows.pop(k(ev["doc_id"]), None)
         elif op == OP_INSERT:
-            rows[ev["doc_id"]] = _image_of(ev, registry, cur_ver)
+            rows[k(ev["doc_id"])] = _image_of(ev, registry, cur_ver)
         elif op == OP_UPDATE:
             img = _image_of(ev, registry, cur_ver)
             if ev.get("new_doc_id"):
                 # identity change: delete old key, insert under new key
-                rows.pop(ev["doc_id"], None)
+                rows.pop(k(ev["doc_id"]), None)
                 img["doc_id"] = ev["new_doc_id"]
-                rows[img["doc_id"]] = img
+                rows[k(img["doc_id"])] = img
             else:
-                rows[ev["doc_id"]] = img
+                rows[k(ev["doc_id"])] = img
         else:
             raise ValueError(f"bad op {op}")
 
@@ -184,8 +190,9 @@ def replay_optimistic_to_table(base_root: str, shard_wal_dirs: list[str],
 
 
 def replay_to_table(root: str, registry: SchemaRegistry,
-                    max_watermark: int | None = None) -> pa.Table:
-    rows = replay(root, registry, max_watermark)
+                    max_watermark: int | None = None,
+                    collation: str = "binary") -> pa.Table:
+    rows = replay(root, registry, max_watermark, collation)
     final_ver = registry.max_ver if max_watermark is None else registry.version_at(max_watermark + 1)
     schema = registry.schema(final_ver)
     out = sorted(rows.values(), key=lambda r: r["doc_id"])

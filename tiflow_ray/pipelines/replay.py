@@ -113,7 +113,10 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
             # silently duplicate rows at merge time — sample and verify
             sample = pq.read_table(files[0], columns=["doc_id"]).column("doc_id")
             sample = sample.slice(0, 256)
-            if len(sample) and not (hash_partition(sample, cfg.num_partitions) == p).all():
+            from ..model import collation_key
+            if len(sample) and not (hash_partition(
+                    collation_key(sample, cfg.key_collation),
+                    cfg.num_partitions) == p).all():
                 raise ValueError(
                     f"{files[0]} is not hash(doc_id)%{cfg.num_partitions}"
                     f"-partitioned (found part={p} rows hashing elsewhere); "
@@ -247,14 +250,16 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
                             batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(split_updates, batch_format="pyarrow",
                         batch_size=cfg.batch_size)
-    ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions),
+    ds = ds.map_batches(lambda t: compact_batch(t, cfg.num_partitions,
+                                                collation=cfg.key_collation),
                         batch_format="pyarrow", batch_size=cfg.batch_size)
 
     def winners_to_sigs(t: pa.Table) -> pa.Table:
         import numpy as np
         part = int(t["part"][0].as_py()) if t.num_rows else -1
-        w = compact_partition(t.drop_columns(["part"]))
-        sigs = np.sort(event_signature(w))   # sorted within the partition
+        w = compact_partition(t.drop_columns(["part"]),
+                              collation=cfg.key_collation)
+        sigs = np.sort(event_signature(w, cfg.key_collation))
         return pa.table({
             "part": pa.array(np.full(len(sigs), part, np.int32)),
             "sig": pa.array(sigs),
@@ -507,8 +512,9 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
         def keep_winners(t: pa.Table) -> pa.Table:
             # partition first, then each row binary-searches ONLY its
             # partition's sorted sig block (worker-cached plasma views)
-            t = assign_partition(t, cfg.num_partitions)
-            return filter_by_signature_sharded(t, _part_sig_map(sig_refs))
+            t = assign_partition(t, cfg.num_partitions, cfg.key_collation)
+            return filter_by_signature_sharded(t, _part_sig_map(sig_refs),
+                                               cfg.key_collation)
 
         ds = ds.map_batches(keep_winners, batch_format="pyarrow",
                             batch_size=cfg.batch_size)
@@ -523,12 +529,15 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
         ds = ds.map_batches(
             lambda t: compact_batch(t, cfg.num_partitions,
                                     hot_share=hot_share,
-                                    salt_factor=cfg.auto_salt_factor),
+                                    salt_factor=cfg.auto_salt_factor,
+                                    collation=cfg.key_collation),
             batch_format="pyarrow", batch_size=cfg.batch_size)
     else:
         dynamic_salt = False
-        ds = ds.map_batches(lambda t: assign_partition(t, cfg.num_partitions),
-                            batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = ds.map_batches(
+            lambda t: assign_partition(t, cfg.num_partitions,
+                                       cfg.key_collation),
+            batch_format="pyarrow", batch_size=cfg.batch_size)
 
     if cfg.salt_shuffle > 1 or dynamic_salt:
         from ..stages.compact import compact_partition
@@ -544,7 +553,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
             # carry detection evidence to the merge stats: rows arriving
             # through a salted (hot-key) group are counted in the manifest
             salted = bool(t.num_rows) and t["salt"][0].as_py() != 0
-            out = compact_partition(t.drop_columns(["salt"]))
+            out = compact_partition(t.drop_columns(["salt"]),
+                                    collation=cfg.key_collation)
             return out.append_column(
                 "from_salted", pa.array(np.full(out.num_rows, salted)))
 
@@ -560,7 +570,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                        lake_data_dir=os.path.join(cfg.lake_dir, "data"),
                        sink_mode=cfg.sink_mode, compact_every=cfg.compact_every,
                        allow_fold=allow_fold,
-                       online_validate=cfg.online_validate)
+                       online_validate=cfg.online_validate,
+                       collation=cfg.key_collation)
     if cfg.shuffle_mode == "direct":
         stats_rows = _direct_exchange(ds, merge, cfg.num_partitions)
     else:
@@ -581,7 +592,8 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
 
 def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
                   ep: Epoch, epoch_no: int, stats_rows: list[dict],
-                  syncpoint_interval: int = 0) -> tuple[Manifest, EpochResult]:
+                  syncpoint_interval: int = 0,
+                  key_collation: str = "binary") -> tuple[Manifest, EpochResult]:
     n_winners = 0  # surviving per-key winners, counted from per-part stats
     # build the next manifest: touched parts get a new base file (fold/cow)
     # or an appended delta (MoR); untouched parts carry over untouched
@@ -624,6 +636,8 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
                  registry_json=registry.to_json(), parts=parts,
                  segments_applied=sorted(set(prev.segments_applied) | set(ep.files)),
                  stats={**({"ddl_skipped": skipped} if skipped else {}),
+                        **({"key_collation": key_collation}
+                           if key_collation != "binary" else {}),
                         "events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
                         "salted_events": sum(r.get("salted_events", 0)
@@ -643,7 +657,8 @@ def run_epoch(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
               prev: Manifest, ep: Epoch, epoch_no: int) -> tuple[Manifest, EpochResult]:
     stats_rows = _execute_epoch(cfg, registry, prev.parts, ep, epoch_no)
     return _commit_epoch(lake, registry, prev, ep, epoch_no, stats_rows,
-                         syncpoint_interval=cfg.syncpoint_interval)
+                         syncpoint_interval=cfg.syncpoint_interval,
+                         key_collation=cfg.key_collation)
 
 
 def _split_block_by_part(t: pa.Table, num_partitions: int) -> tuple:
@@ -789,7 +804,8 @@ def _drive_epochs(cfg: ReplayConfig, lake: LakeState, registry: SchemaRegistry,
             for j, (ep, stats_rows) in enumerate(zip(group, stats_lists)):
                 prev, er = _commit_epoch(lake, registry, prev, ep,
                                          next_no + j, stats_rows,
-                                         syncpoint_interval=cfg.syncpoint_interval)
+                                         syncpoint_interval=cfg.syncpoint_interval,
+                                         key_collation=cfg.key_collation)
                 result.epochs.append(er)
             next_no += len(group)
         i += len(group)
@@ -1267,6 +1283,7 @@ def read_lake(lake_dir: str, wal_dir: str | None = None,
                 else load_registry(wal_dir))
     reg_json = registry.to_json()
     cur_ver = m.schema_ver
+    collation = m.stats.get("key_collation", "binary")
 
     metas = [meta for _, meta in sorted(m.parts.items(), key=lambda kv: int(kv[0]))]
     if not metas:
@@ -1276,7 +1293,7 @@ def read_lake(lake_dir: str, wal_dir: str | None = None,
 
     def fold_batch(t: pa.Table) -> pa.Table:
         reg = SchemaRegistry.from_json(reg_json)
-        outs = [fold_part(_json.loads(s), reg, cur_ver)
+        outs = [fold_part(_json.loads(s), reg, cur_ver, collation)
                 for s in t["meta_json"].to_pylist()]
         return pa.concat_tables(outs)
 

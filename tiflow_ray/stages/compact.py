@@ -39,17 +39,25 @@ import pyarrow as pa
 from ..model import OP_DELETE, OP_INSERT, OP_UPDATE  # noqa: F401  (re-export)
 
 
+from ..model import collation_key
 from ..model import key_hash64 as key_hash  # noqa: E402  (re-export)
 
 
-def _winner_indices(t: pa.Table, h: np.ndarray) -> np.ndarray:
+def _key_hash(t: pa.Table, collation: str, seed: int = 0) -> np.ndarray:
+    """key_hash over the COLLATION form of doc_id (model.collation_key):
+    identical to key_hash(t["doc_id"]) under the default binary collation."""
+    return key_hash(collation_key(t["doc_id"], collation), seed=seed)
+
+
+def _winner_indices(t: pa.Table, h: np.ndarray,
+                    collation: str = "binary") -> np.ndarray:
     """Indices of the last row of every consecutive key run after sorting by
     (hash128, commit_ts, start_ts, op). Key identity uses TWO independent
     64-bit hashes (no string comparisons in the hot path); a 128-bit
     collision is ~2^-128·n² — and the final reduce still runs an exact
     doc_id pass over the winner set (compact_partition), so the judged
     output cannot silently merge two keys."""
-    h2 = key_hash(t["doc_id"], seed=1)
+    h2 = _key_hash(t, collation, seed=1)
     cts = t["commit_ts"].to_numpy(zero_copy_only=False)
     sts = t["start_ts"].to_numpy(zero_copy_only=False)
     op = t["op"].to_numpy(zero_copy_only=False)
@@ -63,7 +71,8 @@ def _winner_indices(t: pa.Table, h: np.ndarray) -> np.ndarray:
 
 def compact_batch(t: pa.Table, num_partitions: int | None = None,
                   hot_share: float | None = None,
-                  salt_factor: int = 8) -> pa.Table:
+                  salt_factor: int = 8,
+                  collation: str = "binary") -> pa.Table:
     """Pre-shuffle combiner: collapse each doc's events within one batch and
     (optionally, in the same pass) attach the shuffle partition column —
     part = hash(doc_id) % P, the span/causality-slot analog
@@ -81,8 +90,8 @@ def compact_batch(t: pa.Table, num_partitions: int | None = None,
         h = np.empty(0, np.uint64)
         hot = np.empty(0, bool)
     else:
-        h = key_hash(t["doc_id"])
-        win = _winner_indices(t, h)
+        h = _key_hash(t, collation)
+        win = _winner_indices(t, h, collation)
         hot = np.zeros(len(h), bool)
         if hot_share is not None and len(win) < t.num_rows:
             # per-key counts over the RAW batch (pre-combine — the only
@@ -113,16 +122,20 @@ def compact_batch(t: pa.Table, num_partitions: int | None = None,
     return out
 
 
-def compact_partition(t: pa.Table) -> pa.Table:
-    """Final per-partition reduce: EXACTLY one surviving event per doc_id."""
+def compact_partition(t: pa.Table, collation: str = "binary") -> pa.Table:
+    """Final per-partition reduce: EXACTLY one surviving event per doc_id
+    (per collation key when collation != binary)."""
     if t.num_rows <= 1:
         return t
-    h = key_hash(t["doc_id"])
-    win = _winner_indices(t, h)
+    h = _key_hash(t, collation)
+    win = _winner_indices(t, h, collation)
     out = t.take(pa.array(win)) if len(win) < t.num_rows else t
     # exact pass on the (small) winner set: dedup collided docs precisely
+    # (compared in COLLATION form; surviving rows keep original spelling)
     df = pd.DataFrame({
-        "doc_id": out["doc_id"].to_numpy(zero_copy_only=False),
+        "doc_id": collation_key(out["doc_id"], collation)
+        .to_numpy(zero_copy_only=False) if collation != "binary"
+        else out["doc_id"].to_numpy(zero_copy_only=False),
         "commit_ts": out["commit_ts"].to_numpy(zero_copy_only=False),
         "start_ts": out["start_ts"].to_numpy(zero_copy_only=False),
         "op": out["op"].to_numpy(zero_copy_only=False),
@@ -135,10 +148,11 @@ def compact_partition(t: pa.Table) -> pa.Table:
     return out.take(pa.array(keep))
 
 
-def assign_partition(t: pa.Table, num_partitions: int) -> pa.Table:
+def assign_partition(t: pa.Table, num_partitions: int,
+                     collation: str = "binary") -> pa.Table:
     """Standalone partition-column assignment (compact_batch does it fused
     when the combiner is enabled)."""
-    part = (key_hash(t["doc_id"]) % np.uint64(num_partitions)).astype(np.uint32)
+    part = (_key_hash(t, collation) % np.uint64(num_partitions)).astype(np.uint32)
     return t.append_column("part", pa.array(part))
 
 
@@ -155,8 +169,8 @@ _SM1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM2 = np.uint64(0x94D049BB133111EB)
 
 
-def event_signature(t: pa.Table) -> np.ndarray:
-    h = key_hash(t["doc_id"])
+def event_signature(t: pa.Table, collation: str = "binary") -> np.ndarray:
+    h = _key_hash(t, collation)
     cts = t["commit_ts"].to_numpy(zero_copy_only=False).astype(np.uint64)
     sts = t["start_ts"].to_numpy(zero_copy_only=False).astype(np.uint64)
     op = t["op"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -168,26 +182,28 @@ def event_signature(t: pa.Table) -> np.ndarray:
     return x
 
 
-def filter_by_signature(t: pa.Table, winner_sigs_sorted: np.ndarray) -> pa.Table:
+def filter_by_signature(t: pa.Table, winner_sigs_sorted: np.ndarray,
+                        collation: str = "binary") -> pa.Table:
     """Keep rows whose event signature is in the (sorted) winner set."""
     if t.num_rows == 0:
         return t
     if len(winner_sigs_sorted) == 0:
         return t.slice(0, 0)
-    sig = event_signature(t)
+    sig = event_signature(t, collation)
     idx = np.searchsorted(winner_sigs_sorted, sig)
     np.clip(idx, 0, len(winner_sigs_sorted) - 1, out=idx)
     keep = winner_sigs_sorted[idx] == sig
     return t if keep.all() else t.filter(pa.array(keep))
 
 
-def filter_by_signature_sharded(t: pa.Table, sig_map: dict) -> pa.Table:
+def filter_by_signature_sharded(t: pa.Table, sig_map: dict,
+                                collation: str = "binary") -> pa.Table:
     """Sharded variant: `t` carries a `part` column; each row is checked
     against ONLY its partition's sorted sig block (plasma-backed views —
     no task ever materializes the union of the blocks)."""
     if t.num_rows == 0:
         return t
-    sig = event_signature(t)
+    sig = event_signature(t, collation)
     parts = t["part"].to_numpy(zero_copy_only=False)
     keep = np.zeros(t.num_rows, bool)
     for p in np.unique(parts):

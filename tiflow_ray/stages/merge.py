@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..model import OP_DELETE
+from ..model import OP_DELETE, collation_key
 from .compact import compact_partition
 from .schema_evo import SchemaRegistry
 
@@ -47,12 +47,16 @@ DELTA_META_COLS = ["op", "commit_ts"]
 
 def apply_winners(base: pa.Table, winners: pa.Table,
                   registry: SchemaRegistry, from_ver: int,
-                  to_ver: int) -> pa.Table:
+                  to_ver: int, collation: str = "binary") -> pa.Table:
     """base ⊕ one winner set (≤1 row per doc_id): anti-join survivors +
-    non-tombstone images, images cast from their schema version."""
-    touched = pc.unique(winners["doc_id"])
+    non-tombstone images, images cast from their schema version. The
+    anti-join compares keys in COLLATION form (a ci winner replaces any
+    case-variant base row); the stored image keeps the winner's own
+    spelling."""
+    touched = pc.unique(collation_key(winners["doc_id"], collation))
     if base.num_rows:
-        base = base.filter(pc.invert(pc.is_in(base["doc_id"], value_set=touched)))
+        base = base.filter(pc.invert(pc.is_in(
+            collation_key(base["doc_id"], collation), value_set=touched)))
     ups = winners.filter(pc.not_equal(winners["op"], OP_DELETE))
     ups = registry.cast_table(ups, from_ver, to_ver, force_project=True)
     return pa.concat_tables([base, ups]) if base.num_rows else ups
@@ -94,7 +98,8 @@ def verify_chain(meta: dict, part: int) -> None:
                 "corrupted since its epoch was committed")
 
 
-def fold_part(meta: dict, registry: SchemaRegistry, to_ver: int) -> pa.Table:
+def fold_part(meta: dict, registry: SchemaRegistry, to_ver: int,
+              collation: str = "binary") -> pa.Table:
     """Materialize one partition's current state: base ⊕ delta chain in
     epoch order, cast to `to_ver`, sorted by doc_id. The read half of MoR
     (the storage-consumer replay direction, cmd/storage-consumer/main.go)."""
@@ -105,7 +110,8 @@ def fold_part(meta: dict, registry: SchemaRegistry, to_ver: int) -> pa.Table:
         base = registry.schema(to_ver).empty_table()
     for d in meta.get("deltas", []):
         w = pq.read_table(d["path"])
-        base = apply_winners(base, w, registry, d["schema_ver"], to_ver)
+        base = apply_winners(base, w, registry, d["schema_ver"], to_ver,
+                             collation)
     return base.take(pc.sort_indices(base, sort_keys=[("doc_id", "ascending")]))
 
 
@@ -121,7 +127,8 @@ class MergeApply:
                  epoch: int, epoch_ver: int, watermark_ts: int,
                  lake_data_dir: str, sink_mode: str = "mor",
                  compact_every: int = 8, allow_fold: bool = True,
-                 online_validate: bool = False):
+                 online_validate: bool = False,
+                 collation: str = "binary"):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.prev_parts = prev_parts
         self.epoch = epoch
@@ -134,6 +141,7 @@ class MergeApply:
         # deferred so every epoch's writes are independent delta appends
         self.allow_fold = allow_fold
         self.online_validate = online_validate
+        self.collation = collation
 
     def __call__(self, deltas: pa.Table) -> pa.Table:
         part = int(deltas["part"][0].as_py())
@@ -144,7 +152,7 @@ class MergeApply:
             # rows that arrived through a salted pre-reduce group
             salted_events = int(pc.sum(deltas["from_salted"]).as_py() or 0)
             deltas = deltas.drop_columns(["from_salted"])
-        winners = compact_partition(deltas)
+        winners = compact_partition(deltas, collation=self.collation)
         prev = self.prev_parts.get(str(part), {})
         if self.online_validate and prev:
             verify_chain(prev, part)
@@ -154,10 +162,12 @@ class MergeApply:
             (self.sink_mode == "cow") or len(chain) + 1 >= self.compact_every)
 
         if fold:
-            base = fold_part(prev, self.registry, self.epoch_ver) if prev else \
+            base = fold_part(prev, self.registry, self.epoch_ver,
+                             self.collation) if prev else \
                 self.registry.schema(self.epoch_ver).empty_table()
             out = apply_winners(base, winners, self.registry,
-                                self.epoch_ver, self.epoch_ver)
+                                self.epoch_ver, self.epoch_ver,
+                                self.collation)
             out = out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
             path = os.path.join(self.lake_data_dir, f"part={part}",
                                 f"epoch-{self.epoch:06d}.parquet")
