@@ -41,7 +41,7 @@ import ray
 import ray.data
 
 from ..config import ReplayConfig
-from ..model import hash_fingerprint, hash_partition, image_columns
+from ..model import hash_fingerprint, hash_partition
 from ..sources.wal import Epoch, list_segments, plan_epochs
 from ..stages.compact import compact_batch
 from ..stages.merge import MergeApply, fold_part

@@ -242,8 +242,11 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
     if cfg.ignore_sources:
         thin_cols = thin_cols + ["source"]
         thin_fields = [pa.field("source", pa.string())]
-    ds = ray.data.read_parquet(list(ep.files), columns=thin_cols, filter=flt,
-                               **read_kwargs)
+    # read PLANNING shares the same lazy-fsspec-import race as the main
+    # epoch read when pipelined epochs plan concurrently — serialize it
+    with _READ_PLAN_LOCK:
+        ds = ray.data.read_parquet(list(ep.files), columns=thin_cols,
+                                   filter=flt, **read_kwargs)
     if cfg.ignore_sources:
         ds = ds.map_batches(Normalize(thin_fields, ep.lo, ep.hi,
                                       cfg.ignore_sources, validate=False),
