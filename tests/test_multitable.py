@@ -320,3 +320,25 @@ def test_multitable_create_and_drop_table_lifecycle(tmp_path):
         mt.multitable_lake_to_table(cfg.lake_dir, "ta")
     # idempotent re-run
     assert mt.run_replay_multitable(cfg).epochs == []
+
+
+def test_multitable_cli(tmp_path, capsys):
+    """CLI surface: `tiflow_ray mt-replay` bootstraps from per-table base
+    dirs and replays the declared tables; output reports per-table
+    progress from the committed manifest."""
+    import json as _json
+
+    from tiflow_ray.cli import main as cli_main
+
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    lake = os.path.join(root, "lake_cli")
+    rc = cli_main(["mt-replay", "--wal", wal_dir, "--lake", lake,
+                   "-P", "8", "--segments-per-epoch", "2"]
+                  + [f"--base={t}={d}" for t, d in base_dirs.items()])
+    assert rc in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs"] > 0
+    assert set(out["tables"]) == set(regs)
+    for t in sorted(regs):
+        assert mt.multitable_lake_to_table(lake, t).equals(
+            _expected(root, regs, t)), t

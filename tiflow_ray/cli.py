@@ -102,6 +102,17 @@ def main(argv=None):
                     help="bootstrap from this base dir first")
     mc.add_argument("-P", "--partitions", type=int, default=16)
 
+    mt = sub.add_parser("mt-replay")   # multi-table changefeed
+    mt.add_argument("--wal", required=True,
+                    help="shared WAL dir with tables.json declaration")
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("-P", "--partitions", type=int, default=64)
+    mt.add_argument("--upto", type=int, default=None)
+    mt.add_argument("--base", action="append", default=[],
+                    metavar="TABLE=DIR",
+                    help="bootstrap base layout per table (repeatable)")
+    mt.add_argument("--segments-per-epoch", type=int, default=8)
+
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
 
@@ -160,6 +171,25 @@ def main(argv=None):
         else:
             res = rp.run_replay(cfg, upto_ts=a.upto, max_epochs=a.max_epochs)
         print(json.dumps({"epochs": len(res.epochs), "events": res.events}))
+    elif a.cmd == "mt-replay":
+        from .pipelines import multitable as mtp
+        from .state.checkpoint import LakeState
+        cfg = ReplayConfig(wal_dir=a.wal, lake_dir=a.lake,
+                           num_partitions=a.partitions,
+                           max_segments_per_epoch=a.segments_per_epoch)
+        regs, lcs = mtp.load_multitable_registries(a.wal)
+        if LakeState(a.lake).latest() is None:
+            base_dirs = dict(kv.split("=", 1) for kv in a.base)
+            unknown = set(base_dirs) - set(regs)
+            if unknown:
+                raise SystemExit(f"--base names unknown tables {unknown}")
+            mtp.bootstrap_multitable(cfg, regs, base_dirs, lcs)
+        res = mtp.run_replay_multitable(cfg, upto_ts=a.upto)
+        m = LakeState(a.lake).latest()
+        print(json.dumps({"epochs": len(res.epochs),
+                          "tables": m.stats.get("tables", {}),
+                          "dropped": list(m.stats.get("dropped_tables",
+                                                      {}))}))
     elif a.cmd == "compact":
         out = rp.compact_lake(a.lake, parts=a.parts or None)
         print(json.dumps(out))
