@@ -230,7 +230,8 @@ class _MultiNormalize:
 
 
 def _mt_compact_batch(t: pa.Table, table_ids: dict[str, int],
-                      num_partitions: int) -> pa.Table:
+                      num_partitions: int,
+                      collation: str = "binary") -> pa.Table:
     """Per-batch update-split + LWW combiner + (table, part) shuffle-key
     assignment, all PER TABLE: doc_ids are table-scoped keys — the same id
     in two tables must never collapse — and the split's synthesized delete
@@ -242,7 +243,7 @@ def _mt_compact_batch(t: pa.Table, table_ids: dict[str, int],
     for name in np.unique(tn):
         sub = t.filter(pa.array(tn == name)).drop_columns(["table_name"])
         sub = split_updates(sub)             # also drops new_doc_id
-        sub = compact_batch(sub, P)          # winners + part column
+        sub = compact_batch(sub, P, collation=collation)
         tid = table_ids[str(name)]
         part = sub["part"].to_numpy(zero_copy_only=False).astype(np.int64)
         sub = sub.append_column(
@@ -263,7 +264,8 @@ class _MultiMergeApply:
                  vers: dict, prev_parts_by_table: dict, epoch: int,
                  watermark_ts: int, lake_data_dir: str, sink_mode: str,
                  compact_every: int, allow_fold: bool,
-                 online_validate: bool, num_partitions: int):
+                 online_validate: bool, num_partitions: int,
+                 collation: str = "binary"):
         self.table_names = table_names
         self.registries_json = registries_json
         self.vers = vers
@@ -276,6 +278,7 @@ class _MultiMergeApply:
         self.allow_fold = allow_fold
         self.online_validate = online_validate
         self.P = num_partitions
+        self.collation = collation
 
     def __call__(self, g: pa.Table) -> pa.Table:
         tpart = int(g["tpart"][0].as_py())
@@ -293,7 +296,8 @@ class _MultiMergeApply:
                                        f"table={t_name}"),
             sink_mode=self.sink_mode, compact_every=self.compact_every,
             allow_fold=self.allow_fold,
-            online_validate=self.online_validate)
+            online_validate=self.online_validate,
+            collation=self.collation)
         out = inner(sub)
         return out.append_column(
             "table", pa.array([t_name] * out.num_rows))
@@ -334,7 +338,8 @@ def run_replay_multitable(cfg: ReplayConfig,
                                        ep, epoch_no)
         prev, er = _commit_epoch_mt(lake, tables, registries_json,
                                     lifecycle, prev, ep, epoch_no,
-                                    stats_rows)
+                                    stats_rows,
+                                    key_collation=cfg.key_collation)
         result.epochs.append(er)
     return result
 
@@ -397,7 +402,8 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
                         validate=cfg.validate),
         batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(
-        lambda t: _mt_compact_batch(t, table_ids, cfg.num_partitions),
+        lambda t: _mt_compact_batch(t, table_ids, cfg.num_partitions,
+                                    cfg.key_collation),
         batch_format="pyarrow", batch_size=cfg.batch_size)
 
     prev_by_table = {t: {} for t in table_names}
@@ -411,7 +417,7 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
         lake_data_dir=os.path.join(cfg.lake_dir, "data"),
         sink_mode=cfg.sink_mode, compact_every=cfg.compact_every,
         allow_fold=True, online_validate=cfg.online_validate,
-        num_partitions=cfg.num_partitions)
+        num_partitions=cfg.num_partitions, collation=cfg.key_collation)
 
     def merge_apply(t: pa.Table) -> pa.Table:
         return merge(t)
@@ -421,7 +427,8 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
 
 
 def _commit_epoch_mt(lake, tables, registries_json, lifecycle, prev,
-                     ep: Epoch, epoch_no: int, stats_rows: list[dict]):
+                     ep: Epoch, epoch_no: int, stats_rows: list[dict],
+                     key_collation: str = "binary"):
     parts = dict(prev.parts)
     tstats = {t: dict(v) for t, v in prev.stats.get("tables", {}).items()}
     dropped_notes = dict(prev.stats.get("dropped_tables", {}))
@@ -483,6 +490,8 @@ def _commit_epoch_mt(lake, tables, registries_json, lifecycle, prev,
                                          | set(ep.files)),
                  stats={"events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
+                        **({"key_collation": key_collation}
+                           if key_collation != "binary" else {}),
                         "tables": tstats,
                         **({"dropped_tables": dropped_notes}
                            if dropped_notes else {}),
@@ -513,12 +522,13 @@ def multitable_lake_to_table(lake_dir: str, table: str) -> pa.Table:
                          f"(have: {sorted(m.stats.get('tables', {}))})")
     reg = regs[table]
     ver = m.stats["tables"][table]["schema_ver"]
+    collation = m.stats.get("key_collation", "binary")
     pieces = []
     for key, meta in sorted(m.parts.items()):
         t_name, _p = key.rsplit("/", 1)
         if t_name != table:
             continue
-        pieces.append(fold_part(meta, reg, ver))
+        pieces.append(fold_part(meta, reg, ver, collation))
     if not pieces:
         return reg.schema(ver).empty_table()
     out = pa.concat_tables(pieces)
