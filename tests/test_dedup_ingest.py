@@ -5,6 +5,7 @@ equivalence with the batch dedup oracle."""
 import glob
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -73,3 +74,72 @@ def test_crash_before_commit_does_not_suppress(tmp_path, ray_session):
         names = sorted(os.path.basename(f)
                        for f in glob.glob(os.path.join(p, "keys-*.parquet")))
         assert names == sorted(set(names))
+
+
+class TestMinhashIngest:
+    """Incremental NEAR-dup dedup vs the persistent MinHash band index."""
+
+    @staticmethod
+    def _docs(ids, texts):
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": np.asarray(ids, np.int64), "text": texts}))
+
+    @staticmethod
+    def _text(i, words=30):
+        rng = np.random.default_rng(i)
+        return " ".join(f"w{v}" for v in rng.integers(0, 5000, words))
+
+    def test_near_dups_within_and_across_epochs(self, tmp_path):
+        from tiflow_ray.pipelines.dedup_ingest import minhash_ingest_epoch
+        idx = str(tmp_path / "mh_idx")
+        base = [self._text(i) for i in range(40)]
+        # epoch 1: 40 originals + near-copies of every 4th (one word
+        # appended) — copies must be flagged, originals kept
+        ids1 = list(range(40)) + [1000 + i for i in range(0, 40, 4)]
+        txt1 = base + [base[i] + " zzq" for i in range(0, 40, 4)]
+        v1 = minhash_ingest_epoch(self._docs(ids1, txt1), idx, 1,
+                                  num_partitions=4).to_pandas()
+        v1 = v1.set_index("doc_id")["is_dup"]
+        assert not v1.loc[range(40)].any(), "an original was flagged"
+        copies = [1000 + i for i in range(0, 40, 4)]
+        recall = v1.loc[copies].mean()
+        assert recall >= 0.9, f"epoch-1 near-dup recall {recall}"
+
+        # epoch 2: exact re-sends of epoch-1 docs + perturbed copies +
+        # genuinely fresh docs
+        ids2 = [2000 + i for i in range(10)] \
+            + [3000 + i for i in range(10)] \
+            + [4000 + i for i in range(10)]
+        txt2 = [base[i] for i in range(10)] \
+            + [base[10 + i] + " qqz" for i in range(10)] \
+            + [self._text(9000 + i) for i in range(10)]
+        v2 = minhash_ingest_epoch(self._docs(ids2, txt2), idx, 2,
+                                  num_partitions=4).to_pandas()
+        v2 = v2.set_index("doc_id")["is_dup"]
+        assert v2.loc[[2000 + i for i in range(10)]].all(), \
+            "exact re-send not flagged against the index"
+        r2 = v2.loc[[3000 + i for i in range(10)]].mean()
+        assert r2 >= 0.9, f"cross-epoch near-dup recall {r2}"
+        assert not v2.loc[[4000 + i for i in range(10)]].any(), \
+            "fresh doc falsely flagged"
+
+    def test_idempotent_and_crash_resume(self, tmp_path):
+        import json as _json
+
+        from tiflow_ray.pipelines.dedup_ingest import (_manifest_path,
+                                                       minhash_ingest_epoch)
+        idx = str(tmp_path / "mh_idx2")
+        docs = self._docs(list(range(20)),
+                          [self._text(i) for i in range(20)])
+        v1 = minhash_ingest_epoch(docs, idx, 1, num_partitions=4) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # committed epoch id → no-op
+        assert minhash_ingest_epoch(docs, idx, 1, num_partitions=4) is None
+        # crash-sim: drop the manifest (deltas remain), re-run → identical
+        os.remove(_manifest_path(idx, 1))
+        v1b = minhash_ingest_epoch(docs, idx, 1, num_partitions=4) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert v1.equals(v1b), "crashed-epoch retry diverged"
+        with open(_manifest_path(idx, 1)) as f:
+            assert _json.load(f)["docs"] == 20

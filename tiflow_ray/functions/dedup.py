@@ -386,3 +386,62 @@ def rebuild_docs(g):
              .agg(text_dedup=pl.col("piece").str.join(" "),
                   n_kept=pl.len().cast(pl.Int64)))
     return out.to_pandas()
+
+
+class MinHashBandSig:
+    """MinHashStage variant for the INCREMENTAL dedup index: per (doc,
+    band) it emits (doc_id, band, band_hash, sig) where `sig` is the
+    doc's FULL minhash signature packed as fixed-width binary (num_perm ×
+    8 bytes). The signature riding every band row means the per-bucket
+    verify needs no join back to the corpus — the same zero-join shape as
+    SimHash's carried signature — and, crucially for the persistent
+    index, the verdict for a future doc needs only the index rows, never
+    the historical text."""
+
+    def __init__(self, num_perm: int = 32, bands: int = 8, k: int = 3,
+                 seed: int = 7):
+        assert num_perm % bands == 0
+        self.a, self.b = make_perms(num_perm, seed)
+        self.num_perm, self.bands = num_perm, bands
+        self.rows = num_perm // bands
+        self.k = k
+        rng = np.random.default_rng(seed + 1)
+        self.row_mix = rng.integers(1, int(_MERSENNE), size=num_perm,
+                                    dtype=np.uint64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        grams, offsets = batch_gram_hashes(texts, self.k)
+        n_docs = len(texts)
+        sig = np.empty((self.num_perm, n_docs), dtype=np.uint64)
+        starts = offsets[:-1]
+        for j in range(self.num_perm):
+            v = (self.a[j] * grams + self.b[j]) % _MERSENNE
+            sig[j] = np.minimum.reduceat(v, starts)
+        packed = sig.T.copy().view(np.uint8).reshape(n_docs, -1)
+        sig_bytes = [packed[i].tobytes() for i in range(n_docs)]
+        out = []
+        with np.errstate(over="ignore"):
+            for bi in range(self.bands):
+                rows = sig[bi * self.rows:(bi + 1) * self.rows]
+                mix = self.row_mix[bi * self.rows:(bi + 1) * self.rows]
+                bh = (rows * mix[:, None]).sum(axis=0, dtype=np.uint64)
+                out.append(pd.DataFrame({
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "band": np.full(n_docs, bi, np.int64),
+                    "band_hash": bh.astype(np.int64),
+                    "sig": sig_bytes,
+                }))
+        return pd.concat(out, ignore_index=True)
+
+
+def sig_agreement(a: np.ndarray, b: np.ndarray,
+                  num_perm: int) -> np.ndarray:
+    """Fraction of agreeing minhash components per pair — the unbiased
+    estimator of Jaccard similarity (Broder 1997). `a`, `b` are object
+    arrays of packed signature bytes."""
+    if len(a) == 0:
+        return np.empty(0, np.float64)
+    av = np.frombuffer(b"".join(a), np.uint64).reshape(len(a), num_perm)
+    bv = np.frombuffer(b"".join(b), np.uint64).reshape(len(b), num_perm)
+    return (av == bv).mean(axis=1)

@@ -122,3 +122,137 @@ def index_keys(index_dir: str) -> "ray.data.Dataset":
                                                "keys-*.parquet"))
              if int(os.path.basename(f)[5:-8]) in visible]
     return ray.data.read_parquet(files)
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup dedup against a persistent MinHash band index —
+# exact-key dedup above catches byte-identical re-crawls; this catches the
+# near-copies (boilerplate edits, tracking-parameter URLs, one-word diffs)
+# that dominate real crawl streams. Same manifest/delta/idempotence scheme.
+#
+# Shape per epoch (two thin shuffles, no joins back to any corpus text):
+#   docs → MinHashBandSig rows (band, band_hash, full packed signature)
+#        → shuffle by hash(band, band_hash) % P
+#        → per partition: bucket-match vs COMMITTED index rows (signature-
+#          agreement ≥ threshold = estimated Jaccard, Broder 1997) and vs
+#          smaller-doc_id epoch-mates; append this epoch's rows as one
+#          idempotent delta
+#        → thin (doc_id, matched) verdicts → per-doc ANY across partitions
+#   driver commits the manifest LAST (crash before commit = clean retry).
+#
+# The index stores EVERY ingested doc's band rows (duplicates included):
+# a future near-copy then matches whichever earlier copy shares its
+# buckets — slightly larger index than keep-only, but verdicts never
+# depend on a cross-partition "who won" decision, so one shuffle suffices
+# and crashed-epoch retries are bit-deterministic.
+# ---------------------------------------------------------------------------
+
+
+def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
+                         epoch_id: int, num_partitions: int = 16,
+                         num_perm: int = 32, bands: int = 8,
+                         sim_threshold: float = 0.7,
+                         max_bucket: int = 64) -> "ray.data.Dataset | None":
+    """Near-dup-dedup one ingest epoch (columns doc_id, text) against the
+    persistent MinHash band index; returns (doc_id, is_dup) verdicts as a
+    Dataset, or None if this epoch id already committed (idempotent)."""
+    from ..functions.dedup import MinHashBandSig, sig_agreement
+
+    if os.path.exists(_manifest_path(index_dir, epoch_id)):
+        return None
+    committed = committed_epochs(index_dir)
+    assert all(e < epoch_id for e in committed), \
+        f"epoch {epoch_id} must be newer than committed {committed[-1:]}"
+    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+    visible = set(committed)
+
+    stage = MinHashBandSig(num_perm=num_perm, bands=bands)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = stage(df)
+        h = pd.util.hash_array(
+            (out["band_hash"].to_numpy().astype(np.uint64)
+             * np.uint64(31) + out["band"].to_numpy().astype(np.uint64)),
+            categorize=False)
+        return out.assign(part=(h % num_partitions).astype("int64"))
+
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        pdir = os.path.join(index_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        g = g.sort_values(["band", "band_hash", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+
+        old_parts = []
+        for f in sorted(glob.glob(os.path.join(pdir, "bands-*.parquet"))):
+            if int(os.path.basename(f)[6:-8]) in visible:
+                old_parts.append(pq.read_table(f).to_pandas())
+        matched = np.zeros(len(g), bool)
+
+        if old_parts:
+            old = pd.concat(old_parts, ignore_index=True)
+            j = g.merge(old, on=["band", "band_hash"],
+                        suffixes=("", "_old"))
+            if len(j):
+                sim = sig_agreement(j["sig"].to_numpy(),
+                                    j["sig_old"].to_numpy(), num_perm)
+                hit_ids = np.unique(
+                    j["doc_id"].to_numpy()[sim >= sim_threshold])
+                matched |= g["doc_id"].isin(hit_ids).to_numpy()
+
+        # epoch-mates: within each bucket, a doc matches if ANY
+        # smaller-doc_id mate agrees (first-wins); bucket scan capped like
+        # pairs_from_buckets — giant buckets are near-identical anyway
+        bh = g["band_hash"].to_numpy()
+        bd = g["band"].to_numpy()
+        cuts = np.flatnonzero(np.r_[True, (bh[1:] != bh[:-1])
+                                    | (bd[1:] != bd[:-1])])
+        ends = np.r_[cuts[1:], len(g)]
+        sigs = g["sig"].to_numpy()
+        for s, e in zip(cuts, ends):
+            m = min(e - s, max_bucket)
+            if m < 2:
+                continue
+            for i in range(s + 1, s + m):   # doc_id-sorted: earlier wins
+                mate = np.empty(i - s, object)
+                mate[:] = sigs[i]           # np.repeat would EXPLODE bytes
+                sim = sig_agreement(sigs[s:i], mate, num_perm)
+                if (sim >= sim_threshold).any():
+                    matched[i] = True
+
+        dst = os.path.join(pdir, f"bands-{epoch_id:06d}.parquet")
+        tmp = dst + f".tmp.{os.getpid()}"
+        pq.write_table(pa.table({
+            "band": pa.array(bd, pa.int64()),
+            "band_hash": pa.array(bh, pa.int64()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "sig": pa.array(list(sigs), pa.binary()),
+        }), tmp, row_group_size=65536)
+        os.replace(tmp, dst)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "matched": matched})
+
+    def verdicts(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)["matched"].any()
+        return pd.DataFrame({"doc_id": agg["doc_id"].to_numpy(),
+                             "is_dup": agg["matched"].to_numpy()})
+
+    per_band = ds.map_batches(band_rows, batch_format="pandas") \
+        .groupby("part").map_groups(dedup_partition, batch_format="pandas")
+    out = per_band.map_batches(
+        lambda df: df.assign(vpart=(pd.util.hash_array(
+            df["doc_id"].to_numpy()) % num_partitions).astype("int64")),
+        batch_format="pandas") \
+        .groupby("vpart").map_groups(
+            lambda g: verdicts(g.drop(columns=["vpart"])),
+            batch_format="pandas")
+    out = out.materialize()         # deltas durable before the commit
+    n_dup = int(out.sum("is_dup") or 0)
+    meta = {"epoch": epoch_id, "docs": out.count(), "near_dups": n_dup,
+            "num_partitions": num_partitions, "num_perm": num_perm,
+            "bands": bands, "sim_threshold": sim_threshold}
+    mp = _manifest_path(index_dir, epoch_id)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mp + ".tmp", mp)     # commit point
+    return out

@@ -2751,6 +2751,58 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_minhash_ingest(sf_dir: str) -> pd.DataFrame:
+    """Incremental NEAR-dup dedup against a persistent MinHash band index
+    (pipelines/dedup_ingest.minhash_ingest_epoch) — the streaming form of
+    dedup_minhash: epoch 1 ingests the corpus; epoch 2 ingests perturbed
+    near-copies of every 10th doc (one word appended, the dedup_minhash
+    planting convention) plus untouched re-reads of every 7th. Epoch-2
+    verdicts must flag the planted docs (signature agreement ≥ 0.7 vs the
+    index, no text ever re-read) and pass fresh docs through. Not
+    SQL-expressible (permutation hashing) → rows-only oracle with a
+    self-validating recall column."""
+    from .pipelines.dedup_ingest import minhash_ingest_epoch
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"mh_ingest_{key}")
+    out_path = os.path.join(root, "verdicts2.parquet")
+    if not os.path.exists(out_path):
+        ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+        idx = os.path.join(root, "index")
+        r1 = minhash_ingest_epoch(ds, idx, 0, num_partitions=8)
+        assert r1 is not None
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            near = t.filter(pa.array(ids % 10 == 0))
+            near = pa.table({
+                "doc_id": pc.add(near["doc_id"], 100000),
+                "text": pc.binary_join_element_wise(near["text"],
+                                                    "zzq", " ")})
+            rer = t.filter(pa.array(ids % 7 == 0))
+            rer = pa.table({"doc_id": pc.add(rer["doc_id"], 200000),
+                            "text": rer["text"]})
+            return pa.concat_tables([near, rer])
+
+        e2 = ds.map_batches(plant, batch_format="pyarrow")
+        r2 = minhash_ingest_epoch(e2, idx, 1, num_partitions=8)
+        assert r2 is not None
+        t = pa.concat_tables(list(r2.iter_batches(batch_size=1 << 20,
+                                                  batch_format="pyarrow")))
+        tmp = out_path + f".tmp.{os.getpid()}"
+        pq.write_table(t.sort_by("doc_id"), tmp)
+        os.replace(tmp, out_path)
+    out = pq.read_table(out_path).to_pandas()
+    ids = out["doc_id"].to_numpy()
+    near = (ids >= 100000) & (ids < 200000)
+    rer = ids >= 200000
+    flagged = out["is_dup"].to_numpy()
+    recall = int(round(100 * flagged[near | rer].mean())) \
+        if (near | rer).any() else 0
+    out["planted_recall_pct"] = np.int64(recall)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
     """Global paragraph-level exact dedup (C4 §2.2 / RefinedWeb line-dedup
     granularity): docs shatter into 8-word pieces, a piece's FIRST global
@@ -3884,6 +3936,9 @@ REGISTRY: dict[str, tuple] = {
     "distinct_stats": (q_distinct_stats, _DISTINCT_STATS_SQL),
     "paragraph_dedup": (q_paragraph_dedup, _PARAGRAPH_DEDUP_SQL),
     "dedup_ingest": (q_dedup_ingest, _DEDUP_INGEST_SQL),
+    "dedup_minhash_ingest": (q_dedup_minhash_ingest, None),  # rows-only:
+    # permutation hashing is not SQL-expressible; self-validating
+    # planted_recall_pct column (same convention as dedup_minhash)
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
