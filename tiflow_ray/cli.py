@@ -15,11 +15,15 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff THIS call initialized it
+    (then main() owns the session and shuts it down on exit — an embedding
+    caller's session is never torn down under it)."""
     import logging
 
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kw = {"address": "local", "include_dashboard": False,
               "logging_level": "ERROR", "ignore_reinit_error": True}
         if num_cpus:
@@ -28,6 +32,7 @@ def _init_ray(num_cpus: int | None):
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return owned
 
 
 def main(argv=None):
@@ -144,7 +149,7 @@ def main(argv=None):
                           "stats": m.stats}, indent=1))
         return 0
 
-    _init_ray(a.num_cpus)
+    owns_ray = _init_ray(a.num_cpus)
     from .config import ReplayConfig
     from .pipelines import replay as rp
 
@@ -229,8 +234,9 @@ def main(argv=None):
                           for k, v in out.items()}))
         return 0 if out["equal"] else 2
 
-    import ray
-    ray.shutdown()
+    if owns_ray:
+        import ray
+        ray.shutdown()
     return 0
 
 
