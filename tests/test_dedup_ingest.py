@@ -143,3 +143,42 @@ class TestMinhashIngest:
         assert v1.equals(v1b), "crashed-epoch retry diverged"
         with open(_manifest_path(idx, 1)) as f:
             assert _json.load(f)["docs"] == 20
+
+
+class TestEmbedIngest:
+    """Incremental embedding near-dup dedup vs the persistent LSH index."""
+
+    @staticmethod
+    def _vecs(ids, mat):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(list(ids), pa.int64()),
+            "embedding": pa.array([[float(v) for v in row] for row in mat],
+                                  pa.list_(pa.float32()))}))
+
+    def test_near_dups_across_epochs(self, tmp_path):
+        from tiflow_ray.pipelines.dedup_ingest import embed_ingest_epoch
+        rng = np.random.default_rng(5)
+        idx = str(tmp_path / "emb_idx")
+        d = 32
+        base = rng.standard_normal((60, d))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        v1 = embed_ingest_epoch(self._vecs(range(60), base), idx, 1,
+                                num_partitions=4, tau=0.9).to_pandas()
+        assert not v1["is_dup"].any(), "epoch-1 false positive"
+
+        # epoch 2: slightly-perturbed copies of 20 vectors (cos ≈ 0.995)
+        # + 20 fresh random vectors (cos ≈ 0 in d=32)
+        pert = base[:20] + 0.05 * rng.standard_normal((20, d))
+        fresh = rng.standard_normal((20, d))
+        ids2 = [1000 + i for i in range(20)] + [2000 + i for i in range(20)]
+        v2 = embed_ingest_epoch(self._vecs(ids2, np.vstack([pert, fresh])),
+                                idx, 2, num_partitions=4, tau=0.9) \
+            .to_pandas().set_index("vec_id")["is_dup"]
+        recall = v2.loc[[1000 + i for i in range(20)]].mean()
+        assert recall >= 0.9, f"cross-epoch embed recall {recall}"
+        assert not v2.loc[[2000 + i for i in range(20)]].any(), \
+            "fresh vector falsely flagged"
+        # idempotence: committed epoch id → no-op
+        assert embed_ingest_epoch(self._vecs(ids2, np.vstack(
+            [pert, fresh])), idx, 2, num_partitions=4, tau=0.9) is None

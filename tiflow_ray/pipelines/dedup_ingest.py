@@ -256,3 +256,122 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
         json.dump(meta, f)
     os.replace(mp + ".tmp", mp)     # commit point
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental EMBEDDING near-dup dedup against a persistent LSH index —
+# the semantic sibling of the MinHash ingest above (SemDeDup-style: drop
+# new docs whose embedding is ≥ tau cosine-similar to anything already
+# ingested). Index rows are the (tbl, bucket, vec_id, packed float32
+# embedding) explosion of functions/similarity.bucketize_for_screen, with
+# (bits, tables) chosen from collision theory for the configured tau, so
+# verdicts are one exact dot product per bucket collision — no re-read of
+# any historical vector outside the colliding bucket.
+# ---------------------------------------------------------------------------
+
+
+def embed_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
+                       epoch_id: int, num_partitions: int = 16,
+                       tau: float = 0.9, target_recall: float = 0.95
+                       ) -> "ray.data.Dataset | None":
+    """Near-dup-dedup one ingest epoch of embeddings (columns vec_id,
+    embedding:list<float>) against the persistent LSH index; returns
+    (vec_id, is_dup) verdicts, or None if this epoch already committed."""
+    from ..functions.similarity import bucketize_for_screen
+
+    if os.path.exists(_manifest_path(index_dir, epoch_id)):
+        return None
+    committed = committed_epochs(index_dir)
+    assert all(e < epoch_id for e in committed), \
+        f"epoch {epoch_id} must be newer than committed {committed[-1:]}"
+    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+    visible = set(committed)
+
+    import pyarrow as _pa
+
+    def rows(t: _pa.Table) -> pd.DataFrame:
+        out = bucketize_for_screen(t, tau, target_recall).to_pandas()
+        h = pd.util.hash_array(
+            (out["bucket"].to_numpy().astype(np.uint64) * np.uint64(131)
+             + out["tbl"].to_numpy().astype(np.uint64)), categorize=False)
+        return out.assign(part=(h % num_partitions).astype("int64"))
+
+    def _mat(col) -> np.ndarray:
+        if len(col) == 0:
+            return np.empty((0, 0), np.float32)
+        flat = np.frombuffer(b"".join(col), np.float32)
+        return flat.reshape(len(col), -1)
+
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        pdir = os.path.join(index_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        g = g.sort_values(["tbl", "bucket", "vec_id"],
+                          kind="mergesort").reset_index(drop=True)
+        matched = np.zeros(len(g), bool)
+
+        old_parts = []
+        for f in sorted(glob.glob(os.path.join(pdir, "lsh-*.parquet"))):
+            if int(os.path.basename(f)[4:-8]) in visible:
+                old_parts.append(pq.read_table(f).to_pandas())
+        if old_parts:
+            old = pd.concat(old_parts, ignore_index=True)
+            j = g.reset_index().merge(old, on=["tbl", "bucket"],
+                                      suffixes=("", "_old"))
+            if len(j):
+                a = _mat(j["emb"].to_numpy())
+                b = _mat(j["emb_old"].to_numpy())
+                sim = (a * b).sum(axis=1)      # rows pre-normalized
+                hit = np.unique(j["index"].to_numpy()[sim >= tau])
+                matched[hit] = True
+
+        # epoch-mates: within a bucket the smaller vec_id wins
+        bk = g["bucket"].to_numpy()
+        tb = g["tbl"].to_numpy()
+        cuts = np.flatnonzero(np.r_[True, (bk[1:] != bk[:-1])
+                                    | (tb[1:] != tb[:-1])])
+        ends = np.r_[cuts[1:], len(g)]
+        embs = g["emb"].to_numpy()
+        for s, e in zip(cuts, ends):
+            m = min(e - s, 256)
+            if m < 2:
+                continue
+            block = _mat(embs[s:s + m])
+            sims = block @ block.T
+            for i in range(1, m):
+                if (sims[i, :i] >= tau).any():
+                    matched[s + i] = True
+
+        dst = os.path.join(pdir, f"lsh-{epoch_id:06d}.parquet")
+        tmp = dst + f".tmp.{os.getpid()}"
+        pq.write_table(pa.table({
+            "tbl": pa.array(tb.astype(np.int32)),
+            "bucket": pa.array(bk, pa.int64()),
+            "vec_id": pa.array(g["vec_id"].to_numpy(), pa.int64()),
+            "emb": pa.array(list(embs), pa.large_binary()),
+        }), tmp, row_group_size=65536)
+        os.replace(tmp, dst)
+        return pd.DataFrame({"vec_id": g["vec_id"].to_numpy(),
+                             "matched": matched})
+
+    per_row = ds.map_batches(rows, batch_format="pyarrow") \
+        .groupby("part").map_groups(dedup_partition, batch_format="pandas")
+    out = per_row.map_batches(
+        lambda df: df.assign(vpart=(pd.util.hash_array(
+            df["vec_id"].to_numpy()) % num_partitions).astype("int64")),
+        batch_format="pandas") \
+        .groupby("vpart").map_groups(
+            lambda g: pd.DataFrame({
+                "vec_id": g.groupby("vec_id")["matched"].any().index.to_numpy(),
+                "is_dup": g.groupby("vec_id")["matched"].any().to_numpy()}),
+            batch_format="pandas")
+    out = out.materialize()
+    n_dup = int(out.sum("is_dup") or 0)
+    meta = {"epoch": epoch_id, "vecs": out.count(), "near_dups": n_dup,
+            "num_partitions": num_partitions, "tau": tau,
+            "target_recall": target_recall}
+    mp = _manifest_path(index_dir, epoch_id)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mp + ".tmp", mp)
+    return out

@@ -2803,6 +2803,67 @@ def q_dedup_minhash_ingest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_embed_ingest(sf_dir: str) -> pd.DataFrame:
+    """Incremental EMBEDDING near-dup dedup against a persistent LSH index
+    (pipelines/dedup_ingest.embed_ingest_epoch — the SemDeDup-style
+    streaming gate): epoch 1 ingests the embeddings table; epoch 2 ingests
+    lightly-perturbed copies of every 10th vector (deterministic
+    perturbation, cosine ≈ 0.995) plus orthogonal-ish fresh vectors.
+    Epoch-2 verdicts must flag the copies via one exact dot product per
+    LSH bucket collision — historical vectors outside the colliding
+    bucket are never read. Rows-only oracle (random hyperplanes) with a
+    self-validating recall column."""
+    from .pipelines.dedup_ingest import embed_ingest_epoch
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"emb_ingest_{key}")
+    out_path = os.path.join(root, "verdicts2.parquet")
+    if not os.path.exists(out_path):
+        ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = os.path.join(root, "index")
+        r1 = embed_ingest_epoch(ds, idx, 0, num_partitions=8, tau=0.9)
+        assert r1 is not None
+
+        def plant(t: pa.Table) -> pa.Table:
+            from .functions.similarity import _stack, normalize_rows
+            ids = t["vec_id"].to_numpy().astype(np.int64)
+            m = normalize_rows(_stack(t["embedding"]))
+            sel = ids % 10 == 0
+            near = m[sel].copy()
+            # deterministic light perturbation (seeded off the batch's
+            # first id so cross-batch fresh vectors never coincide):
+            # ||0.02·N(0,1)||≈0.16 at d=64 → cos≈0.987, safely over tau
+            rng = np.random.default_rng(13 + (int(ids[0]) if len(ids)
+                                              else 0))
+            near += 0.02 * rng.standard_normal(near.shape)
+            fresh_ids = ids[~sel][:max(1, (~sel).sum() // 5)]
+            fresh = rng.standard_normal((len(fresh_ids), m.shape[1]))
+            out_ids = np.concatenate([ids[sel] + 100000,
+                                      fresh_ids + 200000])
+            vecs = np.vstack([near, fresh]).astype(np.float32)
+            return pa.table({
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array([[float(v) for v in row]
+                                       for row in vecs],
+                                      pa.list_(pa.float32()))})
+
+        e2 = ds.map_batches(plant, batch_format="pyarrow")
+        r2 = embed_ingest_epoch(e2, idx, 1, num_partitions=8, tau=0.9)
+        assert r2 is not None
+        t = pa.concat_tables(list(r2.iter_batches(batch_size=1 << 20,
+                                                  batch_format="pyarrow")))
+        tmp = out_path + f".tmp.{os.getpid()}"
+        pq.write_table(t.sort_by("vec_id"), tmp)
+        os.replace(tmp, out_path)
+    out = pq.read_table(out_path).to_pandas()
+    ids = out["vec_id"].to_numpy()
+    near = (ids >= 100000) & (ids < 200000)
+    flagged = out["is_dup"].to_numpy()
+    recall = int(round(100 * flagged[near].mean())) if near.any() else 0
+    out["planted_recall_pct"] = np.int64(recall)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
     """Global paragraph-level exact dedup (C4 §2.2 / RefinedWeb line-dedup
     granularity): docs shatter into 8-word pieces, a piece's FIRST global
@@ -3939,6 +4000,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_ingest": (q_dedup_minhash_ingest, None),  # rows-only:
     # permutation hashing is not SQL-expressible; self-validating
     # planted_recall_pct column (same convention as dedup_minhash)
+    "dedup_embed_ingest": (q_dedup_embed_ingest, None),  # rows-only:
+    # random hyperplanes; self-validating planted_recall_pct column
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_SQL),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
