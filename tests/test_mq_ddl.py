@@ -142,3 +142,55 @@ def test_mq_pipeline_other_protocols(tmp_path, protocol):
     got = rp.lake_to_table(lake, res["wal_dir"])
     exp = oracle.replay_to_table(root, reg)
     assert got.equals(exp), f"{protocol} MQ-consumed lake diverged"
+
+
+@pytest.mark.parametrize("option", ["handle_key_only", "claim_check"])
+def test_mq_large_message_options_roundtrip(tmp_path, option):
+    """Large-message handling (pkg/config/large_message.go): with a tiny
+    max_message_bytes every DML message is oversize; under
+    handle_key_only the topic carries key-only stubs the consumer
+    re-fetches from the UPSTREAM WAL, under claim_check payloads live in
+    the claim store behind pointer messages. Either way the consumed
+    lake must equal the sequential oracle."""
+    import glob as _glob
+    import json as _json
+
+    from tiflow_ray.pipelines.mq import consume_mq, produce_mq
+
+    root = str(tmp_path / "src")
+    reg, metas, info = fixtures.generate_tier(root, "t1_noddl")
+    msg_dir = str(tmp_path / "mq")
+    out = produce_mq(f"{root}/wal", msg_dir, num_partitions=4,
+                     max_message_bytes=16, large_handle=option)
+    assert out["partitions"] == 4
+    # the topic really carries stubs/pointers, not payloads
+    import pyarrow.parquet as _pq
+    msgs = _pq.read_table(os.path.join(msg_dir, "partition=0",
+                                       "messages.parquet"))
+    marker = '{"onlyHandleKey"' if option == "handle_key_only" \
+        else '{"claimCheckLocation"'
+    assert all(p.startswith(marker) for p in
+               msgs["payload"].to_pylist()), "payloads left in the topic"
+    if option == "claim_check":
+        assert _glob.glob(os.path.join(msg_dir, "_claim", "*.msg"))
+
+    lake = str(tmp_path / "lake")
+    kw = {"upstream_wal": f"{root}/wal"} if option == "handle_key_only" \
+        else {}
+    res = consume_mq(msg_dir, lake, base_dir=f"{root}/base",
+                     num_partitions=8, **kw)
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp), f"{option} lake diverged from oracle"
+
+
+def test_mq_large_message_none_rejects(tmp_path):
+    """Default option 'none' must fail loudly on an oversize message (the
+    broker would bounce it anyway) instead of silently truncating."""
+    from tiflow_ray.pipelines.mq import produce_mq
+
+    root = str(tmp_path / "src")
+    fixtures.generate_tier(root, "t1_noddl")
+    with pytest.raises(Exception, match="max_message_bytes"):
+        produce_mq(f"{root}/wal", str(tmp_path / "mq"), num_partitions=2,
+                   max_message_bytes=16, large_handle="none")

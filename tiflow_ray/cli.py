@@ -99,6 +99,12 @@ def main(argv=None):
                     choices=["key", "index-value", "ts", "table"])
     mp.add_argument("--protocol", default="canal_json",
                     choices=["canal_json", "open_protocol", "avro"])
+    mp.add_argument("--max-message-bytes", type=int, default=None)
+    mp.add_argument("--large-handle", default="none",
+                    choices=["none", "handle_key_only", "claim_check"],
+                    help="large-message option (pkg/config/"
+                         "large_message.go): reject / key-only stub / "
+                         "claim-check store")
 
     mc = sub.add_parser("mq-consume")   # message logs → replayed lake
     mc.add_argument("--messages", required=True)
@@ -106,6 +112,8 @@ def main(argv=None):
     mc.add_argument("--base", default=None,
                     help="bootstrap from this base dir first")
     mc.add_argument("-P", "--partitions", type=int, default=16)
+    mc.add_argument("--upstream-wal", default=None,
+                    help="re-fetch handle-key-only stubs from this WAL")
 
     mt = sub.add_parser("mt-replay")   # multi-table changefeed
     mt.add_argument("--wal", required=True,
@@ -209,11 +217,14 @@ def main(argv=None):
         from .pipelines.mq import produce_mq
         print(json.dumps(produce_mq(a.wal, a.out, a.partitions,
                                     dispatcher=a.dispatcher,
-                                    protocol=a.protocol)))
+                                    protocol=a.protocol,
+                                    max_message_bytes=a.max_message_bytes,
+                                    large_handle=a.large_handle)))
     elif a.cmd == "mq-consume":
         from .pipelines.mq import consume_mq
         print(json.dumps(consume_mq(a.messages, a.lake, base_dir=a.base,
-                                    num_partitions=a.partitions)))
+                                    num_partitions=a.partitions,
+                                    upstream_wal=a.upstream_wal)))
     elif a.cmd == "export":
         # streaming export: fold tasks write directly, one file per
         # partition-fold block — never materialized on the driver

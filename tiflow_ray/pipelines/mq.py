@@ -33,7 +33,9 @@ from . import replay as rp
 def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                dispatcher: str = "key", database: str = "tiflow",
                table: str = "documents",
-               protocol: str = "canal_json") -> dict:
+               protocol: str = "canal_json",
+               max_message_bytes: int | None = None,
+               large_handle: str = "none") -> dict:
     """WAL → per-partition message logs (canal-json / open-protocol text,
     or Confluent-framed avro binary via the file-backed schema registry)
     + a canal-json DDL broadcast (the control channel is canal-json under
@@ -67,8 +69,12 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     if protocol == "avro":
         registry_root = os.path.join(out_dir, "_registry")
         os.makedirs(registry_root, exist_ok=True)
+    claim_dir = os.path.join(out_dir, "_claim") \
+        if large_handle == "claim_check" else None
     sink = MqSinkStage(database=database, table=table, protocol=protocol,
-                       registry_root=registry_root)
+                       registry_root=registry_root,
+                       max_message_bytes=max_message_bytes,
+                       large_handle=large_handle, claim_dir=claim_dir)
 
     def emit_partition(t: pa.Table) -> pa.Table:
         msgs = sink(t)
@@ -97,7 +103,9 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                                           "messages.parquet"))
     meta = {"protocol": protocol, "columns": sup,
             "database": database, "table": table,
-            "num_partitions": num_partitions, "dispatcher": dispatcher}
+            "num_partitions": num_partitions, "dispatcher": dispatcher,
+            "large_handle": large_handle,
+            "max_message_bytes": max_message_bytes}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return {"partitions": len(counts),
@@ -107,7 +115,8 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
 
 def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                num_partitions: int = 16,
-               wal_out: str | None = None) -> dict:
+               wal_out: str | None = None,
+               upstream_wal: str | None = None) -> dict:
     """Message logs → derived WAL → replayed lake (kafka-consumer analog).
 
     Decode is distributed (one task per message-log partition, idempotent
@@ -122,6 +131,64 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
         meta = json.load(f)
     protocol = meta["protocol"]
     sup = list(meta["columns"])
+    large = meta.get("large_handle", "none")
+    database, table = meta.get("database", "tiflow"), meta.get(
+        "table", "documents")
+
+    def resolve_payloads(payloads: list) -> list:
+        """Undo the producer's large-message option before protocol
+        decode: claim-check pointers are swapped for the stored payload;
+        handle-key-only stubs are re-fetched from the UPSTREAM WAL (the
+        kafka-consumer queries upstream TiDB the same way) and re-encoded
+        as ordinary protocol messages so the decoder sees one uniform
+        stream."""
+        if large == "none":
+            return payloads
+        out = list(payloads)
+        hk: list[tuple[int, dict]] = []
+        for i, pl in enumerate(out):
+            is_bin = isinstance(pl, (bytes, bytearray))
+            probe = (pl[:64].decode("utf-8", "ignore") if is_bin
+                     else pl[:64])
+            if probe.startswith('{"claimCheckLocation"'):
+                loc = json.loads(pl.decode() if is_bin else pl)[
+                    "claimCheckLocation"]
+                with open(loc, "rb") as f:
+                    data = f.read()
+                out[i] = data if is_bin else data.decode()
+            elif probe.startswith('{"onlyHandleKey"'):
+                hk.append((i, json.loads(pl)))
+        if hk:
+            assert upstream_wal, (
+                "message log contains handle-key-only stubs; pass "
+                "upstream_wal= so the consumer can re-fetch full rows")
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            from ..sources.codecs import (encode_canal_json,
+                                          encode_open_protocol)
+            from ..sources.wal import list_segments
+            segs = list_segments(upstream_wal)
+            want = sorted({d["commit_ts"] for _, d in hk})
+            tbl = pads.dataset([sg.path for sg in segs]).to_table(
+                filter=pads.field("commit_ts").isin(want))
+            enc = encode_open_protocol if protocol == "open_protocol" \
+                else encode_canal_json
+            cols = [c for c in sup if c in tbl.column_names]
+            for i, d in hk:
+                # op participates in the identity: a delete+insert pair
+                # legitimately shares (commit_ts, start_ts, doc_id)
+                mask = pc.and_(
+                    pc.and_(pc.equal(tbl["commit_ts"], d["commit_ts"]),
+                            pc.equal(tbl["start_ts"], d["start_ts"])),
+                    pc.and_(pc.equal(tbl["doc_id"], d["doc_id"]),
+                            pc.equal(tbl["op"].cast("int64"),
+                                     int(d["op"]))))
+                row = tbl.filter(mask).select(cols)
+                assert row.num_rows == 1, \
+                    f"upstream row for {d} not found (gc'd WAL?)"
+                out[i] = enc(row, database, table).splitlines()[0]
+        return out
     if protocol == "canal_json":
         def decode_msgs(payloads, cols=sup):
             return decode_canal_lines([p for p in payloads], cols)
@@ -165,7 +232,7 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                             "cols": list(m["columns"])})
                 continue
             msgs = pq.read_table(row["src"]).sort_by("offset")
-            ev = decode_msgs(msgs["payload"].to_pylist())
+            ev = decode_msgs(resolve_payloads(msgs["payload"].to_pylist()))
             ev = ev.take(pa.compute.sort_indices(
                 ev, sort_keys=[("commit_ts", "ascending"),
                                ("start_ts", "ascending")]))

@@ -55,12 +55,29 @@ class MqSinkStage:
 
     def __init__(self, database: str = "tiflow", table: str = "documents",
                  protocol: str = "canal_json",
-                 registry_root: str | None = None):
+                 registry_root: str | None = None,
+                 max_message_bytes: int | None = None,
+                 large_handle: str = "none",
+                 claim_dir: str | None = None):
         assert protocol in ("canal_json", "open_protocol", "avro"), protocol
         if protocol == "avro":
             assert registry_root, "avro protocol needs a schema registry"
+        # large-message handling (pkg/config/large_message.go): "none" =
+        # reject oversize loudly (the broker would anyway); "handle_key_only"
+        # = oversize messages carry only the handle key + event identity,
+        # the consumer re-fetches the row from upstream (the WAL here, TiKV
+        # in the reference); "claim_check" = oversize payloads land in the
+        # claim-check store and a pointer message rides the topic.
+        assert large_handle in ("none", "handle_key_only", "claim_check"),             large_handle
+        if large_handle == "claim_check":
+            assert claim_dir, "claim_check needs claim_dir (storage uri)"
+        if large_handle == "handle_key_only":
+            assert protocol != "avro",                 "handle_key_only is a text-protocol option (like the "                 "reference: canal-json / open-protocol)"
         self.database, self.table, self.protocol = database, table, protocol
         self.registry_root = registry_root
+        self.max_message_bytes = max_message_bytes
+        self.large_handle = large_handle
+        self.claim_dir = claim_dir
         self._schema_cache: dict[str, tuple[int, str]] = {}
 
     def _avro_payloads(self, ev: pa.Table) -> pa.Array:
@@ -112,12 +129,67 @@ class MqSinkStage:
             payload = pa.array(enc(ev, self.database,
                                    self.table).splitlines(), pa.string())
         n = len(payload)
+        if self.max_message_bytes is not None and n:
+            payload = self._handle_large(ev, payload, part)
         return pa.table({
             "mq_partition": pa.array(np.full(n, part, np.int32)),
             "offset": pa.array(np.arange(n, dtype=np.int64)),
             "key": ev["doc_id"],
             "payload": payload,
         })
+
+    def _handle_large(self, ev: pa.Table, payload: pa.Array,
+                      part: int) -> pa.Array:
+        """Apply the configured large-message option to oversize payloads
+        (offset within the partition = row index — offsets are assigned
+        dense right after this, so claim filenames are deterministic and
+        crashed-task retries overwrite identical bytes)."""
+        import json as _json
+        import os as _os
+
+        import pyarrow.compute as pc
+        sizes = pc.binary_length(
+            payload if payload.type in (pa.binary(), pa.large_binary())
+            else payload.cast(pa.binary())).to_numpy(zero_copy_only=False)
+        big = np.flatnonzero(sizes > self.max_message_bytes)
+        if len(big) == 0:
+            return payload
+        if self.large_handle == "none":
+            key0 = ev["doc_id"][int(big[0])].as_py()
+            raise ValueError(
+                f"{len(big)} message(s) exceed max_message_bytes="
+                f"{self.max_message_bytes} (first key {key0!r}); configure "
+                "large_handle='handle_key_only' or 'claim_check' "
+                "(pkg/config/large_message.go options)")
+        vals = payload.to_pylist()
+        ops = ev["op"].to_numpy(zero_copy_only=False)
+        cts = ev["commit_ts"].to_numpy(zero_copy_only=False)
+        sts = ev["start_ts"].to_numpy(zero_copy_only=False)
+        ids = ev["doc_id"].to_numpy(zero_copy_only=False)
+        for i in big:
+            i = int(i)
+            if self.large_handle == "handle_key_only":
+                vals[i] = _json.dumps(
+                    {"onlyHandleKey": True, "op": int(ops[i]),
+                     "commit_ts": int(cts[i]), "start_ts": int(sts[i]),
+                     "doc_id": str(ids[i])})
+            else:                           # claim_check
+                _os.makedirs(self.claim_dir, exist_ok=True)
+                name = f"part{part:05d}-off{i:012d}.msg"
+                dst = _os.path.join(self.claim_dir, name)
+                data = vals[i] if isinstance(vals[i], (bytes, bytearray)) \
+                    else vals[i].encode()
+                tmp = dst + f".tmp.{_os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                _os.replace(tmp, dst)
+                loc = _json.dumps({"claimCheckLocation": dst})
+                vals[i] = loc.encode() if isinstance(vals[i],
+                                                     (bytes, bytearray)) \
+                    else loc
+        if isinstance(vals[0], (bytes, bytearray)):
+            return pa.array(vals, pa.binary())
+        return pa.array(vals, pa.string())
 
 
 @dataclass(frozen=True)
