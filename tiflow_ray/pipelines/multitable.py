@@ -331,16 +331,46 @@ def run_replay_multitable(cfg: ReplayConfig,
                          upto_ts=upto_ts,
                          syncpoint_interval=cfg.syncpoint_interval)
     result = ReplayResult()
-    for ep in epochs:
-        epoch_no = prev.epoch + 1
-        stats_rows = _execute_epoch_mt(cfg, tables, table_names, table_ids,
-                                       registries_json, lifecycle, prev,
-                                       ep, epoch_no)
-        prev, er = _commit_epoch_mt(lake, tables, registries_json,
-                                    lifecycle, prev, ep, epoch_no,
-                                    stats_rows,
-                                    key_collation=cfg.key_collation)
-        result.epochs.append(er)
+    # pipelined epochs (same contract as replay._drive_epochs): up to k
+    # consecutive MoR epochs execute concurrently — their delta appends
+    # are independent (folds deferred), commits stay strictly ordered
+    k = max(1, cfg.pipeline_epochs) if cfg.sink_mode == "mor" else 1
+    next_no = prev.epoch + 1
+    i = 0
+    while i < len(epochs):
+        group = epochs[i:i + k]
+        if len(group) == 1:
+            ep = group[0]
+            stats_rows = _execute_epoch_mt(cfg, tables, table_names,
+                                           table_ids, registries_json,
+                                           lifecycle, prev, ep, next_no)
+            prev, er = _commit_epoch_mt(lake, tables, registries_json,
+                                        lifecycle, prev, ep, next_no,
+                                        stats_rows,
+                                        key_collation=cfg.key_collation)
+            result.epochs.append(er)
+            next_no += 1
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            try:   # pre-warm the lazy import concurrent planning races on
+                import fsspec.implementations.http  # noqa: F401
+            except Exception:
+                pass
+            with ThreadPoolExecutor(max_workers=len(group)) as pool:
+                futs = [pool.submit(_execute_epoch_mt, cfg, tables,
+                                    table_names, table_ids,
+                                    registries_json, lifecycle, prev,
+                                    ep, next_no + j, False)
+                        for j, ep in enumerate(group)]
+                stats_lists = [f.result() for f in futs]
+            for j, (ep, stats_rows) in enumerate(zip(group, stats_lists)):
+                prev, er = _commit_epoch_mt(lake, tables, registries_json,
+                                            lifecycle, prev, ep,
+                                            next_no + j, stats_rows,
+                                            key_collation=cfg.key_collation)
+                result.epochs.append(er)
+            next_no += len(group)
+        i += len(group)
     return result
 
 
@@ -360,8 +390,8 @@ def _active_tables(table_names, lifecycle, ep: Epoch) -> list[str]:
 
 
 def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
-                      lifecycle, prev, ep: Epoch, epoch_no: int
-                      ) -> list[dict]:
+                      lifecycle, prev, ep: Epoch, epoch_no: int,
+                      allow_fold: bool = True) -> list[dict]:
     if not ep.files:
         return []
     assert ep.fmt == "parquet", "multitable replay expects parquet WAL"
@@ -416,7 +446,7 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
         watermark_ts=ep.hi,
         lake_data_dir=os.path.join(cfg.lake_dir, "data"),
         sink_mode=cfg.sink_mode, compact_every=cfg.compact_every,
-        allow_fold=True, online_validate=cfg.online_validate,
+        allow_fold=allow_fold, online_validate=cfg.online_validate,
         num_partitions=cfg.num_partitions, collation=cfg.key_collation)
 
     def merge_apply(t: pa.Table) -> pa.Table:
