@@ -122,11 +122,12 @@ def _expected(root, regs, t):
                                   regs[t])
 
 
-def test_multitable_three_tables_independent_ddl(tmp_path):
+@pytest.mark.parametrize("pipeline", [1, 3])
+def test_multitable_three_tables_independent_ddl(tmp_path, pipeline):
     root, regs, base_dirs, wal_dir = _setup(tmp_path)
     cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake"),
                        num_partitions=8, max_segments_per_epoch=2,
-                       validate=True)
+                       pipeline_epochs=pipeline, validate=True)
     mt.bootstrap_multitable(cfg, regs, base_dirs)
     res = mt.run_replay_multitable(cfg)
     assert res.epochs, "nothing committed"
