@@ -343,3 +343,47 @@ def test_multitable_cli(tmp_path, capsys):
     for t in sorted(regs):
         assert mt.multitable_lake_to_table(lake, t).equals(
             _expected(root, regs, t)), t
+
+
+def test_multitable_tail_replay_consumes_live_writer(tmp_path):
+    """Continuous multi-table tailing: segments land while the daemon
+    polls; every table converges to its oracle once the writer stops."""
+    import shutil
+    import threading
+    import time
+
+    from tiflow_ray.sources.wal import list_segments
+
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    segs = list_segments(wal_dir)
+    assert len(segs) >= 3
+    live = str(tmp_path / "wal_live")
+    os.makedirs(live)
+    shutil.copy(os.path.join(wal_dir, "tables.json"), live)
+
+    def copy_seg(s):
+        shutil.copy(s.path, live)          # data first, meta = publish
+        shutil.copy(os.path.join(wal_dir, f"seq={s.seq:05d}.meta.json"),
+                    live)
+
+    copy_seg(segs[0])
+
+    def writer():
+        for s in segs[1:]:
+            time.sleep(0.4)
+            copy_seg(s)
+
+    th = threading.Thread(target=writer)
+    cfg = ReplayConfig(wal_dir=live, lake_dir=str(tmp_path / "lake_tail"),
+                       num_partitions=8, max_segments_per_epoch=1)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+    th.start()
+    try:
+        res = mt.tail_replay_multitable(cfg, poll_secs=0.1,
+                                        idle_timeout=3.0)
+    finally:
+        th.join()
+    assert len(res.epochs) >= len(segs)
+    for t in sorted(regs):
+        assert mt.multitable_lake_to_table(cfg.lake_dir, t).equals(
+            _expected(root, regs, t)), f"table {t} diverged after tailing"

@@ -306,8 +306,8 @@ class _MultiMergeApply:
 def run_replay_multitable(cfg: ReplayConfig,
                           tables: dict[str, SchemaRegistry] | None = None,
                           upto_ts: int | None = None,
-                          lifecycle: dict[str, TableLifecycle] | None = None
-                          ) -> ReplayResult:
+                          lifecycle: dict[str, TableLifecycle] | None = None,
+                          max_epochs: int | None = None) -> ReplayResult:
     """Replay the shared WAL into N per-table lake states through one
     changefeed. `tables` defaults to the WAL's tables.json declaration.
     `lifecycle` carries CREATE/DROP TABLE barriers: a created table joins
@@ -330,6 +330,8 @@ def run_replay_multitable(cfg: ReplayConfig,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=upto_ts,
                          syncpoint_interval=cfg.syncpoint_interval)
+    if max_epochs is not None:
+        epochs = epochs[:max_epochs]
     result = ReplayResult()
     # pipelined epochs (same contract as replay._drive_epochs): up to k
     # consecutive MoR epochs execute concurrently — their delta appends
@@ -564,3 +566,36 @@ def multitable_lake_to_table(lake_dir: str, table: str) -> pa.Table:
     out = pa.concat_tables(pieces)
     return out.take(pc.sort_indices(out, sort_keys=[
         ("doc_id", "ascending")]))
+
+
+def tail_replay_multitable(cfg: ReplayConfig, poll_secs: float = 0.5,
+                           idle_timeout: float | None = None,
+                           stop_file: str | None = None,
+                           max_epochs: int | None = None) -> ReplayResult:
+    """Continuous tailing for the multi-table changefeed — the same
+    poll-the-incremental-call loop as replay.tail_replay (resume ≡ next
+    epoch); new tables/DDLs are picked up from tables.json per iteration
+    so a mid-stream CREATE TABLE declared by the upstream takes effect at
+    its barrier without a restart."""
+    import time
+
+    result = ReplayResult()
+    idle_since = time.monotonic()
+    while True:
+        if stop_file and os.path.exists(stop_file):
+            break
+        budget = None
+        if max_epochs is not None:
+            budget = max_epochs - len(result.epochs)
+            if budget <= 0:
+                break
+        r = run_replay_multitable(cfg, max_epochs=budget)
+        if r.epochs:
+            result.epochs.extend(r.epochs)
+            idle_since = time.monotonic()
+        else:
+            if idle_timeout is not None and \
+                    time.monotonic() - idle_since >= idle_timeout:
+                break
+            time.sleep(poll_secs)
+    return result
