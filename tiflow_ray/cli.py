@@ -125,6 +125,10 @@ def main(argv=None):
                     metavar="TABLE=DIR",
                     help="bootstrap base layout per table (repeatable)")
     mt.add_argument("--segments-per-epoch", type=int, default=8)
+    mt.add_argument("--follow", action="store_true",
+                    help="tail the WAL continuously (multi-table daemon)")
+    mt.add_argument("--idle-timeout", type=float, default=None)
+    mt.add_argument("--stop-file", default=None)
 
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
@@ -197,7 +201,12 @@ def main(argv=None):
             if unknown:
                 raise SystemExit(f"--base names unknown tables {unknown}")
             mtp.bootstrap_multitable(cfg, regs, base_dirs, lcs)
-        res = mtp.run_replay_multitable(cfg, upto_ts=a.upto)
+        if a.follow:
+            res = mtp.tail_replay_multitable(cfg,
+                                             idle_timeout=a.idle_timeout,
+                                             stop_file=a.stop_file)
+        else:
+            res = mtp.run_replay_multitable(cfg, upto_ts=a.upto)
         m = LakeState(a.lake).latest()
         print(json.dumps({"epochs": len(res.epochs),
                           "tables": m.stats.get("tables", {}),
