@@ -253,7 +253,7 @@ def _record_baseline(r: dict) -> None:
         med = r.get("scaling_efficiency_median", "n/a")
         section = (
             f"{marker}\n"
-            f"Same 20M-event replay, same input, fresh `ray.init(num_cpus=N)` "
+            f"Same {r['events'] // 10**6}M-event replay, same input, fresh `ray.init(num_cpus=N)` "
             f"processes (the sandbox proxy for two cluster sizes — see "
             f"bench.py:run_scaling for why the 2→8 pair is the faithful N→4N "
             f"proxy on one node: a single shared disk/plasma store stops "
