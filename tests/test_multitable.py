@@ -387,3 +387,32 @@ def test_multitable_tail_replay_consumes_live_writer(tmp_path):
     for t in sorted(regs):
         assert mt.multitable_lake_to_table(cfg.lake_dir, t).equals(
             _expected(root, regs, t)), f"table {t} diverged after tailing"
+
+
+def test_multitable_offline_compaction(tmp_path):
+    """compact_multitable_lake folds every pending (table, part) chain
+    under its own registry/version in one committed epoch; table states
+    are unchanged and subsequent replay still resumes cleanly."""
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       compact_every=999)          # force long chains
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+    mt.run_replay_multitable(cfg)
+    before = {t: mt.multitable_lake_to_table(cfg.lake_dir, t)
+              for t in sorted(regs)}
+    m0 = LakeState(cfg.lake_dir).latest()
+    assert any(meta.get("deltas") for meta in m0.parts.values()), \
+        "fixture produced no chains to fold"
+    out = mt.compact_multitable_lake(cfg.lake_dir)
+    assert out["chains_folded"] > 0
+    m1 = LakeState(cfg.lake_dir).latest()
+    assert not any(meta.get("deltas") for meta in m1.parts.values())
+    assert m1.stats["tables"] == m0.stats["tables"]
+    for t in sorted(regs):
+        assert mt.multitable_lake_to_table(cfg.lake_dir, t).equals(
+            before[t]), f"compaction changed table {t}"
+    # idempotent: nothing left to fold
+    assert mt.compact_multitable_lake(cfg.lake_dir)["chains_folded"] == 0
+    # replay still resumes (no new segments -> no-op)
+    assert mt.run_replay_multitable(cfg).epochs == []

@@ -72,6 +72,8 @@ def main(argv=None):
     c = sub.add_parser("compact")   # offline/background MoR compaction
     c.add_argument("--lake", required=True)
     c.add_argument("--parts", type=int, nargs="*", default=None)
+    c.add_argument("--tables", nargs="*", default=None,
+                   help="multi-table lake: fold only these tables' chains")
 
     rq = sub.add_parser("repartition")   # keyspan split/merge scale-out
     rq.add_argument("--lake", required=True)
@@ -213,7 +215,13 @@ def main(argv=None):
                           "dropped": list(m.stats.get("dropped_tables",
                                                       {}))}))
     elif a.cmd == "compact":
-        out = rp.compact_lake(a.lake, parts=a.parts or None)
+        from .state.checkpoint import LakeState
+        head = LakeState(a.lake).latest()
+        if head is not None and "tables" in head.stats:
+            from .pipelines.multitable import compact_multitable_lake
+            out = compact_multitable_lake(a.lake, tables=a.tables or None)
+        else:
+            out = rp.compact_lake(a.lake, parts=a.parts or None)
         print(json.dumps(out))
     elif a.cmd == "repartition":
         print(json.dumps(rp.repartition_lake(a.lake, a.num_partitions)))

@@ -599,3 +599,76 @@ def tail_replay_multitable(cfg: ReplayConfig, poll_secs: float = 0.5,
                 break
             time.sleep(poll_secs)
     return result
+
+
+def compact_multitable_lake(lake_dir: str,
+                            tables: list[str] | None = None) -> dict:
+    """Offline/background MoR compaction for a MULTI-table lake: fold
+    every (table, partition) chain with pending deltas into a fresh base
+    under ITS table's registry + committed schema version and commit ONE
+    manifest epoch — the same decoupled background-compaction job as the
+    single-table compact_lake, distributed one task per chain with no
+    shuffle (each task reads only its own chain)."""
+    lake = LakeState(lake_dir)
+    m = lake.latest()
+    assert m is not None, "no committed manifest"
+    regs_json = json.loads(m.registry_json)
+    tstats = m.stats.get("tables", {})
+    collation = m.stats.get("key_collation", "binary")
+    todo = [key for key, meta in m.parts.items()
+            if meta.get("deltas")
+            and (tables is None or key.rsplit("/", 1)[0] in tables)]
+    if not todo:
+        return {"chains_folded": 0, "epoch": m.epoch}
+
+    epoch_no = m.epoch + 1
+    data_dir = os.path.join(lake_dir, "data")
+    items = [{"key": key,
+              "reg_json": regs_json[key.rsplit("/", 1)[0]],
+              "ver": tstats[key.rsplit("/", 1)[0]]["schema_ver"],
+              "meta_json": json.dumps(m.parts[key])} for key in todo]
+
+    def fold_write(t: pa.Table) -> pa.Table:
+        from ..stages.merge import _atomic_write
+        out = {"key": [], "path": [], "rows": [], "bytes": [],
+               "ver": []}
+        for row in t.to_pylist():
+            t_name, p = row["key"].rsplit("/", 1)
+            reg = SchemaRegistry.from_json(row["reg_json"])
+            folded = fold_part(json.loads(row["meta_json"]), reg,
+                               int(row["ver"]), collation)
+            path = os.path.join(data_dir, f"table={t_name}", f"part={p}",
+                                f"epoch-{epoch_no:06d}.parquet")
+            _atomic_write(folded, path)
+            out["key"].append(row["key"])
+            out["path"].append(path)
+            out["rows"].append(folded.num_rows)
+            out["bytes"].append(folded.nbytes)
+            out["ver"].append(int(row["ver"]))
+        return pa.table(out)
+
+    stats = ray.data.from_items(
+        items, override_num_blocks=max(1, len(items))) \
+        .map_batches(fold_write, batch_format="pyarrow",
+                     batch_size=1).take_all()
+
+    new_parts = dict(m.parts)
+    for r in stats:
+        old = new_parts[r["key"]]
+        new_parts[r["key"]] = {
+            "path": r["path"], "schema_ver": int(r["ver"]),
+            "rows": r["rows"],
+            "watermark_ts": old.get("watermark_ts", m.watermark_ts),
+            "bytes": r["bytes"], "deltas": []}
+    m2 = Manifest(epoch=epoch_no, watermark_ts=m.watermark_ts,
+                  schema_ver=0, num_partitions=m.num_partitions,
+                  registry_json=m.registry_json, parts=new_parts,
+                  segments_applied=m.segments_applied,
+                  stats={**{k: v for k, v in m.stats.items()
+                            if k in ("tables", "dropped_tables",
+                                     "key_collation")},
+                         "compaction": True,
+                         "chains_folded": len(stats)},
+                  hash_fingerprint=m.hash_fingerprint)
+    lake.commit(m2)
+    return {"chains_folded": len(stats), "epoch": epoch_no}
