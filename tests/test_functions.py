@@ -492,3 +492,18 @@ def test_corpus_kmeans_lloyd_monotone_and_deterministic(ray_session):
     # distributed partial sums reassociate float adds vs the local loop —
     # agreement to ~1e-6 is the correct expectation, not bit equality
     assert np.allclose(c, c1, atol=1e-5)
+
+
+def test_minhash_band_sig_empty_batch():
+    """Upstream filter stages legitimately emit 0-row blocks (ADVICE r4):
+    the signature kernel must pass them through, not crash on the
+    0-size reshape."""
+    from tiflow_ray.functions.dedup import MinHashBandSig
+    stage = MinHashBandSig(num_perm=16, bands=4)
+    out = stage(pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "text": pd.Series([], dtype=object)}))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "band", "band_hash", "sig"]
+    # non-empty output schema must match so Ray can union the blocks
+    full = stage(pd.DataFrame({"doc_id": [1], "text": ["a b c d e f"]}))
+    assert list(full.columns) == list(out.columns)

@@ -194,3 +194,27 @@ def test_mq_large_message_none_rejects(tmp_path):
     with pytest.raises(Exception, match="max_message_bytes"):
         produce_mq(f"{root}/wal", str(tmp_path / "mq"), num_partitions=2,
                    max_message_bytes=16, large_handle="none")
+
+
+def test_mq_handle_key_only_with_mid_stream_ddl(tmp_path):
+    """ADVICE r4: the handle-key-only re-fetch must read each upstream
+    segment under ITS OWN schema. Segments straddling a DDL barrier have
+    heterogeneous physical schemas; a single dataset over all of them
+    unifies to the first fragment's schema and silently NULLs columns
+    added after the barrier in the re-encoded message. The t1 fixture
+    has add/drop-column DDLs mid-stream, so post-barrier rows carry
+    columns absent from segment 0."""
+    from tiflow_ray.pipelines.mq import consume_mq, produce_mq
+
+    root = str(tmp_path / "src")
+    reg, metas, info = fixtures.generate_tier(root, "t1")
+    msg_dir = str(tmp_path / "mq")
+    produce_mq(f"{root}/wal", msg_dir, num_partitions=4,
+               max_message_bytes=16, large_handle="handle_key_only")
+    lake = str(tmp_path / "lake")
+    res = consume_mq(msg_dir, lake, base_dir=f"{root}/base",
+                     num_partitions=8, upstream_wal=f"{root}/wal")
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    exp = oracle.replay_to_table(root, reg)
+    assert got.equals(exp), \
+        "handle_key_only + mid-stream DDL lake diverged from oracle"

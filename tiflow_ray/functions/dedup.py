@@ -410,6 +410,16 @@ class MinHashBandSig:
                                     dtype=np.uint64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            # upstream filters (e.g. the ingest plant step) can emit empty
+            # blocks; .view(uint8).reshape on a 0-row array raises
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=df["doc_id"].dtype
+                                    if "doc_id" in df else np.int64),
+                "band": pd.Series([], dtype=np.int64),
+                "band_hash": pd.Series([], dtype=np.int64),
+                "sig": pd.Series([], dtype=object),
+            })
         texts = df["text"].tolist()
         grams, offsets = batch_gram_hashes(texts, self.k)
         n_docs = len(texts)

@@ -163,29 +163,47 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                 "message log contains handle-key-only stubs; pass "
                 "upstream_wal= so the consumer can re-fetch full rows")
             import pyarrow.compute as pc
-            import pyarrow.dataset as pads
+            import pyarrow.parquet as _pq
 
             from ..sources.codecs import (encode_canal_json,
                                           encode_open_protocol)
             from ..sources.wal import list_segments
             segs = list_segments(upstream_wal)
             want = sorted({d["commit_ts"] for _, d in hk})
-            tbl = pads.dataset([sg.path for sg in segs]).to_table(
-                filter=pads.field("commit_ts").isin(want))
+            # Segments written across a DDL barrier have DIFFERENT physical
+            # schemas; one pads.dataset over all of them unifies to the
+            # first fragment's schema and silently nulls columns added
+            # later. Read only the segments whose [min_ts, max_ts] cover a
+            # wanted commit_ts, each with ITS OWN schema, and keep them
+            # separate — a commit_ts resolves within one segment's table.
+            seg_tbls = [
+                _pq.read_table(
+                    sg.path,
+                    filters=[("commit_ts", "in", [t for t in want
+                                                  if sg.min_ts <= t
+                                                  <= sg.max_ts])])
+                for sg in segs
+                if any(sg.min_ts <= t <= sg.max_ts for t in want)
+            ]
             enc = encode_open_protocol if protocol == "open_protocol" \
                 else encode_canal_json
-            cols = [c for c in sup if c in tbl.column_names]
             for i, d in hk:
                 # op participates in the identity: a delete+insert pair
                 # legitimately shares (commit_ts, start_ts, doc_id)
-                mask = pc.and_(
-                    pc.and_(pc.equal(tbl["commit_ts"], d["commit_ts"]),
-                            pc.equal(tbl["start_ts"], d["start_ts"])),
-                    pc.and_(pc.equal(tbl["doc_id"], d["doc_id"]),
-                            pc.equal(tbl["op"].cast("int64"),
-                                     int(d["op"]))))
-                row = tbl.filter(mask).select(cols)
-                assert row.num_rows == 1, \
+                row = None
+                for tbl in seg_tbls:
+                    mask = pc.and_(
+                        pc.and_(pc.equal(tbl["commit_ts"], d["commit_ts"]),
+                                pc.equal(tbl["start_ts"], d["start_ts"])),
+                        pc.and_(pc.equal(tbl["doc_id"], d["doc_id"]),
+                                pc.equal(tbl["op"].cast("int64"),
+                                         int(d["op"]))))
+                    hit = tbl.filter(mask)
+                    if hit.num_rows:
+                        cols = [c for c in sup if c in hit.column_names]
+                        row = hit.select(cols)
+                        break
+                assert row is not None and row.num_rows == 1, \
                     f"upstream row for {d} not found (gc'd WAL?)"
                 out[i] = enc(row, database, table).splitlines()[0]
         return out

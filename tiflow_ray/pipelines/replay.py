@@ -35,6 +35,7 @@ import dataclasses
 import glob
 import os
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -134,21 +135,39 @@ def bootstrap(cfg: ReplayConfig, base_dir: str | None = None) -> Manifest:
     return m
 
 
-# per-worker cache of the current epoch's part→sorted-sig-array map:
-# built once per worker from the plasma-resident sig blocks (zero-copy
-# views where a part's run is contiguous), keyed by the block-ref set so
-# a new epoch evicts the previous map.
-_SIG_MAP_CACHE: dict = {}
+# per-worker cache of part→sorted-sig-array maps, keyed PER EPOCH (the
+# block-ref set identifies the epoch) so concurrent pipelined epochs don't
+# evict each other's maps. Within an epoch, blocks load LAZILY: a filter
+# worker ray.gets only the sig blocks whose partitions actually appear in
+# its batches, so on a multi-node cluster a node holds only the signature
+# shards it filters — not the full set (zero-copy plasma views otherwise).
+_SIG_MAP_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_SIG_MAP_MAX_EPOCHS = 8     # ≥ any sane pipeline_epochs; tiny entries
 
 
-def _part_sig_map(refs: tuple) -> dict:
+def _part_sig_map(sig_index: tuple, parts_needed) -> dict:
+    """`sig_index` is ((ref, parts_in_block), ...) built by
+    _thin_winner_signatures. Loads exactly the blocks covering
+    `parts_needed` that this worker hasn't loaded yet and returns the
+    epoch's part→sorted-sigs dict (only loaded parts present — callers
+    only look up parts they asked for)."""
     import numpy as np
-    key = tuple(r.hex() for r in refs)
-    cached = _SIG_MAP_CACHE.get(key)
-    if cached is not None:
-        return cached
-    views: dict[int, list] = {}
-    for t in ray.get(list(refs)):
+    key = tuple(r.hex() for r, _ in sig_index)
+    ent = _SIG_MAP_CACHE.get(key)
+    if ent is None:
+        ent = {"loaded": set(), "views": {}, "final": {}}
+        _SIG_MAP_CACHE[key] = ent
+        while len(_SIG_MAP_CACHE) > _SIG_MAP_MAX_EPOCHS:
+            _SIG_MAP_CACHE.popitem(last=False)
+    _SIG_MAP_CACHE.move_to_end(key)
+    wanted = {int(p) for p in parts_needed}
+    need = [r for r, ps in sig_index
+            if r.hex() not in ent["loaded"] and wanted.intersection(ps)]
+    if not need:
+        return ent["final"]
+    touched: set[int] = set()
+    for r, t in zip(need, ray.get(need)):
+        ent["loaded"].add(r.hex())
         if t.num_rows == 0:
             continue
         parts = t["part"].to_numpy(zero_copy_only=False)
@@ -157,13 +176,26 @@ def _part_sig_map(refs: tuple) -> dict:
         cuts = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
         ends = np.r_[cuts[1:], len(parts)]
         for s, e in zip(cuts, ends):
-            views.setdefault(int(parts[s]), []).append(sigs[s:e])
-    m = {p: (v[0] if len(v) == 1
-             else np.sort(np.concatenate(v)))    # rare multi-block group
-         for p, v in views.items()}
-    _SIG_MAP_CACHE.clear()                       # hold one epoch at a time
-    _SIG_MAP_CACHE[key] = m
-    return m
+            p = int(parts[s])
+            ent["views"].setdefault(p, []).append(sigs[s:e])
+            touched.add(p)
+    for p in touched:
+        v = ent["views"][p]
+        ent["final"][p] = (v[0] if len(v) == 1
+                           else np.sort(np.concatenate(v)))
+    return ent["final"]
+
+
+@ray.remote(num_cpus=0)
+def _block_parts(t: pa.Table) -> tuple:
+    """Distinct partitions present in one sig block (runs co-located with
+    the block — only the tuple travels back)."""
+    import numpy as np
+    if t.num_rows == 0:
+        return ()
+    return tuple(
+        int(p) for p in
+        np.unique(t["part"].to_numpy(zero_copy_only=False)))
 
 
 def full_load(ds: "ray.data.Dataset", cfg: ReplayConfig) -> Manifest:
@@ -270,7 +302,12 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
 
     sig_ds = ds.groupby("part").map_groups(winners_to_sigs,
                                            batch_format="pyarrow")
-    return tuple(sig_ds.to_arrow_refs())    # blocks stay in the object store
+    refs = sig_ds.to_arrow_refs()           # blocks stay in the object store
+    # per-part ref index: each filter worker fetches ONLY the blocks whose
+    # partitions appear in its batches (the parts tuple is computed next to
+    # the block; only O(parts) ints travel)
+    parts = ray.get([_block_parts.remote(r) for r in refs])
+    return tuple(zip(refs, parts))
 
 
 class RemountStage:
@@ -510,14 +547,21 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
                         batch_size=cfg.batch_size)
     if cfg.replay_mode == "two_pass" and ep.fmt == "parquet":
         from ..stages.compact import filter_by_signature_sharded
-        sig_refs = _thin_winner_signatures(cfg, ep, read_kwargs)
+        sig_index = _thin_winner_signatures(cfg, ep, read_kwargs)
 
         def keep_winners(t: pa.Table) -> pa.Table:
             # partition first, then each row binary-searches ONLY its
-            # partition's sorted sig block (worker-cached plasma views)
+            # partition's sorted sig block (worker-cached plasma views;
+            # only the blocks covering THIS batch's partitions are fetched)
+            import numpy as _np
             t = assign_partition(t, cfg.num_partitions, cfg.key_collation)
-            return filter_by_signature_sharded(t, _part_sig_map(sig_refs),
-                                               cfg.key_collation)
+            if t.num_rows == 0:
+                return t
+            batch_parts = _np.unique(
+                t["part"].to_numpy(zero_copy_only=False))
+            return filter_by_signature_sharded(
+                t, _part_sig_map(sig_index, batch_parts),
+                cfg.key_collation)
 
         ds = ds.map_batches(keep_winners, batch_format="pyarrow",
                             batch_size=cfg.batch_size)
@@ -950,6 +994,17 @@ def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
     lake = LakeState(cfg.lake_dir)
     key_mapping = cfg.shard_key_mapping
     if key_mapping:
+        # mirror of the shard_key_mapping+two_pass guard in _execute_epoch:
+        # the mapping moves into cfg.remount_shards below, which the epoch
+        # guard never sees — but the thin winner pass still reads RAW
+        # unmapped doc_ids, so signatures/partitions would mismatch the
+        # remounted main pass and the filter would drop every event
+        if (cfg.replay_mode == "two_pass"
+                and any(m is not None for m in key_mapping.values())):
+            raise ValueError(
+                "replay_mode='two_pass' cannot be combined with per-shard "
+                "column mapping in optimistic shard-merge: the thin winner "
+                "pass reads unmapped keys while the main pass remounts them")
         cfg = dataclasses.replace(cfg, shard_key_mapping=None)
     regs = [load_registry(d) for d in wal_dirs]
     merged = merge_optimistic_registries(regs)
