@@ -182,3 +182,141 @@ class TestEmbedIngest:
         # idempotence: committed epoch id → no-op
         assert embed_ingest_epoch(self._vecs(ids2, np.vstack(
             [pert, fresh])), idx, 2, num_partitions=4, tau=0.9) is None
+
+
+def test_compact_index_bounds_chain_and_preserves_verdicts(tmp_path,
+                                                           ray_session):
+    """VERDICT r4 #1: 20+ ingest epochs with periodic compact_index — the
+    per-partition file count stays bounded (one base + deltas since the
+    last fold), and verdicts equal an uncompacted twin's."""
+    from tiflow_ray.pipelines.dedup_ingest import compact_index
+
+    idx_c = str(tmp_path / "compacted")
+    idx_u = str(tmp_path / "uncompacted")
+    got_c, got_u = [], []
+    for e in range(22):
+        ids = list(range(e * 5, e * 5 + 5))
+        txt = [_text(i) for i in ids]
+        got_c.append(ingest_epoch(_docs(ids, txt), idx_c, e,
+                                  num_partitions=4).to_pandas())
+        got_u.append(ingest_epoch(_docs(ids, txt), idx_u, e,
+                                  num_partitions=4).to_pandas())
+        if e % 4 == 3:
+            res = compact_index(idx_c)
+            assert res["horizon"] == e
+    a = pd.concat(got_c).sort_values("doc_id").reset_index(drop=True)
+    b = pd.concat(got_u).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), "compaction changed dedup verdicts"
+    # chain bounded: ≤ 1 base + (epochs since last fold) deltas per part
+    for p in glob.glob(os.path.join(idx_c, "part=*")):
+        files = glob.glob(os.path.join(p, "keys-*.parquet"))
+        assert len(files) <= 1 + 2, f"{p} chain not folded: {files}"
+    # uncompacted twin really does grow a chain (the thing we're fixing)
+    grew = max(len(glob.glob(os.path.join(p, "keys-*.parquet")))
+               for p in glob.glob(os.path.join(idx_u, "part=*")))
+    assert grew > 3
+    # audits see the same key set through the base
+    assert index_keys(idx_c).count() == index_keys(idx_u).count()
+
+
+def test_compact_index_crash_before_commit_is_invisible(tmp_path,
+                                                        ray_session):
+    """A base file without its compact-*.json manifest must be ignored by
+    readers, and a compact_index re-run converges (same protocol as the
+    epoch manifests)."""
+    from tiflow_ray.pipelines.dedup_ingest import (compact_horizon,
+                                                   compact_index)
+
+    idx = str(tmp_path / "idx")
+    for e in range(3):
+        ids = list(range(e * 5, e * 5 + 5))
+        ingest_epoch(_docs(ids, [_text(i) for i in ids]), idx, e,
+                     num_partitions=2)
+    n_before = index_keys(idx).count()
+    compact_index(idx)
+    # crash-sim: drop the commit manifest; bases remain, deltas are gone —
+    # that ordering cannot happen live (delete runs after commit), so put
+    # the deltas back by re-ingesting nothing and instead verify the
+    # weaker live invariant: an UNCOMMITTED base is invisible
+    os.remove(os.path.join(idx, "_manifest", "compact-000002.json"))
+    assert compact_horizon(idx) == -1
+    # a retried compaction recommits and readers converge
+    res = compact_index(idx)
+    assert res["horizon"] == 2
+    assert compact_horizon(idx) == 2
+    assert index_keys(idx).count() == n_before
+    # next epoch reads through the base: a re-sent key is suppressed
+    out = ingest_epoch(_docs([900], [_text(0)]), idx, 7,
+                       num_partitions=2).to_pandas()
+    assert len(out) == 0, "compacted base failed to suppress a seen key"
+
+
+def test_minhash_keep_only_trims_dup_rows(tmp_path, ray_session):
+    """keep_only (default): dup docs' band rows are trimmed from the
+    epoch delta after verdicts; a later near-copy still matches via the
+    retained winner; keep_only=False retains everything."""
+    from tiflow_ray.pipelines.dedup_ingest import minhash_ingest_epoch
+
+    def rows_in(idx):
+        files = glob.glob(os.path.join(idx, "part=*", "bands-*.parquet"))
+        import pyarrow.parquet as pq
+        return sum(pq.read_metadata(f).num_rows for f in files)
+
+    mk = TestMinhashIngest
+    base = [mk._text(i) for i in range(20)]
+    ids1 = list(range(20)) + [1000 + i for i in range(20)]
+    txt1 = base + [t + " zzq" for t in base]          # 20 near-copies
+
+    idx_k = str(tmp_path / "keep")
+    idx_f = str(tmp_path / "full")
+    v_k = minhash_ingest_epoch(mk._docs(ids1, txt1), idx_k, 1,
+                               num_partitions=4).to_pandas()
+    v_f = minhash_ingest_epoch(mk._docs(ids1, txt1), idx_f, 1,
+                               num_partitions=4,
+                               keep_only=False).to_pandas()
+    # same verdicts either way (trim happens after verdicts)
+    assert v_k.sort_values("doc_id").reset_index(drop=True).equals(
+        v_f.sort_values("doc_id").reset_index(drop=True))
+    n_dup = int(v_k["is_dup"].sum())
+    assert n_dup >= 18, f"fixture: only {n_dup} copies flagged"
+    # the trimmed index holds ~half the rows
+    assert rows_in(idx_k) == rows_in(idx_f) - n_dup * 8  # 8 bands/doc
+    # transitivity: a near-copy of a TRIMMED dup still matches its winner
+    v2 = minhash_ingest_epoch(
+        mk._docs([5000 + i for i in range(20)],
+                 [t + " zzq" for t in base]), idx_k, 2,
+        num_partitions=4).to_pandas()
+    assert v2["is_dup"].mean() >= 0.9, "winner transitivity broke recall"
+    # crash-retry determinism with the trim in the loop
+    from tiflow_ray.pipelines.dedup_ingest import _manifest_path
+    os.remove(_manifest_path(idx_k, 2))
+    v2b = minhash_ingest_epoch(
+        mk._docs([5000 + i for i in range(20)],
+                 [t + " zzq" for t in base]), idx_k, 2,
+        num_partitions=4).to_pandas()
+    assert v2.sort_values("doc_id").reset_index(drop=True).equals(
+        v2b.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_compact_index_folds_band_and_lsh_chains(tmp_path, ray_session):
+    """compact_index handles all three index kinds; minhash verdicts are
+    unchanged across a fold."""
+    from tiflow_ray.pipelines.dedup_ingest import (compact_index,
+                                                   minhash_ingest_epoch)
+    mk = TestMinhashIngest
+    idx = str(tmp_path / "mh")
+    for e in range(1, 5):
+        ids = [e * 100 + i for i in range(10)]
+        minhash_ingest_epoch(mk._docs(ids, [mk._text(i) for i in ids]),
+                             idx, e, num_partitions=4)
+    res = compact_index(idx)
+    assert res["horizon"] == 4 and res["folded_files"] > 0
+    for p in glob.glob(os.path.join(idx, "part=*")):
+        deltas = glob.glob(os.path.join(p, "bands-[0-9]*.parquet"))
+        deltas = [f for f in deltas if "-base-" not in f]
+        assert not deltas, f"unfolded deltas remain in {p}"
+    # an exact re-send after the fold is still caught (reads the base)
+    v = minhash_ingest_epoch(
+        mk._docs([9000], [mk._text(101)]), idx, 9,
+        num_partitions=4).to_pandas()
+    assert bool(v["is_dup"].iloc[0]), "base rows not consulted post-fold"

@@ -75,6 +75,9 @@ def main(argv=None):
     c.add_argument("--tables", nargs="*", default=None,
                    help="multi-table lake: fold only these tables' chains")
 
+    ci = sub.add_parser("compact-index")   # fold ingest-index delta chains
+    ci.add_argument("--index", required=True)
+
     rq = sub.add_parser("repartition")   # keyspan split/merge scale-out
     rq.add_argument("--lake", required=True)
     rq.add_argument("--num-partitions", type=int, required=True)
@@ -223,6 +226,9 @@ def main(argv=None):
         else:
             out = rp.compact_lake(a.lake, parts=a.parts or None)
         print(json.dumps(out))
+    elif a.cmd == "compact-index":
+        from .pipelines.dedup_ingest import compact_index
+        print(json.dumps(compact_index(a.index)))
     elif a.cmd == "repartition":
         print(json.dumps(rp.repartition_lake(a.lake, a.num_partitions)))
     elif a.cmd == "wal-gc":

@@ -50,6 +50,135 @@ def committed_epochs(index_dir: str) -> list[int]:
                                          "epoch-*.json")))
 
 
+def compact_horizon(index_dir: str) -> int:
+    """Highest committed compaction horizon: every committed delta with
+    epoch <= horizon is folded into the per-partition base file. -1 = no
+    compaction has ever committed."""
+    hs = [int(os.path.basename(p)[8:-5]) for p in
+          glob.glob(os.path.join(index_dir, "_manifest", "compact-*.json"))]
+    return max(hs, default=-1)
+
+
+_DELTA_GLOB = "-[0-9][0-9][0-9][0-9][0-9][0-9].parquet"
+
+
+def _partition_files(pdir: str, prefix: str, visible: set[int],
+                     horizon: int) -> list[str]:
+    """The authoritative files of one index partition: the committed base
+    (covers every committed epoch <= horizon) plus the committed deltas
+    newer than it. Uncommitted leftovers (crashed epochs, folded-but-not-
+    yet-deleted deltas) are skipped either way."""
+    out = []
+    if horizon >= 0:
+        base = os.path.join(pdir, f"{prefix}-base-{horizon:06d}.parquet")
+        if os.path.exists(base):
+            out.append(base)
+    for f in sorted(glob.glob(os.path.join(pdir, prefix + _DELTA_GLOB))):
+        e = int(os.path.basename(f)[len(prefix) + 1:-8])
+        if e in visible and e > horizon:
+            out.append(f)
+    return out
+
+
+# natural sort keys per index kind — compaction output must be
+# DETERMINISTIC (a retried crash re-writes byte-identical bases)
+_INDEX_SORT = {"keys": ["dedup_key"],
+               "bands": ["band", "band_hash", "doc_id"],
+               "lsh": ["tbl", "bucket", "vec_id"]}
+
+
+def compact_index(index_dir: str) -> dict:
+    """Fold every partition's committed delta chain into ONE base file per
+    partition (the compact_lake analog for ingest indexes; reference shape:
+    the db-sorter's compaction, docs/design/2022-03-16-ticdc-db-sorter.md).
+
+    Without this, each ingest epoch re-reads O(#epochs) delta files — the
+    chain itself becomes the bottleneck after ~10^4 epochs. After
+    compaction a partition task reads exactly one base + the deltas landed
+    since the last compaction.
+
+    Protocol (same crash discipline as the epochs):
+      1. per partition, write `{prefix}-base-{h:06d}.parquet` = sorted
+         union of the current base and all committed deltas <= h
+         (tmp→rename; content deterministic, retry overwrites);
+      2. driver commits `_manifest/compact-{h:06d}.json` LAST;
+      3. only then delete the folded files (a crash mid-delete leaves
+         garbage that readers already skip — re-running compact_index
+         sweeps it).
+    Not concurrency-safe with a running ingest epoch of the SAME index —
+    run it between epochs (it's a maintenance job, like compact_lake)."""
+    committed = committed_epochs(index_dir)
+    if not committed:
+        return {"horizon": -1, "partitions": 0, "folded_files": 0}
+    h = committed[-1]
+    visible = set(committed)
+    old_h = compact_horizon(index_dir)
+    pdirs = sorted(glob.glob(os.path.join(index_dir, "part=*")))
+
+    def compact_partition_dir(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        counts = []
+        for pdir in t["pdir"].to_pylist():
+            folded = 0
+            for prefix, sort_cols in _INDEX_SORT.items():
+                files = _partition_files(pdir, prefix, visible, old_h)
+                if not files:
+                    continue
+                dst = os.path.join(pdir, f"{prefix}-base-{h:06d}.parquet")
+                if [dst] == files:      # already fully compacted
+                    continue
+                tbl = pa.concat_tables(
+                    [pq.read_table(f) for f in files],
+                    promote_options="default")
+                tbl = tbl.take(pc.sort_indices(
+                    tbl, sort_keys=[(c, "ascending") for c in sort_cols]))
+                tmp = dst + f".tmp.{os.getpid()}"
+                pq.write_table(tbl, tmp, row_group_size=65536)
+                os.replace(tmp, dst)
+                folded += len(files)
+            counts.append(folded)
+        return pa.table({"pdir": t["pdir"],
+                         "folded": pa.array(counts, pa.int64())})
+
+    total_folded = 0
+    if pdirs:
+        stats = ray.data.from_items([{"pdir": d} for d in pdirs],
+                                    override_num_blocks=len(pdirs)) \
+            .map_batches(compact_partition_dir, batch_format="pyarrow",
+                         batch_size=1).take_all()
+        total_folded = sum(r["folded"] for r in stats)
+
+    # commit point
+    mdir = os.path.join(index_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    mp = os.path.join(mdir, f"compact-{h:06d}.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump({"horizon": h, "prev_horizon": old_h,
+                   "partitions": len(pdirs)}, f)
+    os.replace(mp + ".tmp", mp)
+
+    # sweep the folded (now-unreferenced) files: every delta <= h and any
+    # superseded base; leftover crashed-epoch deltas <= h are dead too
+    # (their epoch id can never commit — ids are strictly increasing)
+    removed = 0
+    for pdir in pdirs:
+        for prefix in _INDEX_SORT:
+            for f in glob.glob(os.path.join(pdir, prefix + _DELTA_GLOB)):
+                if int(os.path.basename(f)[len(prefix) + 1:-8]) <= h:
+                    os.remove(f)
+                    removed += 1
+            for f in glob.glob(os.path.join(
+                    pdir, f"{prefix}-base-*.parquet")):
+                if int(os.path.basename(f)[len(prefix) + 6:-8]) < h:
+                    os.remove(f)
+                    removed += 1
+            for f in glob.glob(os.path.join(pdir, "*.tmp.*")):
+                os.remove(f)
+                removed += 1
+    return {"horizon": h, "partitions": len(pdirs),
+            "folded_files": total_folded, "removed_files": removed}
+
+
 def ingest_epoch(ds: "ray.data.Dataset", index_dir: str, epoch_id: int,
                  num_partitions: int = 16,
                  key_fn=None) -> "ray.data.Dataset | None":
@@ -73,23 +202,23 @@ def ingest_epoch(ds: "ray.data.Dataset", index_dir: str, epoch_id: int,
         return keyed.assign(part=(h % num_partitions).astype("int64"))
 
     visible = set(committed)
+    horizon = compact_horizon(index_dir)
 
     def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
         """One partition's task: batch-local first-wins, then drop keys
-        already in THIS partition's committed delta chain, then append
-        this epoch's novel keys as one delta (tmp→rename, idempotent —
-        deterministic content, fixed filename)."""
+        already in THIS partition's committed chain (compacted base +
+        committed deltas — uncommitted leftovers from a crashed epoch
+        must not suppress docs), then append this epoch's novel keys as
+        one delta (tmp→rename, idempotent — deterministic content, fixed
+        filename)."""
         p = int(g["part"].iloc[0])
         pdir = os.path.join(index_dir, f"part={p}")
         os.makedirs(pdir, exist_ok=True)
         g = g.sort_values(["dedup_key", "doc_id"], kind="mergesort") \
              .drop_duplicates("dedup_key")
-        seen_parts = []
-        for f in sorted(glob.glob(os.path.join(pdir, "keys-*.parquet"))):
-            # only COMMITTED deltas are authoritative; an uncommitted
-            # leftover from a crashed epoch must not suppress docs
-            if int(os.path.basename(f)[5:-8]) in visible:
-                seen_parts.append(pq.read_table(f, columns=["dedup_key"]))
+        seen_parts = [pq.read_table(f, columns=["dedup_key"])
+                      for f in _partition_files(pdir, "keys", visible,
+                                                horizon)]
         if seen_parts:
             seen = pa.concat_tables(seen_parts)["dedup_key"] \
                 .to_numpy(zero_copy_only=False)
@@ -116,11 +245,12 @@ def ingest_epoch(ds: "ray.data.Dataset", index_dir: str, epoch_id: int,
 
 
 def index_keys(index_dir: str) -> "ray.data.Dataset":
-    """All committed keys (for audits): committed deltas only."""
+    """All committed keys (for audits): compacted base + committed deltas."""
     visible = set(committed_epochs(index_dir))
-    files = [f for f in glob.glob(os.path.join(index_dir, "part=*",
-                                               "keys-*.parquet"))
-             if int(os.path.basename(f)[5:-8]) in visible]
+    horizon = compact_horizon(index_dir)
+    files = []
+    for pdir in sorted(glob.glob(os.path.join(index_dir, "part=*"))):
+        files.extend(_partition_files(pdir, "keys", visible, horizon))
     return ray.data.read_parquet(files)
 
 
@@ -140,11 +270,13 @@ def index_keys(index_dir: str) -> "ray.data.Dataset":
 #        → thin (doc_id, matched) verdicts → per-doc ANY across partitions
 #   driver commits the manifest LAST (crash before commit = clean retry).
 #
-# The index stores EVERY ingested doc's band rows (duplicates included):
-# a future near-copy then matches whichever earlier copy shares its
-# buckets — slightly larger index than keep-only, but verdicts never
-# depend on a cross-partition "who won" decision, so one shuffle suffices
-# and crashed-epoch retries are bit-deterministic.
+# The index stores only WINNERS' band rows by default (keep_only=True): a
+# post-verdict trim pass rewrites the epoch's deltas minus this epoch's
+# dup doc_ids (broadcast once), bounding index growth by the DISTINCT set
+# instead of the corpus. keep_only=False retains every doc's rows —
+# verdicts then never depend on a cross-epoch "who won" transitivity.
+# Either way, committed delta chains fold into per-partition bases via
+# compact_index() so a partition task reads O(1) files, not O(#epochs).
 # ---------------------------------------------------------------------------
 
 
@@ -152,10 +284,21 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
                          epoch_id: int, num_partitions: int = 16,
                          num_perm: int = 32, bands: int = 8,
                          sim_threshold: float = 0.7,
-                         max_bucket: int = 64) -> "ray.data.Dataset | None":
+                         max_bucket: int = 64,
+                         keep_only: bool = True
+                         ) -> "ray.data.Dataset | None":
     """Near-dup-dedup one ingest epoch (columns doc_id, text) against the
     persistent MinHash band index; returns (doc_id, is_dup) verdicts as a
-    Dataset, or None if this epoch id already committed (idempotent)."""
+    Dataset, or None if this epoch id already committed (idempotent).
+
+    `keep_only` (default): after the epoch's verdicts settle, the epoch's
+    deltas are trimmed to WINNERS' band rows only, so the index grows with
+    the distinct set, not the corpus — at crawl-scale dup rates the
+    difference is the whole ballgame. The tradeoff: a future doc matches
+    only retained winners, so a near-copy of a dropped dup must transit
+    via its winner (the standard keep-only approximation; exact at
+    sim=1.0, negligible at high thresholds). Verdicts within this epoch
+    are computed BEFORE the trim and are unaffected."""
     from ..functions.dedup import MinHashBandSig, sig_agreement
 
     if os.path.exists(_manifest_path(index_dir, epoch_id)):
@@ -165,6 +308,7 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
         f"epoch {epoch_id} must be newer than committed {committed[-1:]}"
     os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
     visible = set(committed)
+    horizon = compact_horizon(index_dir)
 
     stage = MinHashBandSig(num_perm=num_perm, bands=bands)
 
@@ -183,10 +327,9 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
         g = g.sort_values(["band", "band_hash", "doc_id"],
                           kind="mergesort").reset_index(drop=True)
 
-        old_parts = []
-        for f in sorted(glob.glob(os.path.join(pdir, "bands-*.parquet"))):
-            if int(os.path.basename(f)[6:-8]) in visible:
-                old_parts.append(pq.read_table(f).to_pandas())
+        old_parts = [pq.read_table(f).to_pandas()
+                     for f in _partition_files(pdir, "bands", visible,
+                                               horizon)]
         matched = np.zeros(len(g), bool)
 
         if old_parts:
@@ -248,9 +391,57 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
             batch_format="pandas")
     out = out.materialize()         # deltas durable before the commit
     n_dup = int(out.sum("is_dup") or 0)
+
+    trimmed = False
+    budget = int(os.environ.get("TIFLOW_INGEST_KEEPONLY_BYTES", 2 ** 28))
+    if keep_only and n_dup and n_dup * 8 <= budget:
+        # rewrite each touched partition's delta keeping only winners'
+        # rows (this epoch's dup ids broadcast once via ray.put — epoch-
+        # scale, byte-gated like the MinHash collect gate). Crash safety:
+        # the trim runs BEFORE the manifest commit, so a crash mid-trim
+        # leaves mixed full/trimmed deltas that the retried epoch
+        # deterministically overwrites (full) and re-trims.
+        dup_ids = np.concatenate(
+            [b["doc_id"].to_numpy() for b in out.map_batches(
+                lambda t: t.filter(t["is_dup"]), batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)])
+        ref = ray.put(np.sort(dup_ids))
+
+        def trim(t: pa.Table) -> pa.Table:
+            dup = ray.get(ref)
+            removed = []
+            for p in t["part"].to_pylist():
+                f = os.path.join(index_dir, f"part={p}",
+                                 f"bands-{epoch_id:06d}.parquet")
+                if not os.path.exists(f):
+                    removed.append(0)
+                    continue
+                tb = pq.read_table(f)
+                ids = tb["doc_id"].to_numpy()
+                keep = ~np.isin(ids, dup)
+                if keep.all():
+                    removed.append(0)
+                    continue
+                tmp = f + f".tmp.{os.getpid()}"
+                pq.write_table(tb.filter(pa.array(keep)), tmp,
+                               row_group_size=65536)
+                os.replace(tmp, f)
+                removed.append(int((~keep).sum()))
+            return pa.table({"part": t["part"],
+                             "removed": pa.array(removed, pa.int64())})
+
+        ray.data.from_items(
+            [{"part": p} for p in range(num_partitions)],
+            override_num_blocks=num_partitions) \
+            .map_batches(trim, batch_format="pyarrow",
+                         batch_size=1).materialize()
+        trimmed = True
+
     meta = {"epoch": epoch_id, "docs": out.count(), "near_dups": n_dup,
             "num_partitions": num_partitions, "num_perm": num_perm,
-            "bands": bands, "sim_threshold": sim_threshold}
+            "bands": bands, "sim_threshold": sim_threshold,
+            "keep_only": trimmed}
     mp = _manifest_path(index_dir, epoch_id)
     with open(mp + ".tmp", "w") as f:
         json.dump(meta, f)
@@ -286,6 +477,7 @@ def embed_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
         f"epoch {epoch_id} must be newer than committed {committed[-1:]}"
     os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
     visible = set(committed)
+    horizon = compact_horizon(index_dir)
 
     import pyarrow as _pa
 
@@ -310,10 +502,9 @@ def embed_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
                           kind="mergesort").reset_index(drop=True)
         matched = np.zeros(len(g), bool)
 
-        old_parts = []
-        for f in sorted(glob.glob(os.path.join(pdir, "lsh-*.parquet"))):
-            if int(os.path.basename(f)[4:-8]) in visible:
-                old_parts.append(pq.read_table(f).to_pandas())
+        old_parts = [pq.read_table(f).to_pandas()
+                     for f in _partition_files(pdir, "lsh", visible,
+                                               horizon)]
         if old_parts:
             old = pd.concat(old_parts, ignore_index=True)
             j = g.reset_index().merge(old, on=["tbl", "bucket"],
