@@ -416,3 +416,95 @@ def test_multitable_offline_compaction(tmp_path):
     assert mt.compact_multitable_lake(cfg.lake_dir)["chains_folded"] == 0
     # replay still resumes (no new segments -> no-op)
     assert mt.run_replay_multitable(cfg).epochs == []
+
+
+@pytest.mark.parametrize("mode", ["auto", "static"])
+def test_multitable_hot_table_salting_matches_oracle(tmp_path, mode):
+    """VERDICT r4 #2: skew tools reach the multitable path. One table of
+    the feed gets a hot key (90% of its events on one doc); with
+    auto_salt the detector must engage (salted_events > 0 in the
+    manifest) and every table must still equal its unsalted oracle —
+    salting must never leak across tables or change results."""
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+
+    # re-skew the WAL: most of tb's events pile onto one doc
+    import pyarrow.parquet as pq
+    from tiflow_ray.sources.wal import list_segments
+    segs = [pq.read_table(s.path) for s in list_segments(wal_dir)]
+    wal = pa.concat_tables(segs, promote_options="default")
+    tbl = wal["table_name"].to_numpy(zero_copy_only=False)
+    doc = wal["doc_id"].to_numpy(zero_copy_only=False).copy()
+    rng = np.random.default_rng(3)
+    is_tb = tbl == "tb"
+    hot_rows = is_tb & (rng.random(len(doc)) < 0.9)
+    doc[hot_rows] = fixtures.doc_name(np.zeros(1, np.int64))[0]
+    wal = wal.set_column(wal.column_names.index("doc_id"), "doc_id",
+                         pa.array(doc, pa.string()))
+    hot_wal_dir = os.path.join(root, "wal_hot")
+    fixtures.write_wal_segments(wal, hot_wal_dir, 6)
+    mt.write_multitable_registries(hot_wal_dir, regs)
+    # per-table oracle roots over the SKEWED stream (same seed base)
+    dnum = np.arange(N_DOCS, dtype=np.int64)
+    seed_base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[int(d)] for d in dnum], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(N_DOCS, np.int32)),
+        "source": pa.array(["seed"] * N_DOCS),
+    })
+    for t in sorted(regs):
+        sub = wal.filter(pa.array(tbl == t)).drop_columns(["table_name"])
+        if t == "ta":
+            sub = sub.drop_columns(["lang", "score"])
+        elif t == "tb":
+            sub = sub.drop_columns(["score"])
+        od = os.path.join(root, f"oracle_hot_{t}")
+        fixtures.write_base_partitioned(seed_base, od, 8)
+        fixtures.write_wal_segments(
+            sub, os.path.join(od, "wal"), 4, regs[t])
+
+    kw = {"auto_salt": True} if mode == "auto" else {"salt_shuffle": 4}
+    cfg = ReplayConfig(wal_dir=hot_wal_dir,
+                       lake_dir=os.path.join(root, f"lake_{mode}"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       validate=True, **kw)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+    res = mt.run_replay_multitable(cfg)
+    assert res.epochs
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        exp = oracle.replay_to_table(
+            os.path.join(root, f"oracle_hot_{t}"), regs[t])
+        assert got.equals(exp), f"table {t} diverged under {mode} salting"
+    if mode == "auto":
+        ls = LakeState(cfg.lake_dir)
+        salted = sum(ls.load(e).stats.get("salted_events", 0)
+                     for e in ls.committed_epochs())
+        assert salted > 0, "hot key must engage the salted route"
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_multitable_codec_wal_matches_parquet(tmp_path, fmt):
+    """VERDICT r4 #2: the multitable changefeed accepts non-parquet WAL
+    segments through the shared codec decode path; the replayed lakes
+    equal the parquet-WAL run's."""
+    import pyarrow.parquet as pq
+    from tiflow_ray.sources.wal import list_segments
+
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    segs = [pq.read_table(s.path) for s in list_segments(wal_dir)]
+    wal = pa.concat_tables(segs, promote_options="default")
+    cdir = os.path.join(root, f"wal_{fmt}")
+    fixtures.write_wal_segments(wal, cdir, 6, fmt=fmt)
+    mt.write_multitable_registries(cdir, regs)
+
+    cfg = ReplayConfig(wal_dir=cdir,
+                       lake_dir=os.path.join(root, f"lake_{fmt}"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       validate=True)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+    res = mt.run_replay_multitable(cfg)
+    assert res.epochs, f"{fmt} multitable replay committed nothing"
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        assert got.equals(_expected(root, regs, t)), \
+            f"table {t} diverged replaying the {fmt} WAL"

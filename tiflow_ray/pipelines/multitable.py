@@ -49,7 +49,8 @@ from ..stages.normalize import EVENT_KEY_COLS, KEY_COL_TYPES
 from ..stages.schema_evo import SchemaRegistry
 from ..stages.update_split import split_updates
 from ..state.checkpoint import LakeState, Manifest
-from .replay import ReplayResult, EpochResult, _READ_PLAN_LOCK
+from .replay import (ReplayResult, EpochResult, _READ_PLAN_LOCK,
+                     read_codec_epoch)
 
 
 class _UnionBarriers:
@@ -231,19 +232,28 @@ class _MultiNormalize:
 
 def _mt_compact_batch(t: pa.Table, table_ids: dict[str, int],
                       num_partitions: int,
-                      collation: str = "binary") -> pa.Table:
+                      collation: str = "binary",
+                      hot_share: float | None = None,
+                      salt_factor: int = 8) -> pa.Table:
     """Per-batch update-split + LWW combiner + (table, part) shuffle-key
     assignment, all PER TABLE: doc_ids are table-scoped keys — the same id
     in two tables must never collapse — and the split's synthesized delete
     half must stay routed to its table. tpart = tid*P + part makes one
-    integer shuffle key so the exchange stays a single groupby."""
+    integer shuffle key so the exchange stays a single groupby.
+
+    `hot_share` enables the same dynamic hot-key detection as the
+    single-table path (splitter_write.go analog), PER TABLE — skew is a
+    per-table phenomenon: a hot key in one table of the feed must not
+    serialize the other tables' groups. Detected-hot rows carry a nonzero
+    `salt` for the (tpart, salt) pre-reduce."""
     P = num_partitions
     tn = t["table_name"].to_numpy(zero_copy_only=False)
     pieces = []
     for name in np.unique(tn):
         sub = t.filter(pa.array(tn == name)).drop_columns(["table_name"])
         sub = split_updates(sub)             # also drops new_doc_id
-        sub = compact_batch(sub, P, collation=collation)
+        sub = compact_batch(sub, P, hot_share=hot_share,
+                            salt_factor=salt_factor, collation=collation)
         tid = table_ids[str(name)]
         part = sub["part"].to_numpy(zero_copy_only=False).astype(np.int64)
         sub = sub.append_column(
@@ -252,7 +262,10 @@ def _mt_compact_batch(t: pa.Table, table_ids: dict[str, int],
     if pieces:
         return pa.concat_tables(pieces)
     empty = split_updates(t.drop_columns(["table_name"]))
-    return empty.append_column("tpart", pa.nulls(0, pa.int64()))
+    empty = empty.append_column("tpart", pa.nulls(0, pa.int64()))
+    if hot_share is not None:
+        empty = empty.append_column("salt", pa.nulls(0, pa.uint32()))
+    return empty
 
 
 class _MultiMergeApply:
@@ -396,7 +409,6 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
                       allow_fold: bool = True) -> list[dict]:
     if not ep.files:
         return []
-    assert ep.fmt == "parquet", "multitable replay expects parquet WAL"
     active = _active_tables(table_names, lifecycle, ep)
     if not active:
         return []
@@ -424,19 +436,59 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
     if ep.est_rows > 4 * 131072:
         read_kwargs["override_num_blocks"] = max(
             ncpu, min(8 * ncpu, ep.est_rows // 131072))
-    flt = (pads.field("commit_ts") > ep.lo) \
-        & (pads.field("commit_ts") <= ep.hi)
     with _READ_PLAN_LOCK:
-        ds = ray.data.read_parquet(list(ep.files), columns=read_cols,
-                                   filter=flt, **read_kwargs)
+        if ep.fmt == "parquet":
+            flt = (pads.field("commit_ts") > ep.lo) \
+                & (pads.field("commit_ts") <= ep.hi)
+            ds = ray.data.read_parquet(list(ep.files), columns=read_cols,
+                                       filter=flt, **read_kwargs)
+            enforce_range = False
+        else:   # codec WAL segments (jsonl/csv/canal-json/avro/craft/…):
+            # distributed decode shared with the single-table path; the
+            # codec column list must include table_name (a multi-table
+            # change stream without table routing is undecodable —
+            # _MultiNormalize rejects such rows loudly)
+            ds = read_codec_epoch(ep, read_kwargs, cfg.batch_size)
+            enforce_range = True
     ds = ds.map_batches(
         _MultiNormalize(union_fields, active, ep.lo, ep.hi,
-                        validate=cfg.validate),
+                        validate=cfg.validate, enforce_range=enforce_range),
         batch_format="pyarrow", batch_size=cfg.batch_size)
+    # hot-key handling, feature parity with the single-table path: static
+    # salting (salt_shuffle > 1) salts every row; auto_salt detects hot
+    # keys per batch PER TABLE inside _mt_compact_batch and salts only
+    # those. Either way a (tpart, salt) pre-reduce collapses the hot key's
+    # sub-groups in parallel before the final per-(table, part) merge, so
+    # one table's hot key can't serialize the whole feed's exchange.
+    dynamic_salt = cfg.auto_salt and cfg.salt_shuffle <= 1
+    hot_share = cfg.auto_salt_share if dynamic_salt else None
     ds = ds.map_batches(
         lambda t: _mt_compact_batch(t, table_ids, cfg.num_partitions,
-                                    cfg.key_collation),
+                                    cfg.key_collation,
+                                    hot_share=hot_share,
+                                    salt_factor=cfg.auto_salt_factor),
         batch_format="pyarrow", batch_size=cfg.batch_size)
+    if cfg.salt_shuffle > 1 or dynamic_salt:
+        from ..stages.compact import compact_partition
+        S = cfg.salt_shuffle
+
+        def add_salt(t: pa.Table) -> pa.Table:   # static: salt every row
+            salt = (t["start_ts"].to_numpy(zero_copy_only=False)
+                    % np.uint64(S)).astype(np.uint32)
+            return t.append_column("salt", pa.array(salt))
+
+        def presalt_reduce(t: pa.Table) -> pa.Table:
+            salted = bool(t.num_rows) and t["salt"][0].as_py() != 0
+            out = compact_partition(t.drop_columns(["salt"]),
+                                    collation=cfg.key_collation)
+            return out.append_column(
+                "from_salted", pa.array(np.full(out.num_rows, salted)))
+
+        if not dynamic_salt:
+            ds = ds.map_batches(add_salt, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+        ds = ds.groupby(["tpart", "salt"]).map_groups(
+            presalt_reduce, batch_format="pyarrow")
 
     prev_by_table = {t: {} for t in table_names}
     for key, meta in prev.parts.items():
@@ -522,6 +574,8 @@ def _commit_epoch_mt(lake, tables, registries_json, lifecycle, prev,
                                          | set(ep.files)),
                  stats={"events": ep.est_rows, "winners": n_winners,
                         "parts_touched": len(stats_rows),
+                        "salted_events": sum(r.get("salted_events", 0) or 0
+                                             for r in stats_rows),
                         **({"key_collation": key_collation}
                            if key_collation != "binary" else {}),
                         "tables": tstats,
