@@ -3927,58 +3927,16 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 #: name → (ray_fn, oracle_sql | None)
+# Ordering policy (r4 verdict #3): the correctness driver checks the FIRST
+# 50 entries, so the window is rotated each round onto the least-recently-
+# driver-verified queries. Round-5 window = the 31 queries the r4 driver
+# never saw (training-data/multimodal/ingest suite) + this round's touched
+# pipelines (optimistic guard, MQ re-fetch, multitable salting/codecs,
+# ingest compaction) + the flagship. The rotated-out cdc_* twins are all
+# SQL-hash-checked by tools/check_parity.py and covered by the pytest
+# oracle suites every run.
 REGISTRY: dict[str, tuple] = {
-    "cdc_replay": (q_cdc_replay, _CDC_REPLAY_SQL),
-    "cdc_replay_ddl": (q_cdc_replay_ddl, _CDC_REPLAY_DDL_SQL),
-    "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
-    "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
-    "cdc_replay_types": (q_cdc_replay_types, _CDC_TYPED_SQL),
-    "cdc_replay_enum": (q_cdc_replay_enum, _CDC_ENUM_SQL),
-    "cdc_syncpoint": (q_cdc_syncpoint, _CDC_SYNCPOINT_SQL),
-    "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
-    "cdc_replay_optimistic": (q_cdc_replay_optimistic,
-                              _CDC_REPLAY_OPTIMISTIC_SQL),
-    "cdc_replay_multitable": (q_cdc_replay_multitable, _CDC_MULTITABLE_SQL),
-    "cdc_replay_truncate": (q_cdc_replay_truncate, _CDC_REPLAY_TRUNCATE_SQL),
-    "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
-    "cdc_replay_online": (q_cdc_replay_online, _CDC_REPLAY_DDL_SQL),
-    "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
-    "cdc_replay_bdr": (q_cdc_replay_bdr, _CDC_REPLAY_SQL),
-    "online_ddl_filter": (q_online_ddl_filter, _ONLINE_DDL_FILTER_SQL),
-    "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
-    "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
-    "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
-    "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
-    "expr_filter": (q_expr_filter, _EXPR_FILTER_SQL),
-    "table_filter": (q_table_filter, _TABLE_FILTER_SQL),
-    "table_router_extend": (q_table_router_extend, _TABLE_ROUTER_SQL),
-    "mq_event_router": (q_mq_event_router, _MQ_EVENT_ROUTER_SQL),
-    "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
-    "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
-    "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
-    "column_mapping": (q_column_mapping, _COLUMN_MAPPING_SQL),
-    "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
-    "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),
-    "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
-    "window_tumbling": (q_window_tumbling, _WINDOW_SQL),
-    "window_hopping": (q_window_hopping, _WINDOW_HOP_SQL),
-    "asof_join": (q_asof_join, _ASOF_SQL),
-    "sessionize": (q_sessionize, _SESSION_SQL),
-    "knn_lsh": (q_knn_lsh, None),
-    "knn_ivf": (q_knn_ivf, None),
-    "knn_pq": (q_knn_pq, None),
-    "corpus_kmeans": (q_corpus_kmeans, None),
-    "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
-    "sync_diff": (q_sync_diff, None),
-    "text_stats": (q_text_stats, _TEXT_STATS_SQL),
-    "lang_id": (q_lang_id, _LANG_ID_SQL),
-    "repetition_stats": (q_repetition_stats, _REPETITION_SQL),
-    "lm_novelty": (q_lm_novelty, _LM_NOVELTY_SQL),
-    "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
-    "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
-    "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
-    "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
-    "sample_split": (q_sample_split, _SAMPLE_SPLIT_SQL),
+    # --- r4 driver-unseen: training-data + multimodal suite -------------
     "domain_mix": (q_domain_mix, _DOMAIN_MIX_SQL),
     "lake_token_stats": (q_lake_token_stats, _LAKE_TOKEN_STATS_SQL),
     "hash_embed": (q_hash_embed, _HASH_EMBED_SQL),
@@ -4013,6 +3971,60 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_frames": (q_multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "agg_partial": (q_agg_partial, _AGG_PARTIAL_SQL),
     "broadcast_join": (q_broadcast_join, _BROADCAST_JOIN_SQL),
+    # --- round-5-touched pipelines + flagship ----------------------------
+    "cdc_replay": (q_cdc_replay, _CDC_REPLAY_SQL),
+    "cdc_replay_multitable": (q_cdc_replay_multitable, _CDC_MULTITABLE_SQL),
+    "cdc_replay_optimistic": (q_cdc_replay_optimistic,
+                              _CDC_REPLAY_OPTIMISTIC_SQL),
+    "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
+    "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
+    "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
+    "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
+    "knn_lsh": (q_knn_lsh, None),
+    "knn_ivf": (q_knn_ivf, None),
+    "knn_pq": (q_knn_pq, None),
+    "corpus_kmeans": (q_corpus_kmeans, None),
+    "sync_diff": (q_sync_diff, None),
+    "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
+    "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
+    "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
+    "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
+    "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
+    "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
+    "sample_split": (q_sample_split, _SAMPLE_SPLIT_SQL),
+    # --- long-stable twins (rotated out of the driver window; each is
+    # --- still hash-checked by check_parity + its pytest oracle suite) ---
+    "cdc_replay_ddl": (q_cdc_replay_ddl, _CDC_REPLAY_DDL_SQL),
+    "cdc_replay_resume": (q_cdc_replay_resume, _CDC_REPLAY_SQL),
+    "sql_apply": (q_sql_apply, _CDC_REPLAY_SQL),
+    "cdc_replay_types": (q_cdc_replay_types, _CDC_TYPED_SQL),
+    "cdc_replay_enum": (q_cdc_replay_enum, _CDC_ENUM_SQL),
+    "cdc_syncpoint": (q_cdc_syncpoint, _CDC_SYNCPOINT_SQL),
+    "cdc_replay_truncate": (q_cdc_replay_truncate, _CDC_REPLAY_TRUNCATE_SQL),
+    "cdc_replay_rename": (q_cdc_replay_rename, _CDC_REPLAY_RENAME_SQL),
+    "cdc_replay_online": (q_cdc_replay_online, _CDC_REPLAY_DDL_SQL),
+    "cdc_replay_bdr": (q_cdc_replay_bdr, _CDC_REPLAY_SQL),
+    "online_ddl_filter": (q_online_ddl_filter, _ONLINE_DDL_FILTER_SQL),
+    "event_filter": (q_event_filter, _EVENT_FILTER_SQL),
+    "binlog_filter": (q_binlog_filter, _BINLOG_FILTER_SQL),
+    "expr_filter": (q_expr_filter, _EXPR_FILTER_SQL),
+    "table_filter": (q_table_filter, _TABLE_FILTER_SQL),
+    "table_router_extend": (q_table_router_extend, _TABLE_ROUTER_SQL),
+    "mq_event_router": (q_mq_event_router, _MQ_EVENT_ROUTER_SQL),
+    "column_router": (q_column_router, _COLUMN_ROUTER_SQL),
+    "column_mapping": (q_column_mapping, _COLUMN_MAPPING_SQL),
+    "frontier_watermark": (q_frontier_watermark, _FRONTIER_SQL),
+    "frontier_checkpoint": (q_frontier_checkpoint, _FRONTIER_CKPT_SQL),
+    "schema_version_lookup": (q_schema_version_lookup, _SCHEMA_LOOKUP_SQL),
+    "window_tumbling": (q_window_tumbling, _WINDOW_SQL),
+    "window_hopping": (q_window_hopping, _WINDOW_HOP_SQL),
+    "asof_join": (q_asof_join, _ASOF_SQL),
+    "sessionize": (q_sessionize, _SESSION_SQL),
+    "text_stats": (q_text_stats, _TEXT_STATS_SQL),
+    "lang_id": (q_lang_id, _LANG_ID_SQL),
+    "repetition_stats": (q_repetition_stats, _REPETITION_SQL),
+    "lm_novelty": (q_lm_novelty, _LM_NOVELTY_SQL),
+    "token_count_bpe": (q_token_count_bpe, _TOKEN_COUNT_SQL),
 }
 
 
