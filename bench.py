@@ -29,6 +29,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = "/tmp/tiflow_ray_bench"
+# before ray.init so workers inherit it: silences the benign per-worker
+# "Failed to hash the schemas" warning (see tiflow_ray/__init__.py)
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "tiflow_ray", "ray_data_logging.yaml"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -99,6 +105,86 @@ def bench_replay(root: str, P: int) -> dict:
             "reps_sec": [round(s, 3) for s in secs]}
 
 
+def ensure_mt_fixture(root: str) -> str:
+    """Derive (once) a 3-table WAL from the bench fixture: table =
+    start_ts % 3, empty per-table registries, shared base — the NOTES_r4
+    multitable staging, now a first-class bench input."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiflow_ray.pipelines import multitable as mtp
+    from tiflow_ray.sources.wal import list_segments
+    from tiflow_ray.stages.schema_evo import SchemaRegistry
+
+    mt_wal = os.path.join(root, "wal_mt")
+    if os.path.exists(os.path.join(mt_wal, "tables.json")):
+        return mt_wal
+    os.makedirs(mt_wal, exist_ok=True)
+    names = np.array(["t0", "t1", "t2"], object)
+    for s in list_segments(os.path.join(root, "wal")):
+        t = pq.read_table(s.path)
+        sts = t["start_ts"].to_numpy(zero_copy_only=False)
+        tn = names[(sts % 3).astype(np.int64)]
+        t = t.append_column("table_name", pa.array(tn, pa.string()))
+        pq.write_table(t, os.path.join(mt_wal, os.path.basename(s.path)),
+                       row_group_size=32768)
+        shutil.copy(s.path.replace(".parquet", ".meta.json"),
+                    os.path.join(mt_wal, os.path.basename(
+                        s.path).replace(".parquet", ".meta.json")))
+    mtp.write_multitable_registries(
+        mt_wal, {t: SchemaRegistry([]) for t in names})
+    return mt_wal
+
+
+def bench_multitable(root: str, P: int) -> dict:
+    """3-table changefeed over the same event volume (one WAL read demuxed
+    to (table, part) groups, pipelined epochs) — tracks the multitable
+    demux overhead round-over-round (r4 one-off: 13.0s at 20M/32cpu)."""
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import multitable as mtp
+    from tiflow_ray.stages.schema_evo import SchemaRegistry
+
+    mt_wal = ensure_mt_fixture(root)
+    lake = os.path.join(root, f"lake_mt_cpu{CPUS}")
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = ReplayConfig(
+        wal_dir=mt_wal, lake_dir=lake, num_partitions=P,
+        max_segments_per_epoch=int(os.environ.get("GRAFT_MSEG", "4")),
+        pipeline_epochs=int(os.environ.get("GRAFT_PIPELINE", "4")))
+    regs = {t: SchemaRegistry([]) for t in ("t0", "t1", "t2")}
+    base = os.path.join(root, "base")
+    mtp.bootstrap_multitable(cfg, regs, {t: base for t in regs})
+    t0 = time.perf_counter()
+    res = mtp.run_replay_multitable(cfg)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "epochs": len(res.epochs)}
+
+
+def bench_ingest(sf_dir: str) -> float:
+    """Streaming MinHash near-dup ingest: 2 epochs over the documents
+    table into a FRESH persistent index (epoch 2 re-sends the corpus —
+    worst-case dup rate, exercising the keep-only trim) + one
+    compact_index fold. End-to-end seconds."""
+    import ray.data
+
+    from tiflow_ray.pipelines.dedup_ingest import (compact_index,
+                                                   minhash_ingest_epoch)
+
+    idx = os.path.join(CACHE, "bench_mh_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+    minhash_ingest_epoch(ds, idx, 0, num_partitions=16)
+    ds2 = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+    minhash_ingest_epoch(ds2, idx, 1, num_partitions=16)
+    compact_index(idx)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(idx, ignore_errors=True)
+    return dt
+
+
 def bench_queries(sf_dir: str) -> dict:
     """Representative operator timings (secondary metrics)."""
     from tiflow_ray import queries as Q
@@ -141,7 +227,14 @@ def run_once() -> dict:
     os.sync()  # drain writeback from fixture gen / prior runs (untimed)
 
     replay = bench_replay(root, P)
-    qtimes = {} if os.environ.get("GRAFT_SKIP_QUERIES") else bench_queries(SF_DIR)
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        qtimes = {}
+    else:
+        mt = bench_multitable(root, P)
+        qtimes = {"cdc_replay_multitable_bench": round(mt["sec"], 3),
+                  "dedup_minhash_ingest_bench": round(
+                      bench_ingest(SF_DIR), 3)}
+        qtimes.update(bench_queries(SF_DIR))
     ray.shutdown()
 
     return {

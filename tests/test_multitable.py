@@ -508,3 +508,86 @@ def test_multitable_codec_wal_matches_parquet(tmp_path, fmt):
         got = mt.multitable_lake_to_table(cfg.lake_dir, t)
         assert got.equals(_expected(root, regs, t)), \
             f"table {t} diverged replaying the {fmt} WAL"
+
+
+def test_multitable_drop_table_gc_reclaims_bytes(tmp_path):
+    """VERDICT r4 #5: DROP TABLE removes chains from the manifest but the
+    parquet files used to stay on disk forever. LakeState.gc() now sweeps
+    the table=T/part=p layout too: once no retained manifest references a
+    dropped table's files, the bytes are reclaimed — while every retained
+    manifest stays fully readable (time travel within retention)."""
+    import glob as _glob
+
+    regs = {"ta": SchemaRegistry([]), "tb": SchemaRegistry([])}
+    drop_ta = 20_000
+    lcs = {"ta": mt.TableLifecycle(dropped_ts=drop_ta),
+           "tb": mt.TableLifecycle()}
+    names = sorted(regs)
+    root = str(tmp_path / "mt")
+    os.makedirs(root)
+    dnum = np.arange(N_DOCS, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[int(d)] for d in dnum], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(N_DOCS, np.int32)),
+        "source": pa.array(["seed"] * N_DOCS)})
+    base_dirs = {}
+    for t in names:
+        troot = os.path.join(root, f"oracle_{t}")
+        fixtures.write_base_partitioned(base, troot, 8)
+        base_dirs[t] = os.path.join(troot, "base")
+
+    rng = np.random.default_rng(13)
+    cts = np.sort(rng.choice(np.arange(1, TS_MAX), 400, replace=False))
+    tbl = np.array(names, object)[np.arange(400) % 2]
+    keep = ~((tbl == "ta") & (cts > drop_ta))
+    cts, tbl = cts[keep], tbl[keep]
+    n = len(cts)
+    docs = rng.integers(0, N_DOCS, n)
+    ops = rng.choice([2, 3], n).astype(np.uint8)
+    wal = pa.table({
+        "op": pa.array(ops),
+        "commit_ts": pa.array(cts.astype(np.uint64)),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array(fixtures.doc_name(docs)),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "tokens": pa.array([[int(d)] for d in docs], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array([f"s{int(c) % 4}" for c in cts]),
+        "schema_ver": pa.array(np.ones(n, np.int32)),
+        "table_name": pa.array(tbl, pa.string()),
+    })
+    wal_dir = os.path.join(root, "wal")
+    fixtures.write_wal_segments(wal, wal_dir, 6)
+    mt.write_multitable_registries(wal_dir, regs, lcs)
+    for t in names:
+        sub = wal.filter(pa.array(tbl == t)).drop_columns(["table_name"])
+        fixtures.write_wal_segments(
+            sub, os.path.join(root, f"oracle_{t}", "wal"), 3, regs[t])
+
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake"),
+                       num_partitions=8, max_segments_per_epoch=1)
+    mt.bootstrap_multitable(cfg, regs, base_dirs, lcs)
+    mt.run_replay_multitable(cfg)
+
+    ta_glob = os.path.join(cfg.lake_dir, "data", "table=ta", "part=*",
+                           "*.parquet")
+    assert _glob.glob(ta_glob), "fixture: ta wrote no lake files pre-drop"
+    ls = LakeState(cfg.lake_dir)
+    res = ls.gc(keep_epochs=2)
+    assert res["files_removed"] > 0
+    assert not _glob.glob(ta_glob), "dropped table's bytes not reclaimed"
+    assert not os.path.exists(os.path.join(cfg.lake_dir, "data",
+                                           "table=ta")), "dir not pruned"
+    # retained manifests stay fully readable (time travel in retention)
+    for e in ls.committed_epochs():
+        m = ls.load(e)
+        for meta in m.parts.values():
+            for p in [meta.get("path")] + [d["path"]
+                                           for d in meta.get("deltas", [])]:
+                assert p is None or os.path.exists(p), f"epoch {e} lost {p}"
+    got = mt.multitable_lake_to_table(cfg.lake_dir, "tb")
+    exp = oracle.replay_to_table(os.path.join(root, "oracle_tb"),
+                                 regs["tb"])
+    assert got.equals(exp), "surviving table corrupted by gc"

@@ -15,6 +15,15 @@ class ReplayConfig:
 
     # epoching
     max_segments_per_epoch: int = 8   # coalesce WAL segments per epoch (never across a barrier)
+    max_epoch_bytes: int = 0          # ALSO cap an epoch's on-disk segment
+                                      # bytes: 0 = auto (object store /
+                                      # (pipeline_epochs × 12) — decompressed
+                                      # Arrow + in-flight shuffle copies
+                                      # expand ~an order of magnitude past
+                                      # parquet, and k pipelined epochs share
+                                      # the store); -1 = off; >0 = explicit
+                                      # bytes. Bounds the working set so one
+                                      # big epoch can't hit the spill cliff.
     pipeline_epochs: int = 1          # >1 (MoR only): run up to k consecutive
                                       # barrier-free epochs' pipelines
                                       # CONCURRENTLY (their delta appends are

@@ -101,7 +101,7 @@ def knn(ds, query_ids: list[int], k: int = 10,
     # lose one slot to the self-match
     parts = ds.map_batches(BruteForceKnn, fn_constructor_args=(ref, k + 1),
                            batch_format="pyarrow", batch_size=4096,
-                           concurrency=2).to_pandas()
+                           concurrency=2, max_restarts=0).to_pandas()
     if exclude_self:
         parts = parts[parts["query_id"] != parts["vec_id"]]
     return finalize_topk(parts, k)

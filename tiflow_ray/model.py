@@ -107,18 +107,24 @@ def collation_key(doc_ids, collation: str = "binary"):
     (cdc/entry/mounter.go:75-91: TiDB's handle keys compare
     collation-aware, e.g. utf8mb4_general_ci folds case). "binary" = byte
     equality (default, zero cost); "ci" = case-insensitive via the
-    utf8_lower normal form. Hashing, partition assignment, LWW compaction
-    and base-merge anti-joins all compare THIS form; stored images keep
-    the winner's original spelling — exactly the reference split between
-    key comparison and row value."""
+    utf8_lower normal form; "ai_ci" = accent- AND case-insensitive
+    (utf8mb4_unicode_ci analog): NFKD-decompose, strip the combining
+    marks (\\p{Mn}), then lower — café/CAFÉ/cafe all one key. Hashing,
+    partition assignment, LWW compaction and base-merge anti-joins all
+    compare THIS form; stored images keep the winner's original spelling
+    — exactly the reference split between key comparison and row value."""
     if collation == "binary":
         return doc_ids
-    assert collation == "ci", f"unknown key collation {collation!r}"
+    assert collation in ("ci", "ai_ci"), \
+        f"unknown key collation {collation!r}"
     import pyarrow.compute as pc
-    if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
-        return pc.utf8_lower(doc_ids)
-    return pc.utf8_lower(pa.array(np.asarray(doc_ids, dtype=object)
-                                  .astype(str)))
+    if not isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        doc_ids = pa.array(np.asarray(doc_ids, dtype=object).astype(str))
+    if collation == "ai_ci":
+        doc_ids = pc.replace_substring_regex(
+            pc.utf8_normalize(doc_ids, form="NFKD"),
+            pattern=r"\p{Mn}", replacement="")
+    return pc.utf8_lower(doc_ids)
 
 
 def hash_fingerprint() -> str:

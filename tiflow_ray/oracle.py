@@ -70,6 +70,12 @@ def replay(root: str, registry: SchemaRegistry,
     `collation` selects the handle-key comparison form (ci = lower-cased
     dict key); row images keep their own spelling."""
     def k(doc_id):
+        if collation == "ai_ci":
+            import unicodedata
+            folded = "".join(
+                c for c in unicodedata.normalize("NFKD", doc_id)
+                if unicodedata.category(c) != "Mn")
+            return folded.lower()
         return doc_id.lower() if collation == "ci" else doc_id
 
     rows = {k(d): r for d, r in load_base_rows(root).items()}

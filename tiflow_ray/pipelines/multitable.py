@@ -50,7 +50,7 @@ from ..stages.schema_evo import SchemaRegistry
 from ..stages.update_split import split_updates
 from ..state.checkpoint import LakeState, Manifest
 from .replay import (ReplayResult, EpochResult, _READ_PLAN_LOCK,
-                     read_codec_epoch)
+                     _epoch_byte_cap, read_codec_epoch)
 
 
 class _UnionBarriers:
@@ -342,7 +342,8 @@ def run_replay_multitable(cfg: ReplayConfig,
                          from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=upto_ts,
-                         syncpoint_interval=cfg.syncpoint_interval)
+                         syncpoint_interval=cfg.syncpoint_interval,
+                         max_bytes_per_epoch=_epoch_byte_cap(cfg))
     if max_epochs is not None:
         epochs = epochs[:max_epochs]
     result = ReplayResult()

@@ -186,6 +186,23 @@ def _part_sig_map(sig_index: tuple, parts_needed) -> dict:
     return ent["final"]
 
 
+def _epoch_byte_cap(cfg: ReplayConfig) -> int | None:
+    """Resolve cfg.max_epoch_bytes: >0 explicit, -1 off, 0 auto — a share
+    of the object store per concurrently-pipelined epoch, with a 12×
+    parquet→working-set expansion margin (decompressed Arrow + in-flight
+    shuffle copies). Bounds an epoch's plasma footprint so the 100×-data
+    case degrades to more epochs instead of the spill cliff."""
+    if cfg.max_epoch_bytes > 0:
+        return cfg.max_epoch_bytes
+    if cfg.max_epoch_bytes < 0 or not ray.is_initialized():
+        return None
+    plasma = ray.cluster_resources().get("object_store_memory", 0)
+    if not plasma:
+        return None
+    k = max(1, cfg.pipeline_epochs)
+    return max(64 << 20, int(plasma / (k * 12)))
+
+
 @ray.remote(num_cpus=0)
 def _block_parts(t: pa.Table) -> tuple:
     """Distinct partitions present in one sig block (runs co-located with
@@ -772,7 +789,8 @@ def run_replay(cfg: ReplayConfig, upto_ts: int | None = None,
     epochs = plan_epochs(segments, registry, from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=upto_ts,
-                         syncpoint_interval=cfg.syncpoint_interval)
+                         syncpoint_interval=cfg.syncpoint_interval,
+                         max_bytes_per_epoch=_epoch_byte_cap(cfg))
     if max_epochs is not None:
         epochs = epochs[:max_epochs]
     return _drive_epochs(cfg, lake, registry, prev, epochs)
@@ -1041,7 +1059,8 @@ def _run_replay_optimistic(cfg: ReplayConfig, wal_dirs: list[str],
     epochs = plan_epochs(merged_segs, merged, from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=frontier,
-                         syncpoint_interval=cfg.syncpoint_interval)
+                         syncpoint_interval=cfg.syncpoint_interval,
+                         max_bytes_per_epoch=_epoch_byte_cap(cfg))
     return _drive_epochs(cfg, lake, merged, prev, epochs)
 
 
@@ -1110,7 +1129,8 @@ def run_replay_sharded(cfg: ReplayConfig, wal_dirs: list[str],
     epochs = plan_epochs(merged, registry, from_ts=prev.watermark_ts,
                          max_segments_per_epoch=cfg.max_segments_per_epoch,
                          upto_ts=frontier,
-                         syncpoint_interval=cfg.syncpoint_interval)
+                         syncpoint_interval=cfg.syncpoint_interval,
+                         max_bytes_per_epoch=_epoch_byte_cap(cfg))
     return _drive_epochs(cfg, lake, registry, prev, epochs)
 
 

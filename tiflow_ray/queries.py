@@ -2131,7 +2131,7 @@ def q_knn_ivf(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = ds.map_batches(IvfProbe, fn_constructor_args=(cref, qref, 10, 12),
                            batch_format="pyarrow", batch_size=4096,
-                           concurrency=2).to_pandas()
+                           concurrency=2, max_restarts=0).to_pandas()
     out = finalize_topk(parts, 10)
     if with_recall:
         brute = knn(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -2191,7 +2191,7 @@ def q_knn_pq(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = ds.map_batches(PqSearch, fn_constructor_args=(bref, qref, 10, 5),
                            batch_format="pyarrow", batch_size=4096,
-                           concurrency=2).to_pandas()
+                           concurrency=2, max_restarts=0).to_pandas()
     out = finalize_topk(parts, 10)
     if with_recall:
         brute = knn(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -2234,7 +2234,7 @@ def q_knn_lsh(sf_dir: str, with_recall: bool = True) -> pd.DataFrame:
     parts = ds.map_batches(LshProbe,
                            fn_constructor_args=(ref, 10, seeds, 6, 6),
                            batch_format="pyarrow", batch_size=4096,
-                           concurrency=2).to_pandas()
+                           concurrency=2, max_restarts=0).to_pandas()
     out = finalize_topk(parts, 10)
 
     if with_recall:
@@ -2338,7 +2338,8 @@ def q_lm_novelty(sf_dir: str) -> pd.DataFrame:
     ref = ray.put(np.unique(gh))
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(LmNovelty, fn_constructor_args=(ref,),
-                         batch_format="pandas", concurrency=2).to_pandas()
+                         batch_format="pandas", concurrency=2,
+                         max_restarts=0).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2995,7 +2996,12 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
                 .repartition(max(2, min(ncpu // 2, 1 + len(cand_pd) // 512))) \
                 .map_batches(BroadcastJaccardVerify,
                              fn_constructor_args=(gref, 0.6),
-                             batch_format="pyarrow", concurrency=2).to_pandas()
+                             batch_format="pyarrow", concurrency=2,
+                             # the ctor arg is a plasma ref the driver may
+                             # release after the run; a restart could not
+                             # re-resolve it (ray#53727) — the stage is
+                             # short and bounded, so no restarts, no warn
+                             max_restarts=0).to_pandas()
     if out is None:
         # DISTRIBUTED PATH: pairs never touch the driver. Cross-band pair
         # dedup via the hash-partition exchange, candidate ids via a
@@ -3443,7 +3449,8 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(plant, batch_format="pandas") \
             .map_batches(Decontaminate, fn_constructor_args=(ref,),
-                         batch_format="pandas", concurrency=2).to_pandas()
+                         batch_format="pandas", concurrency=2,
+                         max_restarts=0).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3588,7 +3595,7 @@ def q_dsir_select(sf_dir: str) -> pd.DataFrame:
     out = buckets.map_batches(DsirScoreFromBuckets,
                               fn_constructor_args=(ray.put(signs),),
                               batch_format="pyarrow",
-                              concurrency=2).to_pandas()
+                              concurrency=2, max_restarts=0).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -81,19 +81,27 @@ def load_registry(wal_dir: str) -> SchemaRegistry:
 def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
                 from_ts: int = 0, max_segments_per_epoch: int = 8,
                 upto_ts: int | None = None,
-                syncpoint_interval: int = 0) -> list[Epoch]:
+                syncpoint_interval: int = 0,
+                max_bytes_per_epoch: int | None = None) -> list[Epoch]:
     """Deterministic epoch plan for events in (from_ts, upto_ts].
 
     Resume safety: the plan is a pure function of (segment metas, DDL
-    schedule, from_ts, syncpoint interval) — a restarted driver with the
-    same checkpoint reproduces exactly the remaining epochs (redo-applier
-    analog, pkg/applier/redo.go:162-230).
+    schedule, from_ts, syncpoint interval, byte cap) — a restarted driver
+    with the same checkpoint reproduces exactly the remaining epochs
+    (redo-applier analog, pkg/applier/redo.go:162-230).
 
     `syncpoint_interval` > 0 additionally cuts an epoch at every multiple
     of the interval (cdc/owner syncpoint analog): each such boundary
     commits a manifest whose watermark equals the aligned ts — a
     consistent snapshot downstream checkers can pin.
-    """
+
+    `max_bytes_per_epoch` caps an epoch's on-disk segment bytes IN
+    ADDITION to the segment-count cap: segment count says nothing about
+    working-set size, and one oversized epoch (decompressed Arrow ×
+    in-flight shuffle copies) can exceed the object store and hit the
+    spill cliff. Byte-capped epochs trade a little per-epoch fixed cost
+    for a bounded plasma footprint. Resume-deterministic as long as the
+    segment files themselves are immutable (they are — tmp→rename)."""
     if not segments:
         return []
     max_w = segments[-1].watermark_ts if upto_ts is None else upto_ts
@@ -104,8 +112,20 @@ def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
         syncs = list(range(first, max_w + 1, syncpoint_interval))
 
     # candidate boundaries: coalesced segment watermarks + barriers + syncs
-    wm = [s.watermark_ts for s in segments if from_ts < s.watermark_ts <= max_w]
-    coalesced = wm[min(max_segments_per_epoch, len(wm)) - 1::max_segments_per_epoch]
+    wm_segs = [s for s in segments if from_ts < s.watermark_ts <= max_w]
+    wm = [s.watermark_ts for s in wm_segs]
+    coalesced, cnt, acc = [], 0, 0
+    for s in wm_segs:
+        cnt += 1
+        if max_bytes_per_epoch:
+            try:
+                acc += os.path.getsize(s.path)
+            except OSError:
+                pass
+        if cnt >= max_segments_per_epoch or \
+                (max_bytes_per_epoch and acc >= max_bytes_per_epoch):
+            coalesced.append(s.watermark_ts)
+            cnt = acc = 0
     if wm and (not coalesced or coalesced[-1] != wm[-1]):
         coalesced.append(wm[-1])
     bounds = sorted(set(coalesced) | set(barriers) | set(syncs))

@@ -112,12 +112,7 @@ class LakeState:
                     referenced.add(os.path.realpath(meta["path"]))
                 for d in meta.get("deltas", []):
                     referenced.add(os.path.realpath(d["path"]))
-        data_root = os.path.realpath(os.path.join(self.lake_dir, "data"))
-        files_removed = 0
-        for p in glob.glob(os.path.join(data_root, "part=*", "*.parquet")):
-            if os.path.realpath(p) not in referenced:
-                os.remove(p)
-                files_removed += 1
+        files_removed = self._sweep_unreferenced(referenced)
         manifests_removed = 0
         for e in epochs:
             if e not in keep:
@@ -190,16 +185,34 @@ class LakeState:
                     referenced.add(os.path.realpath(meta["path"]))
                 for d in meta.get("deltas", []):
                     referenced.add(os.path.realpath(d["path"]))
-        files_removed = 0
-        for p in glob.glob(os.path.join(
-                os.path.realpath(os.path.join(self.lake_dir, "data")),
-                "part=*", "*.parquet")):
-            if os.path.realpath(p) not in referenced:
-                os.remove(p)
-                files_removed += 1
+        files_removed = self._sweep_unreferenced(referenced)
         return {"manifests_removed": len(removed_epochs),
                 "files_removed": files_removed,
                 "watermark_ts": target.watermark_ts}
+
+    def _sweep_unreferenced(self, referenced: set[str]) -> int:
+        """Delete every data file under the lake not in `referenced` —
+        covers BOTH layouts: single-table data/part=p and multi-table
+        data/table=T/part=p (a dropped table's chains leave the manifest
+        at its drop barrier; once no retained manifest references them,
+        this sweep reclaims the bytes — the storage half of DROP TABLE).
+        Empty table=T dirs left file-less are pruned too."""
+        data_root = os.path.realpath(os.path.join(self.lake_dir, "data"))
+        files_removed = 0
+        for pat in (os.path.join(data_root, "part=*", "*.parquet"),
+                    os.path.join(data_root, "table=*", "part=*",
+                                 "*.parquet")):
+            for p in glob.glob(pat):
+                if os.path.realpath(p) not in referenced:
+                    os.remove(p)
+                    files_removed += 1
+        for tdir in glob.glob(os.path.join(data_root, "table=*")):
+            for pd in glob.glob(os.path.join(tdir, "part=*")):
+                if not os.listdir(pd):
+                    os.rmdir(pd)
+            if not os.listdir(tdir):
+                os.rmdir(tdir)
+        return files_removed
 
     def data_path(self, part: int, epoch: int) -> str:
         d = os.path.join(self.lake_dir, "data", f"part={part}")
