@@ -119,6 +119,10 @@ def main(argv=None):
     mc.add_argument("-P", "--partitions", type=int, default=16)
     mc.add_argument("--upstream-wal", default=None,
                     help="re-fetch handle-key-only stubs from this WAL")
+    mc.add_argument("--group-member", type=int, default=None,
+                    help="consumer-group member id (with --group-size): "
+                         "consume only partitions p %% size == member")
+    mc.add_argument("--group-size", type=int, default=None)
 
     mt = sub.add_parser("mt-replay")   # multi-table changefeed
     mt.add_argument("--wal", required=True,
@@ -245,9 +249,12 @@ def main(argv=None):
                                     large_handle=a.large_handle)))
     elif a.cmd == "mq-consume":
         from .pipelines.mq import consume_mq
+        grp = (a.group_member, a.group_size) \
+            if a.group_member is not None else None
         print(json.dumps(consume_mq(a.messages, a.lake, base_dir=a.base,
                                     num_partitions=a.partitions,
-                                    upstream_wal=a.upstream_wal)))
+                                    upstream_wal=a.upstream_wal,
+                                    group=grp)))
     elif a.cmd == "export":
         # streaming export: fold tasks write directly, one file per
         # partition-fold block — never materialized on the driver

@@ -17,6 +17,7 @@ stream alone carries the full replicated state.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -116,14 +117,26 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
 def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                num_partitions: int = 16,
                wal_out: str | None = None,
-               upstream_wal: str | None = None) -> dict:
+               upstream_wal: str | None = None,
+               group: tuple[int, int] | None = None) -> dict:
     """Message logs → derived WAL → replayed lake (kafka-consumer analog).
 
     Decode is distributed (one task per message-log partition, idempotent
     — meta written after data); the DDL stream is tiny and rebuilt on the
     driver; replay is the standard epoch engine. The derived WAL lives
     inside the lake (`_mq_wal`) like the optimistic remount dir — the
-    consumer's relay log."""
+    consumer's relay log.
+
+    `group=(member_id, group_size)` runs this call as ONE member of a
+    consumer group (cmd/kafka-consumer's consumer-group shape): the
+    member consumes only partitions with part % group_size == member_id,
+    records per-partition offsets + decode stats in its own checkpoint
+    (`_consumer/member-{id}.json` under the derived WAL — the committed-
+    offset analog), and returns {"pending": [...]} until every partition
+    of the topic has been consumed by SOME member. The member that
+    completes coverage stamps the segment metas and replays — N members
+    splitting the partitions converge to the identical lake a single
+    consumer produces."""
     from ..sources.codecs import (decode_canal_ddl_lines, decode_canal_lines,
                                   decode_open_protocol_lines)
 
@@ -235,6 +248,21 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
 
     part_dirs = sorted(
         d for d in os.listdir(msg_dir) if d.startswith("partition="))
+    all_parts = sorted(int(d.split("=", 1)[1]) for d in part_dirs)
+
+    # per-member checkpoint: committed offsets + decode stats per owned
+    # partition (kafka consumer-group offset commit analog)
+    cons_dir = os.path.join(wal_dir, "_consumer")
+    member_ckpt, prior_stats = None, {}
+    if group is not None:
+        member_id, group_size = group
+        assert 0 <= member_id < group_size, group
+        os.makedirs(cons_dir, exist_ok=True)
+        member_ckpt = os.path.join(cons_dir, f"member-{member_id}.json")
+        if os.path.exists(member_ckpt):
+            with open(member_ckpt) as f:
+                prior_stats = {int(k): v for k, v in
+                               json.load(f)["partitions"].items()}
 
     def decode_partition(tb: pa.Table) -> pa.Table:
         out = []
@@ -247,7 +275,16 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                     m = json.load(f)
                 out.append({"part": p, "rows": m["rows"],
                             "min_ts": m["min_ts"], "max_ts": m["max_ts"],
+                            "offset": m.get("offset", m["rows"]),
                             "cols": list(m["columns"])})
+                continue
+            st = prior_stats.get(p)
+            if st is not None and os.path.exists(dst):
+                # this member already decoded p (data files are atomic:
+                # present = complete); reuse its committed stats
+                out.append({"part": p, **{k: st[k] for k in
+                                          ("rows", "min_ts", "max_ts",
+                                           "offset", "cols")}})
                 continue
             msgs = pq.read_table(row["src"]).sort_by("offset")
             ev = decode_msgs(resolve_payloads(msgs["payload"].to_pylist()))
@@ -261,15 +298,50 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
             out.append({"part": p, "rows": ev.num_rows,
                         "min_ts": int(cts.min()) if len(cts) else 0,
                         "max_ts": int(cts.max()) if len(cts) else 0,
+                        "offset": msgs.num_rows,   # next-to-consume
                         "cols": ev.column_names})
         return pa.Table.from_pylist(out)
 
     items = [{"part": int(d.split("=", 1)[1]),
               "src": os.path.join(msg_dir, d, "messages.parquet")}
              for d in part_dirs]
-    decoded = ray.data.from_items(items).map_batches(
-        decode_partition, batch_format="pyarrow",
-        batch_size=1).take_all()                 # P rows — tiny
+    if group is not None:
+        items = [it for it in items
+                 if it["part"] % group_size == member_id]
+    decoded = []
+    if items:
+        decoded = ray.data.from_items(items).map_batches(
+            decode_partition, batch_format="pyarrow",
+            batch_size=1).take_all()             # P rows — tiny
+
+    if group is not None:
+        # commit this member's offsets (atomic; merge with prior runs)
+        stats = dict(prior_stats)
+        for r in decoded:
+            stats[int(r["part"])] = {
+                "rows": int(r["rows"]), "min_ts": int(r["min_ts"]),
+                "max_ts": int(r["max_ts"]), "offset": int(r["offset"]),
+                "cols": list(r["cols"])}
+        with open(member_ckpt + ".tmp", "w") as f:
+            json.dump({"member": member_id, "group_size": group_size,
+                       "partitions": {str(k): v
+                                      for k, v in stats.items()}}, f)
+        os.replace(member_ckpt + ".tmp", member_ckpt)
+        # coverage check across ALL members' checkpoints: replay only
+        # runs once every topic partition has been consumed by someone
+        union: dict[int, dict] = {}
+        for cp in sorted(glob.glob(os.path.join(cons_dir,
+                                                "member-*.json"))):
+            with open(cp) as f:
+                for k, v in json.load(f)["partitions"].items():
+                    union[int(k)] = v
+        missing = [p for p in all_parts
+                   if p not in union or not os.path.exists(
+                       os.path.join(wal_dir, f"seq={p:05d}.parquet"))]
+        if missing:
+            return {"member": member_id, "consumed": sorted(stats),
+                    "pending": missing}
+        decoded = [{"part": p, **union[p]} for p in all_parts]
 
     # Per-partition segments overlap in commit_ts and their maxima are NOT
     # monotone in seq order, but the WAL contract requires nondecreasing
@@ -286,6 +358,7 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
         seg_meta = {"seq": int(r["part"]), "watermark_ts": int(global_max),
                     "min_ts": int(r["min_ts"]), "max_ts": int(r["max_ts"]),
                     "rows": int(r["rows"]), "format": "parquet",
+                    "offset": int(r.get("offset", r["rows"])),
                     "columns": list(r["cols"])}
         with open(mpath + ".tmp", "w") as f:
             json.dump(seg_meta, f)
