@@ -81,6 +81,9 @@ def bench_replay(root: str, P: int) -> dict:
                        num_partitions=P,
                        max_segments_per_epoch=int(os.environ.get("GRAFT_MSEG", "4")),
                        pipeline_epochs=int(os.environ.get("GRAFT_PIPELINE", "4")),
+                       # 0 = auto plasma-share cap; -1 = off (A/B knob)
+                       max_epoch_bytes=int(os.environ.get(
+                           "GRAFT_EPOCH_BYTES", "0")),
                        replay_mode=os.environ.get("GRAFT_REPLAY_MODE",
                                                   "single_pass"))
     segments = list_segments(cfg.wal_dir)
