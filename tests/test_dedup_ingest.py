@@ -320,3 +320,43 @@ def test_compact_index_folds_band_and_lsh_chains(tmp_path, ray_session):
         mk._docs([9000], [mk._text(101)]), idx, 9,
         num_partitions=4).to_pandas()
     assert bool(v["is_dup"].iloc[0]), "base rows not consulted post-fold"
+
+
+def test_embed_keep_only_trims_dup_rows(tmp_path, ray_session):
+    """Embedding twin of the MinHash keep-only trim: dup vectors' LSH
+    rows leave the epoch delta after verdicts; a later near-copy still
+    matches via the retained winner."""
+    from tiflow_ray.pipelines.dedup_ingest import embed_ingest_epoch
+
+    def rows_in(idx):
+        import pyarrow.parquet as _pq
+        return sum(_pq.read_metadata(f).num_rows for f in
+                   glob.glob(os.path.join(idx, "part=*", "lsh-*.parquet")))
+
+    mk = TestEmbedIngest
+    rng = np.random.default_rng(9)
+    d = 32
+    base = rng.standard_normal((40, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base + 0.03 * rng.standard_normal((40, d))   # cos ≈ 0.998
+    ids = list(range(40)) + [1000 + i for i in range(40)]
+    mat = np.vstack([base, pert])
+
+    idx_k = str(tmp_path / "keep")
+    idx_f = str(tmp_path / "full")
+    v_k = embed_ingest_epoch(mk._vecs(ids, mat), idx_k, 1,
+                             num_partitions=4, tau=0.9).to_pandas()
+    v_f = embed_ingest_epoch(mk._vecs(ids, mat), idx_f, 1,
+                             num_partitions=4, tau=0.9,
+                             keep_only=False).to_pandas()
+    assert v_k.sort_values("vec_id").reset_index(drop=True).equals(
+        v_f.sort_values("vec_id").reset_index(drop=True))
+    n_dup = int(v_k["is_dup"].sum())
+    assert n_dup >= 36, f"fixture: only {n_dup} planted dups flagged"
+    assert rows_in(idx_k) < rows_in(idx_f)
+    # transitivity: near-copies of TRIMMED dups still match winners
+    pert2 = base + 0.03 * rng.standard_normal((40, d))
+    v2 = embed_ingest_epoch(
+        mk._vecs([5000 + i for i in range(40)], pert2), idx_k, 2,
+        num_partitions=4, tau=0.9).to_pandas()
+    assert v2["is_dup"].mean() >= 0.9, "winner transitivity broke recall"

@@ -280,6 +280,58 @@ def index_keys(index_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
+def _trim_epoch_deltas(verdicts: "ray.data.Dataset", index_dir: str,
+                       epoch_id: int, prefix: str, id_col: str,
+                       num_partitions: int) -> bool:
+    """Keep-only trim shared by the MinHash and embedding ingests:
+    rewrite each touched partition's epoch delta keeping only winners'
+    rows (this epoch's dup ids broadcast once via ray.put — epoch-scale,
+    gated by TIFLOW_INGEST_KEEPONLY_BYTES like the MinHash collect
+    gate). Crash safety: the trim runs BEFORE the manifest commit, so a
+    crash mid-trim leaves mixed full/trimmed deltas that the retried
+    epoch deterministically overwrites (full) and re-trims. Returns
+    whether the trim ran."""
+    dup_ids = np.concatenate(
+        [b[id_col].to_numpy() for b in verdicts.map_batches(
+            lambda t: t.filter(t["is_dup"]), batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, np.int64)])
+    budget = int(os.environ.get("TIFLOW_INGEST_KEEPONLY_BYTES", 2 ** 28))
+    if len(dup_ids) == 0 or dup_ids.nbytes > budget:
+        return False
+    ref = ray.put(np.sort(dup_ids))
+
+    def trim(t: pa.Table) -> pa.Table:
+        dup = ray.get(ref)
+        removed = []
+        for p in t["part"].to_pylist():
+            f = os.path.join(index_dir, f"part={p}",
+                             f"{prefix}-{epoch_id:06d}.parquet")
+            if not os.path.exists(f):
+                removed.append(0)
+                continue
+            tb = pq.read_table(f)
+            ids = tb[id_col].to_numpy()
+            keep = ~np.isin(ids, dup)
+            if keep.all():
+                removed.append(0)
+                continue
+            tmp = f + f".tmp.{os.getpid()}"
+            pq.write_table(tb.filter(pa.array(keep)), tmp,
+                           row_group_size=65536)
+            os.replace(tmp, f)
+            removed.append(int((~keep).sum()))
+        return pa.table({"part": t["part"],
+                         "removed": pa.array(removed, pa.int64())})
+
+    ray.data.from_items(
+        [{"part": p} for p in range(num_partitions)],
+        override_num_blocks=num_partitions) \
+        .map_batches(trim, batch_format="pyarrow",
+                     batch_size=1).materialize()
+    return True
+
+
 def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
                          epoch_id: int, num_partitions: int = 16,
                          num_perm: int = 32, bands: int = 8,
@@ -392,51 +444,9 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
     out = out.materialize()         # deltas durable before the commit
     n_dup = int(out.sum("is_dup") or 0)
 
-    trimmed = False
-    budget = int(os.environ.get("TIFLOW_INGEST_KEEPONLY_BYTES", 2 ** 28))
-    if keep_only and n_dup and n_dup * 8 <= budget:
-        # rewrite each touched partition's delta keeping only winners'
-        # rows (this epoch's dup ids broadcast once via ray.put — epoch-
-        # scale, byte-gated like the MinHash collect gate). Crash safety:
-        # the trim runs BEFORE the manifest commit, so a crash mid-trim
-        # leaves mixed full/trimmed deltas that the retried epoch
-        # deterministically overwrites (full) and re-trims.
-        dup_ids = np.concatenate(
-            [b["doc_id"].to_numpy() for b in out.map_batches(
-                lambda t: t.filter(t["is_dup"]), batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
-            or [np.empty(0, np.int64)])
-        ref = ray.put(np.sort(dup_ids))
-
-        def trim(t: pa.Table) -> pa.Table:
-            dup = ray.get(ref)
-            removed = []
-            for p in t["part"].to_pylist():
-                f = os.path.join(index_dir, f"part={p}",
-                                 f"bands-{epoch_id:06d}.parquet")
-                if not os.path.exists(f):
-                    removed.append(0)
-                    continue
-                tb = pq.read_table(f)
-                ids = tb["doc_id"].to_numpy()
-                keep = ~np.isin(ids, dup)
-                if keep.all():
-                    removed.append(0)
-                    continue
-                tmp = f + f".tmp.{os.getpid()}"
-                pq.write_table(tb.filter(pa.array(keep)), tmp,
-                               row_group_size=65536)
-                os.replace(tmp, f)
-                removed.append(int((~keep).sum()))
-            return pa.table({"part": t["part"],
-                             "removed": pa.array(removed, pa.int64())})
-
-        ray.data.from_items(
-            [{"part": p} for p in range(num_partitions)],
-            override_num_blocks=num_partitions) \
-            .map_batches(trim, batch_format="pyarrow",
-                         batch_size=1).materialize()
-        trimmed = True
+    trimmed = _trim_epoch_deltas(out, index_dir, epoch_id, "bands",
+                                 "doc_id", num_partitions) \
+        if keep_only and n_dup else False
 
     meta = {"epoch": epoch_id, "docs": out.count(), "near_dups": n_dup,
             "num_partitions": num_partitions, "num_perm": num_perm,
@@ -463,11 +473,18 @@ def minhash_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
 
 def embed_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
                        epoch_id: int, num_partitions: int = 16,
-                       tau: float = 0.9, target_recall: float = 0.95
+                       tau: float = 0.9, target_recall: float = 0.95,
+                       keep_only: bool = True
                        ) -> "ray.data.Dataset | None":
     """Near-dup-dedup one ingest epoch of embeddings (columns vec_id,
     embedding:list<float>) against the persistent LSH index; returns
-    (vec_id, is_dup) verdicts, or None if this epoch already committed."""
+    (vec_id, is_dup) verdicts, or None if this epoch already committed.
+
+    `keep_only` (default): trim dup vectors' LSH rows from the epoch's
+    deltas after verdicts settle — the index grows with the distinct set
+    (same tradeoff and crash discipline as the MinHash twin; a future
+    near-copy of a dropped dup matches via its retained winner, which at
+    tau ≥ 0.9 it is ≥ (2·tau² − 1)-similar to)."""
     from ..functions.similarity import bucketize_for_screen
 
     if os.path.exists(_manifest_path(index_dir, epoch_id)):
@@ -558,9 +575,12 @@ def embed_ingest_epoch(ds: "ray.data.Dataset", index_dir: str,
             batch_format="pandas")
     out = out.materialize()
     n_dup = int(out.sum("is_dup") or 0)
+    trimmed = _trim_epoch_deltas(out, index_dir, epoch_id, "lsh",
+                                 "vec_id", num_partitions) \
+        if keep_only and n_dup else False
     meta = {"epoch": epoch_id, "vecs": out.count(), "near_dups": n_dup,
             "num_partitions": num_partitions, "tau": tau,
-            "target_recall": target_recall}
+            "target_recall": target_recall, "keep_only": trimmed}
     mp = _manifest_path(index_dir, epoch_id)
     with open(mp + ".tmp", "w") as f:
         json.dump(meta, f)
