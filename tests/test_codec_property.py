@@ -26,6 +26,7 @@ _CODECS = [
     ("simple", "encode_simple", "decode_simple_lines"),
     ("avro", "encode_avro", "decode_avro"),
     ("craft", "encode_craft", "decode_craft"),
+    ("mysql_binlog", "encode_mysql_binlog", "decode_mysql_binlog"),
 ]
 
 

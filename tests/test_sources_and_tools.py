@@ -27,13 +27,15 @@ def _wal_as(src_root, dst_root, reg, fmt):
 
 def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
     """M9/M10: jsonl, csv, canal-json, debezium, open-protocol, maxwell,
-    simple, avro and craft change files all replay to the exact same lake
-    state as the parquet WAL (reference-format compat, S6) — 10-format
-    parity covering every protocol slot in pkg/config/sink_protocol.go."""
+    simple, avro, craft and mysql-binlog change files all replay to the
+    exact same lake state as the parquet WAL (reference-format compat, S6)
+    — 11-format parity covering every protocol slot in
+    pkg/config/sink_protocol.go plus the DM relay-log direction (S4)."""
     root, reg, *_ = t1_noddl_fixture
     lakes = {}
     for fmt in ("parquet", "jsonl", "csv", "canal_json", "debezium",
-                "open_protocol", "maxwell", "simple", "avro", "craft"):
+                "open_protocol", "maxwell", "simple", "avro", "craft",
+                "mysql_binlog"):
         if fmt == "parquet":
             wal = f"{root}/wal"
         else:

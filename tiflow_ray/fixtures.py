@@ -335,7 +335,8 @@ def _events_table(doc_idx, op, cts, sts, prev_ts, new_doc, sver,
 
 def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
                        registry: SchemaRegistry | None = None,
-                       fmt: str = "parquet") -> list[dict]:
+                       fmt: str = "parquet",
+                       codec_opts: dict | None = None) -> list[dict]:
     """Write an arbitrary event-schema table as resolved-ts-delimited WAL
     segments (sorted split on commit_ts, ties never cross a boundary) +
     metas + ddl.json. fmt="jsonl" emits canal-json-style line-delimited
@@ -398,6 +399,10 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             from .sources.codecs import encode_craft
             with open(os.path.join(wal_dir, f"seq={s:05d}.craft"), "wb") as f:
                 f.write(encode_craft(seg))
+        elif fmt == "mysql_binlog":
+            from .sources.codecs import encode_mysql_binlog
+            with open(os.path.join(wal_dir, f"seq={s:05d}.binlog"), "wb") as f:
+                f.write(encode_mysql_binlog(seg, **(codec_opts or {})))
         else:
             raise ValueError(f"unknown wal format {fmt}")
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),

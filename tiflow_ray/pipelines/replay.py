@@ -347,6 +347,17 @@ def read_codec_epoch(ep: Epoch, read_kwargs: dict,
             items, override_num_blocks=max(1, len(items)))
         return ds.map_batches(AvroRangeDecoder(list(ep.columns)),
                               batch_format="pyarrow", batch_size=4)
+    if ep.fmt == "mysql_binlog":   # binlog v4: TRANSACTION-granular
+        # fan-out — the planner walks event headers (event_size hops, no
+        # row decode) and each range task seeks+reads only its own whole
+        # transactions (every txn re-announces its TABLE_MAP, so ranges
+        # are self-contained)
+        from ..sources.codecs import BinlogRangeDecoder, plan_binlog_splits
+        items = plan_binlog_splits(list(ep.files), list(ep.columns))
+        ds = ray.data.from_items(
+            items, override_num_blocks=max(1, len(items)))
+        return ds.map_batches(BinlogRangeDecoder(list(ep.columns)),
+                              batch_format="pyarrow", batch_size=4)
     if ep.fmt == "craft":    # craft: size tables live at the message
         # TAIL, so a mid-file split cannot be located without the tail —
         # file-granular fan-out is inherent to the format

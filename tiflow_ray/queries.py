@@ -1164,6 +1164,33 @@ ORDER BY sync_ts
 """
 
 
+def q_cdc_replay_binlog(sf_dir: str) -> pa.Table:
+    """S4 (DM binlog reader / relay) as a replication path, oracle-checked
+    against the SAME SQL twin as cdc_replay: the change stream re-encoded
+    as real MySQL binlog v4 files (19-byte headers, TABLE_MAP with
+    binlog_row_metadata=FULL TLVs, ROWS_EVENT v2, CRC32 checksums —
+    dm/pkg/binlog/reader + dm/relay/relay.go consume this exact public
+    layout) replays through the txn-granular split decoder to the
+    identical lake."""
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    bdir = os.path.join(root, "wal_binlog")
+    if not os.path.exists(os.path.join(bdir, "ddl.json")):
+        segs = [pq.read_table(s.path)
+                for s in list_segments(os.path.join(root, "wal"))]
+        t = pa.concat_tables(segs, promote_options="default")
+        write_wal_segments(t, bdir, len(segs), registry, fmt="mysql_binlog")
+    cfg = ReplayConfig(wal_dir=bdir,
+                       lake_dir=os.path.join(root, "lake_binlog"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    return rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+
+
 def q_sql_apply(sf_dir: str) -> pa.Table:
     """K3 (MySQL txn sink) made real: the engine's compaction front-end
     (normalize → split → combine → per-partition final reduce) feeds the
@@ -3985,6 +4012,7 @@ REGISTRY: dict[str, tuple] = {
                               _CDC_REPLAY_OPTIMISTIC_SQL),
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
+    "cdc_replay_binlog": (q_cdc_replay_binlog, _CDC_REPLAY_SQL),  # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import json
 import re
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -1108,6 +1110,564 @@ def decode_craft(data: bytes, columns: list[str] | None = None) -> pa.Table:
     return pa.table({c: _typed_column(cols[c], c) for c in fcols})
 
 
+# ---------------------------------------------------------------------------
+# mysql binlog (binary-log v4 FILE format — the DM binlog-reader/relay slot)
+# ---------------------------------------------------------------------------
+#
+# Self-contained writer + reader for the PUBLIC MySQL binary-log v4 file
+# layout (MySQL Internals manual, "Binary Log"; libbinlogevents). The
+# reference consumes the same bytes via go-mysql in `dm/pkg/binlog/reader`
+# and relays raw event streams in `dm/relay/relay.go` — this codec is that
+# pipeline's format-level essence, closing the S4 gap at the layer the
+# sandbox allows (no MySQL endpoint exists here, so the WIRE protocol
+# stays out of scope; the FILE format is fully real). Implemented
+# end-to-end, every byte verified on decode:
+#
+#   * file magic 0xfe 'b' 'i' 'n' + FORMAT_DESCRIPTION_EVENT: binlog
+#     version 4, 19-byte common headers, the post-header-length table
+#   * CRC32 event checksums (binlog_checksum=CRC32): algorithm byte at
+#     the FDE tail, 4 trailing CRC bytes on EVERY event, checked on read
+#   * transactions in stream order, grouped by commit_ts: QUERY "BEGIN"
+#     → TABLE_MAP → ROWS events (one per consecutive same-op run) → XID
+#     (xid = the transaction's commit_ts)
+#   * TABLE_MAP optional-metadata TLVs (binlog_row_metadata=FULL, MySQL
+#     8.0): SIGNEDNESS (MSB-first bit per numeric column),
+#     DEFAULT_CHARSET (collation id — utf8mb4/latin1/gbk supported), and
+#     COLUMN_NAME — the stream is self-describing, and decode performs
+#     the mounter's charset conversion (cdc/entry/mounter.go charset
+#     handling) from the DECLARED collation, never an assumption
+#   * ROWS_EVENT v2 (WRITE=30 / UPDATE=31 / DELETE=32): present bitmaps,
+#     LSB-first per-row null bitmaps, little-endian LONGLONG/LONG cells,
+#     length-prefixed BLOB cells; UPDATE carries a MINIMAL before-image
+#     (pk doc_id + old tokens → pre_tokens), the binlog_row_image=MINIMAL
+#     shape, plus a full after-image
+#
+# `op` maps to the rows-event type and pre_tokens to the before-image, so
+# neither is a table column; every other canonical event column rides in
+# the row image (commit_ts/start_ts as unsigned LONGLONG — the storage
+# sink writes commit-ts as a column the same way). Token lists ride as
+# BLOB cells of packed little-endian int32 (MySQL has no array type; the
+# column is named in COLUMN_NAME metadata and re-typed by the shared
+# _LIST_COLS rule, exactly like every text codec above).
+
+_BINLOG_MAGIC = b"\xfebin"
+_EV_QUERY, _EV_ROTATE, _EV_FDE, _EV_XID, _EV_TABLE_MAP = 2, 4, 15, 16, 19
+_EV_WRITE_V2, _EV_UPDATE_V2, _EV_DELETE_V2 = 30, 31, 32
+_ROWS_OP = {_EV_WRITE_V2: OP_INSERT, _EV_UPDATE_V2: OP_UPDATE,
+            _EV_DELETE_V2: OP_DELETE}
+_OP_ROWS = {v: k for k, v in _ROWS_OP.items()}
+_MYSQL_LONG, _MYSQL_LONGLONG, _MYSQL_BLOB = 3, 8, 252
+#: charset name → (MySQL default collation id, python codec)
+_BINLOG_CHARSETS = {"utf8mb4": (255, "utf-8"), "latin1": (8, "latin-1"),
+                    "gbk": (28, "gbk")}
+_COLLATION_CODEC = {cid: py for cid, py in _BINLOG_CHARSETS.values()}
+_BINLOG_TABLE_ID = 1000
+_BINLOG_SERVER_ID = 1
+#: TABLE_MAP optional-metadata TLV type codes (MySQL 8.0)
+_TLV_SIGNEDNESS, _TLV_DEFAULT_CHARSET, _TLV_COLUMN_NAME = 1, 2, 4
+
+
+def _lenenc_write(buf: bytearray, n: int) -> None:
+    """MySQL length-encoded integer."""
+    if n < 251:
+        buf.append(n)
+    elif n < 1 << 16:
+        buf += b"\xfc" + struct.pack("<H", n)
+    elif n < 1 << 24:
+        buf += b"\xfd" + struct.pack("<I", n)[:3]
+    else:
+        buf += b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_read(data: bytes, pos: int) -> tuple[int, int]:
+    b = data[pos]
+    if b < 251:
+        return b, pos + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", data, pos + 1)[0], pos + 3
+    if b == 0xFD:
+        return int.from_bytes(data[pos + 1:pos + 4], "little"), pos + 4
+    return struct.unpack_from("<Q", data, pos + 1)[0], pos + 9
+
+
+def _bitmap_lsb(bits: list[bool]) -> bytes:
+    """LSB-first bitmap (rows-event present/null bitmap bit order)."""
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 1 << (i & 7)
+    return bytes(out)
+
+
+def _binlog_col_spec(col: str) -> tuple[int, bytes, bool]:
+    """event column → (mysql type code, table-map metadata, unsigned)."""
+    at = _KEY_TYPES.get(col)
+    if at == pa.uint64():
+        return _MYSQL_LONGLONG, b"", True
+    if col in _INT_COLS or at == pa.int32():
+        return _MYSQL_LONG, b"", False
+    return _MYSQL_BLOB, b"\x04", False   # 4-byte length prefix (LONGBLOB)
+
+
+def _binlog_event(out: bytearray, type_code: int, body: bytes,
+                  ts32: int) -> None:
+    """Frame one event: v4 common header (timestamp, type, server_id,
+    event_size, log_pos = end offset, flags) + body + CRC32 trailer."""
+    size = 19 + len(body) + 4
+    hdr = struct.pack("<IBIIIH", ts32 & 0xFFFFFFFF, type_code,
+                      _BINLOG_SERVER_ID, size,
+                      (len(out) + size) & 0xFFFFFFFF, 0)
+    out += hdr + body
+    out += struct.pack("<I", zlib.crc32(hdr + body) & 0xFFFFFFFF)
+
+
+def _binlog_fde(out: bytearray) -> None:
+    post = bytearray()
+    post += struct.pack("<H", 4)                        # binlog version
+    post += b"5.7.44-tiflow-ray".ljust(50, b"\x00")     # server version
+    post += struct.pack("<I", 0)                        # create timestamp
+    post.append(19)                                     # common header len
+    phl = bytearray(38)           # post-header lengths for types 1..38
+    phl[_EV_QUERY - 1] = 13
+    phl[_EV_ROTATE - 1] = 8
+    phl[_EV_FDE - 1] = 95         # 2 + 50 + 4 + 1 + 38
+    phl[_EV_TABLE_MAP - 1] = 8
+    for tc in (_EV_WRITE_V2, _EV_UPDATE_V2, _EV_DELETE_V2):
+        phl[tc - 1] = 10
+    post += phl
+    post.append(1)                                      # checksum alg: CRC32
+    _binlog_event(out, _EV_FDE, bytes(post), 0)
+
+
+def _binlog_query(out: bytearray, sql: str, ts32: int,
+                  schema: bytes) -> None:
+    """QUERY_EVENT: 13-byte post-header (thread id, exec time, schema len,
+    error code, status-vars len) + schema name + NUL + query text."""
+    body = struct.pack("<IIBHH", 1, 0, len(schema), 0, 0)
+    body += schema + b"\x00" + sql.encode()
+    _binlog_event(out, _EV_QUERY, body, ts32)
+
+
+def _binlog_table_map(out: bytearray, tbl_cols: list[str],
+                      specs: list[tuple], coll_id: int, ts32: int,
+                      schema: bytes, table: bytes) -> None:
+    body = bytearray()
+    body += _BINLOG_TABLE_ID.to_bytes(6, "little") + struct.pack("<H", 1)
+    body.append(len(schema))
+    body += schema + b"\x00"
+    body.append(len(table))
+    body += table + b"\x00"
+    _lenenc_write(body, len(tbl_cols))
+    body += bytes(s[0] for s in specs)                  # column types
+    meta = b"".join(s[1] for s in specs)
+    _lenenc_write(body, len(meta))
+    body += meta
+    body += _bitmap_lsb([True] * len(tbl_cols))         # nullability
+    # optional metadata TLVs (binlog_row_metadata=FULL)
+    unsigned = [s[2] for s in specs
+                if s[0] in (_MYSQL_LONG, _MYSQL_LONGLONG)]
+    if unsigned:
+        sign = bytearray((len(unsigned) + 7) // 8)
+        for i, u in enumerate(unsigned):                # MSB-first per spec
+            if u:
+                sign[i >> 3] |= 0x80 >> (i & 7)
+        body.append(_TLV_SIGNEDNESS)
+        _lenenc_write(body, len(sign))
+        body += sign
+    cs = bytearray()
+    _lenenc_write(cs, coll_id)
+    body.append(_TLV_DEFAULT_CHARSET)
+    _lenenc_write(body, len(cs))
+    body += cs
+    names = bytearray()
+    for c in tbl_cols:
+        nb = c.encode()
+        _lenenc_write(names, len(nb))
+        names += nb
+    body.append(_TLV_COLUMN_NAME)
+    _lenenc_write(body, len(names))
+    body += names
+    _binlog_event(out, _EV_TABLE_MAP, bytes(body), ts32)
+
+
+def _binlog_image(buf: bytearray, vals: list, present_idx: list[int],
+                  tbl_cols: list[str], specs: list[tuple],
+                  codec: str) -> None:
+    """One row image: null bitmap over present columns, then cells."""
+    nulls = [vals[i] is None for i in present_idx]
+    buf += _bitmap_lsb(nulls)
+    for i, isnull in zip(present_idx, nulls):
+        if isnull:
+            continue
+        v, tc = vals[i], specs[i][0]
+        if tc == _MYSQL_LONGLONG:
+            buf += struct.pack("<Q", int(v) & 0xFFFFFFFFFFFFFFFF)
+        elif tc == _MYSQL_LONG:
+            buf += struct.pack("<i", int(v))
+        elif tbl_cols[i] in _LIST_COLS:
+            payload = np.asarray(v, dtype="<i4").tobytes()
+            buf += struct.pack("<I", len(payload)) + payload
+        else:
+            payload = str(v).encode(codec)
+            buf += struct.pack("<I", len(payload)) + payload
+
+
+def encode_mysql_binlog(t: pa.Table, charset: str = "utf8mb4",
+                        registry=None, schema: str = "tiflow",
+                        table: str = "documents") -> bytes:
+    """Event table → MySQL binlog v4 file bytes. `registry` (optional
+    SchemaRegistry) interleaves each DDL as an auto-commit QUERY event at
+    its barrier position in commit_ts order — DDL travels IN the binlog,
+    where MySQL puts it (dm/syncer consumes DDL from the same stream); the
+    barrier ts rides a TiDB-style trailing comment because the v4 header
+    timestamp is 32-bit seconds."""
+    cols_all = list(t.column_names)
+    assert "op" in cols_all and "commit_ts" in cols_all, cols_all
+    tbl_cols = [c for c in cols_all if c not in ("op", "pre_tokens")]
+    has_pre = "pre_tokens" in cols_all
+    assert not has_pre or "tokens" in tbl_cols, \
+        "pre_tokens requires a tokens column to carry the before-image"
+    coll_id, codec = _BINLOG_CHARSETS[charset]
+    specs = [_binlog_col_spec(c) for c in tbl_cols]
+    col_pos = {c: i for i, c in enumerate(tbl_cols)}
+    ncols = len(tbl_cols)
+    all_idx = list(range(ncols))
+    before_idx = sorted({col_pos["doc_id"]} |
+                        ({col_pos["tokens"]} if has_pre else set())) \
+        if "doc_id" in col_pos else all_idx
+    schema_b, table_b = schema.encode(), table.encode()
+    ddls = sorted(registry.ddls, key=lambda d: d.barrier_ts) \
+        if registry is not None else []
+    di = 0
+
+    rows = t.to_pylist()
+    out = bytearray(_BINLOG_MAGIC)
+    _binlog_fde(out)
+    i, n = 0, len(rows)
+    while i < n:
+        j, cts = i, rows[i]["commit_ts"]
+        while j < n and rows[j]["commit_ts"] == cts:
+            j += 1
+        ts32 = int(cts) & 0xFFFFFFFF
+        while di < len(ddls) and ddls[di].barrier_ts < int(cts):
+            d = ddls[di]
+            _binlog_query(out, ddl_to_sql(d, table) +
+                          f" /* barrier_ts={d.barrier_ts} */",
+                          d.barrier_ts & 0xFFFFFFFF, schema_b)
+            di += 1
+        _binlog_query(out, "BEGIN", ts32, schema_b)
+        _binlog_table_map(out, tbl_cols, specs, coll_id, ts32,
+                          schema_b, table_b)
+        k = i
+        while k < j:
+            m, op = k, int(rows[k]["op"])
+            while m < j and int(rows[m]["op"]) == op:
+                m += 1
+            body = bytearray()
+            body += _BINLOG_TABLE_ID.to_bytes(6, "little")
+            body += struct.pack("<H", 1)
+            body += struct.pack("<H", 2)     # v2 extra-data len (empty)
+            _lenenc_write(body, ncols)
+            if op == OP_UPDATE:
+                body += _bitmap_lsb([x in before_idx for x in all_idx])
+                body += _bitmap_lsb([True] * ncols)
+                for r in rows[k:m]:
+                    before = [None] * ncols
+                    before[col_pos["doc_id"]] = r["doc_id"]
+                    if has_pre:
+                        before[col_pos["tokens"]] = r.get("pre_tokens")
+                    _binlog_image(body, before, before_idx, tbl_cols,
+                                  specs, codec)
+                    _binlog_image(body, [r[c] for c in tbl_cols], all_idx,
+                                  tbl_cols, specs, codec)
+            else:
+                body += _bitmap_lsb([True] * ncols)
+                for r in rows[k:m]:
+                    _binlog_image(body, [r[c] for c in tbl_cols], all_idx,
+                                  tbl_cols, specs, codec)
+            _binlog_event(out, _OP_ROWS[op], bytes(body), ts32)
+            k = m
+        _binlog_event(out, _EV_XID,
+                      struct.pack("<Q", int(cts) & 0xFFFFFFFFFFFFFFFF), ts32)
+        i = j
+    while di < len(ddls):                    # barriers past the last txn
+        d = ddls[di]
+        _binlog_query(out, ddl_to_sql(d, table) +
+                      f" /* barrier_ts={d.barrier_ts} */",
+                      d.barrier_ts & 0xFFFFFFFF, schema_b)
+        di += 1
+    return bytes(out)
+
+
+class _BinlogTableMap:
+    __slots__ = ("cols", "types", "metas", "unsigned", "codec")
+
+    def __init__(self, cols, types, metas, unsigned, codec):
+        self.cols, self.types, self.metas = cols, types, metas
+        self.unsigned, self.codec = unsigned, codec
+
+
+def _parse_table_map(data: bytes, pos: int, bend: int) -> _BinlogTableMap:
+    pos += 8                                  # table_id(6) + flags(2)
+    slen = data[pos]
+    pos += 1 + slen + 1
+    tlen = data[pos]
+    pos += 1 + tlen + 1
+    ncols, pos = _lenenc_read(data, pos)
+    types = list(data[pos:pos + ncols])
+    pos += ncols
+    mlen, pos = _lenenc_read(data, pos)
+    metas, mend = [0] * ncols, pos + mlen
+    for ci, tc in enumerate(types):
+        if tc == _MYSQL_BLOB:
+            metas[ci] = data[pos]
+            pos += 1
+    assert pos == mend, "table-map metadata overrun"
+    pos += (ncols + 7) // 8                   # nullability bitmap
+    unsigned, coll, names = [False] * ncols, 255, None
+    while pos < bend:                         # optional metadata TLVs
+        ttype = data[pos]
+        pos += 1
+        tl, pos = _lenenc_read(data, pos)
+        val = data[pos:pos + tl]
+        pos += tl
+        if ttype == _TLV_SIGNEDNESS:
+            numeric = [ci for ci, tc in enumerate(types)
+                       if tc in (_MYSQL_LONG, _MYSQL_LONGLONG)]
+            for bi, ci in enumerate(numeric):
+                unsigned[ci] = bool(val[bi >> 3] & (0x80 >> (bi & 7)))
+        elif ttype == _TLV_DEFAULT_CHARSET:
+            coll, _ = _lenenc_read(val, 0)
+        elif ttype == _TLV_COLUMN_NAME:
+            names, p2 = [], 0
+            while p2 < len(val):
+                ln, p2 = _lenenc_read(val, p2)
+                names.append(val[p2:p2 + ln].decode())
+                p2 += ln
+    assert names is not None and len(names) == ncols, \
+        "binlog TABLE_MAP lacks COLUMN_NAME metadata"
+    return _BinlogTableMap(names, types, metas, unsigned,
+                           _COLLATION_CODEC[coll])
+
+
+def _read_binlog_image(data: bytes, pos: int, tmap: _BinlogTableMap,
+                       present_idx: list[int]) -> tuple[dict, int]:
+    nb = (len(present_idx) + 7) // 8
+    nulls = data[pos:pos + nb]
+    pos += nb
+    vals = {}
+    for bi, ci in enumerate(present_idx):
+        col = tmap.cols[ci]
+        if nulls[bi >> 3] >> (bi & 7) & 1:
+            vals[col] = None
+            continue
+        tc = tmap.types[ci]
+        if tc == _MYSQL_LONGLONG:
+            u = struct.unpack_from("<Q", data, pos)[0]
+            pos += 8
+            vals[col] = u if tmap.unsigned[ci] else \
+                (u - (1 << 64) if u >= 1 << 63 else u)
+        elif tc == _MYSQL_LONG:
+            vals[col] = struct.unpack_from(
+                "<I" if tmap.unsigned[ci] else "<i", data, pos)[0]
+            pos += 4
+        else:
+            lb = tmap.metas[ci]
+            ln = int.from_bytes(data[pos:pos + lb], "little")
+            pos += lb
+            raw = data[pos:pos + ln]
+            pos += ln
+            vals[col] = np.frombuffer(raw, dtype="<i4").tolist() \
+                if col in _LIST_COLS else raw.decode(tmap.codec)
+    return vals, pos
+
+
+def _decode_binlog_body(data: bytes, columns: list[str] | None,
+                        ddl_sink: list | None = None) -> pa.Table:
+    """Decode a run of whole binlog events (no file magic): every event's
+    CRC32 is verified; rows come back as the canonical typed event table.
+    Non-BEGIN QUERY events (DDL) are appended to `ddl_sink` when given."""
+    pos, n = 0, len(data)
+    tmap, recs, saw_update = None, [], False
+    exp_set = {c for c in columns if c not in ("op", "pre_tokens")} \
+        if columns is not None else None
+    inferred: list[str] = []
+    while pos < n:
+        _ts, tc_ev, _sid, size, _logpos, _flags = \
+            struct.unpack_from("<IBIIIH", data, pos)
+        end = pos + size
+        assert end <= n, "truncated binlog event"
+        crc = struct.unpack_from("<I", data, end - 4)[0]
+        assert crc == zlib.crc32(data[pos:end - 4]) & 0xFFFFFFFF, \
+            f"binlog CRC mismatch in event type {tc_ev} at {pos}"
+        bpos, bend = pos + 19, end - 4
+        if tc_ev == _EV_FDE:
+            assert data[bpos:bpos + 2] == b"\x04\x00", "not binlog v4"
+            assert data[bend - 1] == 1, "unsupported checksum algorithm"
+        elif tc_ev == _EV_TABLE_MAP:
+            tmap = _parse_table_map(data, bpos, bend)
+            # name-keyed projection (COLUMN_NAME TLV makes the stream
+            # self-describing): a WAL segment straddling a DDL barrier
+            # legitimately carries BOTH schemas (one TABLE_MAP per txn),
+            # and the epoch reader range-filters the other side's rows —
+            # so require comparability, not equality; disjoint schemas
+            # still fail loudly
+            if exp_set is not None:
+                got = set(tmap.cols)
+                assert exp_set <= got or got <= exp_set, \
+                    f"TABLE_MAP columns {tmap.cols} incompatible with " \
+                    f"requested {sorted(exp_set)}"
+            for c in tmap.cols:
+                if c not in inferred:
+                    inferred.append(c)
+        elif tc_ev in _ROWS_OP:
+            assert tmap is not None, "ROWS event before TABLE_MAP"
+            op = _ROWS_OP[tc_ev]
+            p = bpos + 8                      # table_id + flags
+            extra = struct.unpack_from("<H", data, p)[0]
+            p += extra                        # extra-data (len incl. itself)
+            ncols, p = _lenenc_read(data, p)
+            assert ncols == len(tmap.cols), "rows/table-map column mismatch"
+            nb = (ncols + 7) // 8
+            bm1 = data[p:p + nb]
+            p += nb
+            pres1 = [ci for ci in range(ncols)
+                     if bm1[ci >> 3] >> (ci & 7) & 1]
+            if op == OP_UPDATE:
+                bm2 = data[p:p + nb]
+                p += nb
+                pres2 = [ci for ci in range(ncols)
+                         if bm2[ci >> 3] >> (ci & 7) & 1]
+                saw_update = True
+            while p < bend:
+                img1, p = _read_binlog_image(data, p, tmap, pres1)
+                if op == OP_UPDATE:
+                    img2, p = _read_binlog_image(data, p, tmap, pres2)
+                    rec = dict(img2)
+                    rec["pre_tokens"] = img1.get("tokens")
+                else:
+                    rec = dict(img1)
+                    rec["pre_tokens"] = None
+                rec["op"] = op
+                recs.append(rec)
+            assert p == bend, "rows event overrun"
+        elif tc_ev == _EV_QUERY and ddl_sink is not None:
+            p = bpos
+            _tid, _exec, slen, _err, svlen = struct.unpack_from("<IIBHH",
+                                                                data, p)
+            p += 13 + svlen + slen + 1
+            sql = data[p:bend].decode()
+            if sql != "BEGIN":
+                ddl_sink.append(sql)
+        pos = end
+    assert pos == n, "trailing garbage after last binlog event"
+
+    if columns is None:
+        assert tmap is not None, "empty binlog needs an explicit column list"
+        columns = ["op"] + inferred + (["pre_tokens"] if saw_update else [])
+    cols = {c: [r.get(c) for r in recs] for c in columns}
+    return pa.table({c: _typed_column(cols[c], c) for c in columns})
+
+
+def decode_mysql_binlog(data: bytes,
+                        columns: list[str] | None = None) -> pa.Table:
+    """binlog file bytes → typed event table (CRC-verified)."""
+    assert data[:4] == _BINLOG_MAGIC, "not a MySQL binlog file"
+    return _decode_binlog_body(data[4:], columns)
+
+
+def decode_binlog_ddls(data: bytes):
+    """binlog file bytes → SchemaRegistry from its DDL QUERY events
+    (versions renumbered dense in barrier order, the registry contract —
+    same shape as decode_canal_ddl_lines)."""
+    from ..stages.schema_evo import SchemaRegistry
+    assert data[:4] == _BINLOG_MAGIC, "not a MySQL binlog file"
+    sqls: list[str] = []
+    _decode_binlog_body(data[4:], None, ddl_sink=sqls)
+    parsed = []
+    for sql in sqls:
+        m = re.search(r"/\* barrier_ts=(\d+) \*/\s*$", sql)
+        assert m, f"DDL query lacks barrier comment: {sql!r}"
+        parsed.append((int(m.group(1)), sql[:m.start()].strip()))
+    parsed.sort(key=lambda x: x[0])
+    return SchemaRegistry([sql_to_ddl(sql, bts, i + 2)
+                           for i, (bts, sql) in enumerate(parsed)])
+
+
+def binlog_txn_ranges(data: bytes) -> list[tuple[int, int]]:
+    """[(start, end)] byte ranges of whole transactions (QUERY BEGIN …
+    XID) plus any auto-commit DDL QUERY events between them — a
+    headers-only walk (event_size hops, no row decode), the binlog analog
+    of avro_block_ranges. Ranges start AFTER the magic+FDE prologue; each
+    is self-contained because every transaction re-announces its
+    TABLE_MAP."""
+    assert data[:4] == _BINLOG_MAGIC, "not a MySQL binlog file"
+    pos, n, out, run_start = 4, len(data), [], None
+    while pos < n:
+        tc = data[pos + 4]
+        size = struct.unpack_from("<I", data, pos + 9)[0]
+        if run_start is None and tc != _EV_FDE:
+            run_start = pos
+        if tc == _EV_XID:
+            out.append((run_start, pos + size))
+            run_start = None
+        pos += size
+    assert pos == n, "truncated binlog"
+    if run_start is not None:                 # trailing DDL-only run
+        out.append((run_start, n))
+    return out
+
+
+def plan_binlog_splits(paths: list[str], columns: list[str] | None,
+                       target_bytes: int = 8 << 20) -> list[dict]:
+    """Transaction-level split planning for binlog WAL segments: ONE
+    remote index task per file walks event headers and coalesces
+    consecutive transactions into ~target_bytes ranges, so decode
+    parallelism is txn-granular — one large binlog fans out instead of
+    one-task-per-file (same shape as plan_avro_splits)."""
+    import ray as _ray
+
+    @_ray.remote
+    def _index(path: str) -> list[dict]:
+        with open(path, "rb") as f:
+            data = f.read()
+        out, lo, hi = [], None, None
+        for (s, e) in binlog_txn_ranges(data):
+            if lo is None:
+                lo, hi = s, e
+            elif e - lo > target_bytes:
+                out.append({"path": path, "start": lo, "end": hi})
+                lo, hi = s, e
+            else:
+                hi = e
+        if lo is not None:
+            out.append({"path": path, "start": lo, "end": hi})
+        return out
+
+    nested = _ray.get([_index.remote(p) for p in paths])
+    return [item for sub in nested for item in sub]
+
+
+class BinlogRangeDecoder:
+    """map_batches callable over plan_binlog_splits items: each row names
+    a (path, byte-range) of whole transactions; the task seeks, reads ONLY
+    its range and decodes — txn-granular parallelism, zero driver bytes."""
+
+    def __init__(self, columns: list[str]):
+        self.columns = list(columns)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tables = []
+        for row in t.to_pylist():
+            with open(row["path"], "rb") as f:
+                f.seek(row["start"])
+                data = f.read(row["end"] - row["start"])
+            tables.append(_decode_binlog_body(data, self.columns))
+        if tables:
+            return pa.concat_tables(tables)
+        return pa.table({c: _typed_column([], c) for c in self.columns})
+
+
 class BinaryFileDecoder:
     """map_batches callable over `read_binary_files` batches (one WAL
     segment file per row): decode each binary payload (avro OCF or craft
@@ -1116,7 +1676,8 @@ class BinaryFileDecoder:
     bytes() per row below is the unavoidable copy the byte-walking decoder
     needs, not a format conversion of the whole batch."""
 
-    _DECODERS = {"avro": decode_avro, "craft": decode_craft}
+    _DECODERS = {"avro": decode_avro, "craft": decode_craft,
+                 "mysql_binlog": decode_mysql_binlog}
 
     def __init__(self, fmt: str, columns: list[str]):
         assert fmt in self._DECODERS, fmt

@@ -62,7 +62,8 @@ def list_segments(wal_dir: str) -> list[Segment]:
                "maxwell": ".maxwell.jsonl",
                "simple": ".simple.jsonl",
                "avro": ".avro",
-               "craft": ".craft"}[fmt]
+               "craft": ".craft",
+               "mysql_binlog": ".binlog"}[fmt]
         path = meta_path.replace(".meta.json", ext)
         segs.append(Segment(m["seq"], path, m["watermark_ts"], m["min_ts"],
                             m["max_ts"], m["rows"], fmt,
