@@ -3,11 +3,8 @@ byte-level framing, CRC verification, charset TLVs, txn-granular splits,
 in-stream DDL, and end-to-end replay parity (dm/pkg/binlog/reader +
 dm/relay/relay.go consume the same public layout via go-mysql)."""
 
-import os
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
 from tiflow_ray.sources.codecs import (BinlogRangeDecoder, _BINLOG_MAGIC,
@@ -152,26 +149,14 @@ def test_binlog_wal_replays_with_ddl_barrier(t1_fixture, tmp_path):
     from tiflow_ray import oracle
     from tiflow_ray.config import ReplayConfig
     from tiflow_ray.pipelines import replay as rp
-    from tiflow_ray.sources.wal import list_segments
 
-    import json as _json
+    from tiflow_ray.fixtures import transcode_wal
 
     root, reg, *_ = t1_fixture
     froot = str(tmp_path / "binlog_fixture")
-    os.makedirs(f"{froot}/wal", exist_ok=True)
-    # re-encode per ORIGINAL segment so watermarks and per-segment column
+    # relay-style per-segment re-encode: watermarks and per-segment column
     # sets (segments straddle the DDL barriers in this tier) are preserved
-    for s in list_segments(f"{root}/wal"):
-        seg = pq.read_table(s.path)
-        with open(f"{froot}/wal/seq={s.seq:05d}.binlog", "wb") as f:
-            f.write(encode_mysql_binlog(seg))
-        with open(f"{froot}/wal/seq={s.seq:05d}.meta.json", "w") as f:
-            _json.dump({"seq": s.seq, "watermark_ts": s.watermark_ts,
-                        "min_ts": s.min_ts, "max_ts": s.max_ts,
-                        "rows": s.rows, "format": "mysql_binlog",
-                        "columns": list(seg.column_names)}, f)
-    with open(f"{froot}/wal/ddl.json", "w") as f:
-        f.write(reg.to_json())
+    transcode_wal(f"{root}/wal", f"{froot}/wal", "mysql_binlog")
     cfg = ReplayConfig(wal_dir=f"{froot}/wal",
                        lake_dir=str(tmp_path / "lake_binlog"),
                        num_partitions=8, validate=True)

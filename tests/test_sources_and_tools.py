@@ -52,6 +52,31 @@ def test_codec_wals_match_parquet_wal(t1_noddl_fixture, tmp_path):
         assert t.equals(exp), f"{fmt} lake diverged from oracle"
 
 
+def test_codec_wals_with_ddl_barrier(t1_fixture, tmp_path):
+    """Change-file codecs under SCHEMA EVOLUTION: the DDL-tier WAL's
+    segments carry different column sets before/after each barrier (and
+    the straddling segments a union), so each segment must decode under
+    its OWN segment-meta column order — the per-file column groups in
+    read_codec_epoch. A positional codec (csv) decoded under one epoch-
+    wide order would misalign silently; binary codecs would fail their
+    schema asserts. All must replay to the exact oracle lake."""
+    from tiflow_ray import fixtures, oracle
+    from tiflow_ray.pipelines import replay as rp
+
+    root, reg, *_ = t1_fixture
+    exp = oracle.replay_to_table(root, reg)
+    for fmt in ("csv", "canal_json", "avro", "craft"):
+        dst = str(tmp_path / fmt)
+        fixtures.transcode_wal(f"{root}/wal", f"{dst}/wal", fmt)
+        cfg = ReplayConfig(wal_dir=f"{dst}/wal",
+                           lake_dir=str(tmp_path / f"lake_{fmt}"),
+                           num_partitions=8, validate=True)
+        rp.bootstrap(cfg, base_dir=f"{root}/base")
+        rp.run_replay(cfg)
+        got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+        assert got.equals(exp), f"{fmt} DDL-barrier lake diverged"
+
+
 def test_avro_codec_roundtrip():
     """Self-contained Avro OCF (public 1.11 spec byte layout): zigzag
     varints, null-union branches, array blocks, embedded writer schema,

@@ -333,6 +333,81 @@ def _events_table(doc_idx, op, cts, sts, prev_ts, new_doc, sver,
     return pa.table(cols)
 
 
+def write_segment_payload(seg: pa.Table, wal_dir: str, seq: int, fmt: str,
+                          codec_opts: dict | None = None) -> None:
+    """Encode ONE segment table into its change-file under wal_dir (every
+    supported codec; filename extension matches sources.wal.list_segments)."""
+    if fmt == "parquet":
+        # modest row groups: Ray parallelizes parquet reads at row-group
+        # granularity, so a handful of big segments still fans out wide
+        pq.write_table(seg, os.path.join(wal_dir, f"seq={seq:05d}.parquet"),
+                       row_group_size=32768)
+        return
+    if fmt == "jsonl":
+        with open(os.path.join(wal_dir, f"seq={seq:05d}.jsonl"), "w") as f:
+            for row in seg.to_pylist():
+                f.write(json.dumps(row) + "\n")
+        return
+    from .sources import codecs as C
+    text_encoders = {"csv": None, "canal_json": C.encode_canal_json,
+                     "debezium": C.encode_debezium,
+                     "open_protocol": C.encode_open_protocol,
+                     "maxwell": C.encode_maxwell, "simple": C.encode_simple}
+    exts = {"csv": ".csv", "canal_json": ".canal.jsonl",
+            "debezium": ".dbz.jsonl", "open_protocol": ".open.jsonl",
+            "maxwell": ".maxwell.jsonl", "simple": ".simple.jsonl",
+            "avro": ".avro", "craft": ".craft", "mysql_binlog": ".binlog"}
+    if fmt in text_encoders:
+        text = C.encode_csv(seg)[0] if fmt == "csv" \
+            else text_encoders[fmt](seg)
+        with open(os.path.join(wal_dir, f"seq={seq:05d}{exts[fmt]}"),
+                  "w") as f:
+            f.write(text)
+    elif fmt == "avro":
+        with open(os.path.join(wal_dir, f"seq={seq:05d}.avro"), "wb") as f:
+            f.write(C.encode_avro(seg))
+    elif fmt == "craft":
+        with open(os.path.join(wal_dir, f"seq={seq:05d}.craft"), "wb") as f:
+            f.write(C.encode_craft(seg))
+    elif fmt == "mysql_binlog":
+        with open(os.path.join(wal_dir, f"seq={seq:05d}.binlog"), "wb") as f:
+            f.write(C.encode_mysql_binlog(seg, **(codec_opts or {})))
+    else:
+        raise ValueError(f"unknown wal format {fmt}")
+
+
+def transcode_wal(src_wal: str, dst_wal: str, fmt: str,
+                  codec_opts: dict | None = None) -> list[dict]:
+    """Re-encode an existing parquet WAL segment-by-segment into another
+    change-file format, preserving seq numbers, watermarks and each
+    segment's OWN column set — segments written before and after a DDL
+    barrier carry different columns (the storage sink rewrites its schema
+    file per DDL, pkg/sink/cloudstorage/table_definition.go), and a
+    whole-stream rewrite would erase that. This is the relay direction
+    (dm/relay persists the upstream stream as local files 1:1, without
+    re-batching). Copies ddl.json; returns the new metas."""
+    import shutil
+
+    from .sources.wal import list_segments
+    os.makedirs(dst_wal, exist_ok=True)
+    metas = []
+    for s in list_segments(src_wal):
+        assert s.format == "parquet", f"transcode source must be parquet: {s}"
+        seg = pq.read_table(s.path)
+        write_segment_payload(seg, dst_wal, s.seq, fmt, codec_opts)
+        meta = {"seq": s.seq, "watermark_ts": s.watermark_ts,
+                "min_ts": s.min_ts, "max_ts": s.max_ts, "rows": s.rows,
+                "format": fmt, "columns": list(seg.column_names)}
+        with open(os.path.join(dst_wal, f"seq={s.seq:05d}.meta.json"),
+                  "w") as f:
+            json.dump(meta, f)
+        metas.append(meta)
+    ddl = os.path.join(src_wal, "ddl.json")
+    if os.path.exists(ddl):
+        shutil.copyfile(ddl, os.path.join(dst_wal, "ddl.json"))
+    return metas
+
+
 def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
                        registry: SchemaRegistry | None = None,
                        fmt: str = "parquet",
@@ -357,54 +432,7 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
     metas = []
     for s, (a, b) in enumerate(zip(starts, ends)):
         seg = t.slice(a, b - a)
-        if fmt == "parquet":
-            # modest row groups: Ray parallelizes parquet reads at row-group
-            # granularity, so a handful of big segments still fans out wide
-            pq.write_table(seg, os.path.join(wal_dir, f"seq={s:05d}.parquet"),
-                           row_group_size=32768)
-        elif fmt == "jsonl":
-            with open(os.path.join(wal_dir, f"seq={s:05d}.jsonl"), "w") as f:
-                for row in seg.to_pylist():
-                    f.write(json.dumps(row) + "\n")
-        elif fmt == "csv":
-            from .sources.codecs import encode_csv
-            text, _ = encode_csv(seg)
-            with open(os.path.join(wal_dir, f"seq={s:05d}.csv"), "w") as f:
-                f.write(text)
-        elif fmt == "canal_json":
-            from .sources.codecs import encode_canal_json
-            with open(os.path.join(wal_dir, f"seq={s:05d}.canal.jsonl"), "w") as f:
-                f.write(encode_canal_json(seg))
-        elif fmt == "debezium":
-            from .sources.codecs import encode_debezium
-            with open(os.path.join(wal_dir, f"seq={s:05d}.dbz.jsonl"), "w") as f:
-                f.write(encode_debezium(seg))
-        elif fmt == "open_protocol":
-            from .sources.codecs import encode_open_protocol
-            with open(os.path.join(wal_dir, f"seq={s:05d}.open.jsonl"), "w") as f:
-                f.write(encode_open_protocol(seg))
-        elif fmt == "maxwell":
-            from .sources.codecs import encode_maxwell
-            with open(os.path.join(wal_dir, f"seq={s:05d}.maxwell.jsonl"), "w") as f:
-                f.write(encode_maxwell(seg))
-        elif fmt == "simple":
-            from .sources.codecs import encode_simple
-            with open(os.path.join(wal_dir, f"seq={s:05d}.simple.jsonl"), "w") as f:
-                f.write(encode_simple(seg))
-        elif fmt == "avro":
-            from .sources.codecs import encode_avro
-            with open(os.path.join(wal_dir, f"seq={s:05d}.avro"), "wb") as f:
-                f.write(encode_avro(seg))
-        elif fmt == "craft":
-            from .sources.codecs import encode_craft
-            with open(os.path.join(wal_dir, f"seq={s:05d}.craft"), "wb") as f:
-                f.write(encode_craft(seg))
-        elif fmt == "mysql_binlog":
-            from .sources.codecs import encode_mysql_binlog
-            with open(os.path.join(wal_dir, f"seq={s:05d}.binlog"), "wb") as f:
-                f.write(encode_mysql_binlog(seg, **(codec_opts or {})))
-        else:
-            raise ValueError(f"unknown wal format {fmt}")
+        write_segment_payload(seg, wal_dir, s, fmt, codec_opts)
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
                 "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),
                 "rows": int(b - a), "format": fmt,

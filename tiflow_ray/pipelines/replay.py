@@ -327,49 +327,86 @@ def _thin_winner_signatures(cfg: ReplayConfig, ep: Epoch,
     return tuple(zip(refs, parts))
 
 
+def _codec_col_groups(ep: Epoch) -> list[tuple[list[str], list[str]]]:
+    """Group an epoch's files by their OWN segment-meta column order
+    [(files, columns)]. Segments written before and after a DDL barrier
+    carry different column sets (the storage sink rewrites its schema
+    file at each DDL, pkg/sink/cloudstorage/table_definition.go), and a
+    positional codec (csv) decoded under the wrong order misaligns
+    silently — each group must decode under its own order. Insertion
+    order follows ep.files so the plan stays deterministic."""
+    cmap = dict(ep.col_map) if ep.col_map else {}
+    groups: dict[tuple, list[str]] = {}
+    for f in ep.files:
+        groups.setdefault(tuple(cmap.get(f, ep.columns)), []).append(f)
+    return [(fs, list(cols)) for cols, fs in groups.items()]
+
+
+def _union_ds(parts: list) -> "ray.data.Dataset":
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
 def read_codec_epoch(ep: Epoch, read_kwargs: dict,
                      batch_size: int) -> "ray.data.Dataset":
     """Distributed decode of one epoch's NON-parquet WAL segments (M10):
-    jsonl / avro-OCF / craft / csv / canal-json / open-protocol / debezium
-    / maxwell / simple. Returns raw change events; the caller must
-    range-filter to (lo, hi] (codecs carry no commit_ts pushdown). Call
-    under _READ_PLAN_LOCK when planning concurrently (pipelined epochs).
-    Shared by the single-table and multi-table replay paths."""
-    if ep.fmt == "jsonl":    # raw json change files
+    jsonl / avro-OCF / craft / mysql-binlog / csv / canal-json /
+    open-protocol / debezium / maxwell / simple. Returns raw change
+    events; the caller must range-filter to (lo, hi] (codecs carry no
+    commit_ts pushdown) and Normalize handles per-group schema deltas.
+    Call under _READ_PLAN_LOCK when planning concurrently (pipelined
+    epochs). Shared by the single-table and multi-table replay paths."""
+    if ep.fmt == "jsonl":    # raw json change files (self-describing)
         return ray.data.read_json(list(ep.files), **read_kwargs)
     if ep.fmt == "avro":     # OCF: BLOCK-granular fan-out — the splitter
         # walks block headers (no datum decode) and each range task
         # seeks+reads only its own blocks, so one large segment decodes
         # ≥8-way instead of one-task-per-file
         from ..sources.codecs import AvroRangeDecoder, plan_avro_splits
-        items = plan_avro_splits(list(ep.files), list(ep.columns))
-        ds = ray.data.from_items(
-            items, override_num_blocks=max(1, len(items)))
-        return ds.map_batches(AvroRangeDecoder(list(ep.columns)),
-                              batch_format="pyarrow", batch_size=4)
+        parts = []
+        for files, cols in _codec_col_groups(ep):
+            items = plan_avro_splits(files, cols)
+            ds = ray.data.from_items(
+                items, override_num_blocks=max(1, len(items)))
+            parts.append(ds.map_batches(AvroRangeDecoder(cols),
+                                        batch_format="pyarrow",
+                                        batch_size=4))
+        return _union_ds(parts)
     if ep.fmt == "mysql_binlog":   # binlog v4: TRANSACTION-granular
         # fan-out — the planner walks event headers (event_size hops, no
         # row decode) and each range task seeks+reads only its own whole
         # transactions (every txn re-announces its TABLE_MAP, so ranges
         # are self-contained)
         from ..sources.codecs import BinlogRangeDecoder, plan_binlog_splits
-        items = plan_binlog_splits(list(ep.files), list(ep.columns))
-        ds = ray.data.from_items(
-            items, override_num_blocks=max(1, len(items)))
-        return ds.map_batches(BinlogRangeDecoder(list(ep.columns)),
-                              batch_format="pyarrow", batch_size=4)
+        parts = []
+        for files, cols in _codec_col_groups(ep):
+            items = plan_binlog_splits(files, cols)
+            ds = ray.data.from_items(
+                items, override_num_blocks=max(1, len(items)))
+            parts.append(ds.map_batches(BinlogRangeDecoder(cols),
+                                        batch_format="pyarrow",
+                                        batch_size=4))
+        return _union_ds(parts)
     if ep.fmt == "craft":    # craft: size tables live at the message
         # TAIL, so a mid-file split cannot be located without the tail —
         # file-granular fan-out is inherent to the format
         from ..sources.codecs import BinaryFileDecoder
-        ds = ray.data.read_binary_files(list(ep.files))
-        return ds.map_batches(BinaryFileDecoder(ep.fmt, list(ep.columns)),
-                              batch_format="pyarrow", batch_size=4)
-    # csv / canal-json / open-protocol / … change files: text → decoder
+        parts = []
+        for files, cols in _codec_col_groups(ep):
+            ds = ray.data.read_binary_files(files)
+            parts.append(ds.map_batches(BinaryFileDecoder(ep.fmt, cols),
+                                        batch_format="pyarrow",
+                                        batch_size=4))
+        return _union_ds(parts)
+    # csv / canal-json / open-protocol / … change files: text → decoder,
+    # one read per column-order group (csv is positional)
     from ..sources.codecs import ChangeFileDecoder
-    ds = ray.data.read_text(list(ep.files), **read_kwargs)
-    return ds.map_batches(ChangeFileDecoder(ep.fmt, list(ep.columns)),
-                          batch_format="pandas", batch_size=batch_size)
+    parts = []
+    for files, cols in _codec_col_groups(ep):
+        ds = ray.data.read_text(files, **read_kwargs)
+        parts.append(ds.map_batches(ChangeFileDecoder(ep.fmt, cols),
+                                    batch_format="pandas",
+                                    batch_size=batch_size))
+    return _union_ds(parts)
 
 
 class RemountStage:

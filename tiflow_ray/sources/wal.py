@@ -47,6 +47,10 @@ class Epoch:
     est_rows: int = 0     # upper-bound row estimate (sum of overlapping segments)
     fmt: str = "parquet"  # uniform file format of this epoch's segments
     columns: tuple[str, ...] = ()   # codec column order (csv/canal-json)
+    #: per-file codec column order — segments written before and after a
+    #: DDL barrier carry DIFFERENT column sets, and positional codecs
+    #: (csv) misdecode under the wrong order; () falls back to `columns`
+    col_map: tuple[tuple[str, tuple[str, ...]], ...] = ()
 
 
 def list_segments(wal_dir: str) -> list[Segment]:
@@ -141,6 +145,7 @@ def plan_epochs(segments: list[Segment], registry: SchemaRegistry,
         epochs.append(Epoch(i, lo, hi, ver,
                             tuple(s.path for s in overlapping),
                             sum(s.rows for s in overlapping), fmts.pop(),
-                            overlapping[0].columns if overlapping else ()))
+                            overlapping[0].columns if overlapping else (),
+                            tuple((s.path, s.columns) for s in overlapping)))
         lo = hi
     return epochs
