@@ -75,9 +75,10 @@ def test_binlog_charset_tlv_declared_not_assumed():
     })
     utf8 = encode_mysql_binlog(t, charset="utf8mb4")
     gbk = encode_mysql_binlog(t, charset="gbk")
+    gb18030 = encode_mysql_binlog(t, charset="gb18030")
     assert "汉字测试".encode("gbk") in gbk
     assert "汉字测试".encode("gbk") not in utf8
-    for blob in (utf8, gbk):
+    for blob in (utf8, gbk, gb18030):
         assert decode_mysql_binlog(blob, list(t.column_names)).equals(t)
     with pytest.raises(UnicodeEncodeError):
         encode_mysql_binlog(t, charset="latin1")
@@ -138,6 +139,56 @@ def test_binlog_txn_splits_parallel_decode(tmp_path):
     got = got.take(pa.compute.sort_indices(
         got, sort_keys=[("commit_ts", "ascending")]))
     assert got.equals(t)
+
+
+def test_binlog_relay_tail(t1_fixture, tmp_path):
+    """The relay loop (dm/relay/relay.go): a writer appends binlog
+    segments while tail_replay follows — the continuous consumer decodes
+    each new binlog file as it is published and converges to the
+    sequential oracle across the DDL barriers."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    from tiflow_ray import oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.fixtures import transcode_wal
+    from tiflow_ray.pipelines import replay as rp
+    from tiflow_ray.sources.wal import list_segments
+
+    root, reg, *_ = t1_fixture
+    staged = str(tmp_path / "wal_binlog_staged")
+    transcode_wal(os.path.join(root, "wal"), staged, "mysql_binlog")
+    segs = list_segments(staged)
+    live = str(tmp_path / "wal_binlog_live")
+    os.makedirs(live)
+    shutil.copy(os.path.join(staged, "ddl.json"), live)
+
+    def publish(s):
+        # data file first, meta last — the meta is the publish marker
+        shutil.copy(s.path, live)
+        shutil.copy(os.path.join(staged, f"seq={s.seq:05d}.meta.json"), live)
+
+    publish(segs[0])
+
+    def writer():
+        for s in segs[1:]:
+            time.sleep(0.4)
+            publish(s)
+
+    th = threading.Thread(target=writer)
+    cfg = ReplayConfig(wal_dir=live, lake_dir=str(tmp_path / "lake_relay"),
+                       num_partitions=8, max_segments_per_epoch=1)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    th.start()
+    try:
+        res = rp.tail_replay(cfg, poll_secs=0.1, idle_timeout=3.0)
+    finally:
+        th.join()
+    assert len(res.epochs) >= len(segs)
+    got = rp.lake_to_table(cfg.lake_dir, live)
+    assert got.equals(oracle.replay_to_table(root, reg))
 
 
 def test_binlog_wal_replays_with_ddl_barrier(t1_fixture, tmp_path):

@@ -1159,7 +1159,7 @@ _OP_ROWS = {v: k for k, v in _ROWS_OP.items()}
 _MYSQL_LONG, _MYSQL_LONGLONG, _MYSQL_BLOB = 3, 8, 252
 #: charset name → (MySQL default collation id, python codec)
 _BINLOG_CHARSETS = {"utf8mb4": (255, "utf-8"), "latin1": (8, "latin-1"),
-                    "gbk": (28, "gbk")}
+                    "gbk": (28, "gbk"), "gb18030": (248, "gb18030")}
 _COLLATION_CODEC = {cid: py for cid, py in _BINLOG_CHARSETS.values()}
 _BINLOG_TABLE_ID = 1000
 _BINLOG_SERVER_ID = 1
