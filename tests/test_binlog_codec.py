@@ -191,6 +191,39 @@ def test_binlog_relay_tail(t1_fixture, tmp_path):
     assert got.equals(oracle.replay_to_table(root, reg))
 
 
+def test_cli_transcode_then_replay(t1_noddl_fixture, tmp_path):
+    """§2.10 surface: `tiflow_ray.cli transcode` relays a parquet WAL into
+    binlog files from the command line; the transcoded WAL then replays
+    in-process to the oracle lake."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tiflow_ray import oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+
+    root, reg, *_ = t1_noddl_fixture
+    dst = str(tmp_path / "wal_binlog_cli")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_ray.cli", "transcode",
+         "--src", f"{root}/wal", "--dst", dst, "--fmt", "mysql_binlog",
+         "--charset", "gbk"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["segments"] >= 3 and res["fmt"] == "mysql_binlog"
+    cfg = ReplayConfig(wal_dir=dst, lake_dir=str(tmp_path / "lake_cli_bl"),
+                       num_partitions=8)
+    rp.bootstrap(cfg, base_dir=f"{root}/base")
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, dst)
+    assert got.equals(oracle.replay_to_table(root, reg))
+
+
 def test_binlog_wal_replays_with_ddl_barrier(t1_fixture, tmp_path):
     """End-to-end S4: the DDL-tier WAL re-encoded as binlog segments
     (schema evolution mid-stream → heterogeneous per-segment columns)

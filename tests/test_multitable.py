@@ -482,11 +482,12 @@ def test_multitable_hot_table_salting_matches_oracle(tmp_path, mode):
         assert salted > 0, "hot key must engage the salted route"
 
 
-@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+@pytest.mark.parametrize("fmt", ["jsonl", "csv", "mysql_binlog"])
 def test_multitable_codec_wal_matches_parquet(tmp_path, fmt):
     """VERDICT r4 #2: the multitable changefeed accepts non-parquet WAL
-    segments through the shared codec decode path; the replayed lakes
-    equal the parquet-WAL run's."""
+    segments through the shared codec decode path (incl. the binlog
+    format, whose table_name column rides the row image like any other
+    demux key); the replayed lakes equal the parquet-WAL run's."""
     import pyarrow.parquet as pq
     from tiflow_ray.sources.wal import list_segments
 

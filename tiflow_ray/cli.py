@@ -90,6 +90,16 @@ def main(argv=None):
     w.add_argument("--wal", required=True)
     w.add_argument("--lake", required=True)
 
+    tc = sub.add_parser("transcode")   # relay: re-encode a WAL 1:1 into
+    tc.add_argument("--src", required=True)   # another change-file format
+    tc.add_argument("--dst", required=True)
+    tc.add_argument("--fmt", required=True,
+                    choices=["jsonl", "csv", "canal_json", "debezium",
+                             "open_protocol", "maxwell", "simple", "avro",
+                             "craft", "mysql_binlog"])
+    tc.add_argument("--charset", default="utf8mb4",
+                    help="mysql_binlog only: utf8mb4|latin1|gbk|gb18030")
+
     rw = sub.add_parser("rewind")   # point-in-time rollback to an epoch
     rw.add_argument("--lake", required=True)
     rw.add_argument("--epoch", type=int, required=True)
@@ -237,6 +247,12 @@ def main(argv=None):
         print(json.dumps(rp.repartition_lake(a.lake, a.num_partitions)))
     elif a.cmd == "wal-gc":
         print(json.dumps(rp.gc_wal(a.wal, a.lake)))
+    elif a.cmd == "transcode":
+        from .fixtures import transcode_wal
+        opts = {"charset": a.charset} if a.fmt == "mysql_binlog" else None
+        metas = transcode_wal(a.src, a.dst, a.fmt, codec_opts=opts)
+        print(json.dumps({"segments": len(metas), "fmt": a.fmt,
+                          "rows": sum(m["rows"] for m in metas)}))
     elif a.cmd == "rewind":
         from .state.checkpoint import LakeState
         print(json.dumps(LakeState(a.lake).rewind(a.epoch, wal_dir=a.wal)))
