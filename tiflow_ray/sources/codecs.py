@@ -1322,7 +1322,8 @@ def encode_mysql_binlog(t: pa.Table, charset: str = "utf8mb4",
     barrier ts rides a TiDB-style trailing comment because the v4 header
     timestamp is 32-bit seconds."""
     cols_all = list(t.column_names)
-    assert "op" in cols_all and "commit_ts" in cols_all, cols_all
+    assert "op" in cols_all and "commit_ts" in cols_all \
+        and "doc_id" in cols_all, cols_all
     tbl_cols = [c for c in cols_all if c not in ("op", "pre_tokens")]
     has_pre = "pre_tokens" in cols_all
     assert not has_pre or "tokens" in tbl_cols, \
