@@ -1632,6 +1632,23 @@ def plan_binlog_splits(paths: list[str], columns: list[str] | None,
     def _index(path: str) -> list[dict]:
         with open(path, "rb") as f:
             data = f.read()
+        if columns:
+            # schema-file consistency, avro-planner parity: the first
+            # TABLE_MAP's COLUMN_NAME set must be comparable to the meta
+            # columns (subset/superset allowed — barrier straddlers)
+            exp = {c for c in columns if c not in ("op", "pre_tokens")}
+            pos = 4
+            while pos < len(data):
+                tc = data[pos + 4]
+                size = struct.unpack_from("<I", data, pos + 9)[0]
+                if tc == _EV_TABLE_MAP:
+                    tm = _parse_table_map(data, pos + 19, pos + size - 4)
+                    got = set(tm.cols)
+                    assert exp <= got or got <= exp, \
+                        f"{path}: TABLE_MAP columns {tm.cols} " \
+                        f"incompatible with meta {sorted(exp)}"
+                    break
+                pos += size
         out, lo, hi = [], None, None
         for (s, e) in binlog_txn_ranges(data):
             if lo is None:
