@@ -100,6 +100,24 @@ def main(argv=None):
     tc.add_argument("--charset", default="utf8mb4",
                     help="mysql_binlog only: utf8mb4|latin1|gbk|gb18030")
 
+    bs = sub.add_parser("binlog-serve")   # replication master over a dir
+    bs.add_argument("--binlog-dir", required=True)  # of binlog v4 files
+    bs.add_argument("--user", default="repl")
+    bs.add_argument("--password", default="repl")
+    bs.add_argument("--port-file", help="write host:port here once bound")
+
+    rl = sub.add_parser("relay")    # replica: dump the master's stream
+    rl.add_argument("--host", default="127.0.0.1")  # into local relay files
+    rl.add_argument("--port", type=int, required=True)
+    rl.add_argument("--out", required=True)
+    rl.add_argument("--user", default="repl")
+    rl.add_argument("--password", default="repl")
+    rl.add_argument("--server-id", type=int, default=2)
+    rl.add_argument("--follow", action="store_true",
+                    help="blocking dump: stream until interrupted")
+    rl.add_argument("--no-index", action="store_true",
+                    help="skip rebuilding metas + ddl.json after catch-up")
+
     rw = sub.add_parser("rewind")   # point-in-time rollback to an epoch
     rw.add_argument("--lake", required=True)
     rw.add_argument("--epoch", type=int, required=True)
@@ -178,6 +196,35 @@ def main(argv=None):
                                            for k, v in m.parts.items()
                                            if v.get("deltas")},
                           "stats": m.stats}, indent=1))
+        return 0
+
+    if a.cmd == "binlog-serve":           # pure sockets+files, no Ray
+        import time
+
+        from .sources.repl_protocol import BinlogDumpServer
+        srv = BinlogDumpServer(a.binlog_dir, user=a.user,
+                               password=a.password)
+        host, port = srv.start()
+        if a.port_file:
+            with open(a.port_file, "w") as f:
+                f.write(f"{host}:{port}")
+        print(json.dumps({"host": host, "port": port}), flush=True)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+
+    if a.cmd == "relay":                  # pure sockets+files, no Ray
+        from .sources.repl_protocol import index_binlog_dir, relay_binlog
+        touched = relay_binlog(a.host, a.port, a.out, user=a.user,
+                               password=a.password, server_id=a.server_id,
+                               follow=a.follow)
+        out = {"touched": touched}
+        if not a.no_index:
+            out["segments"] = len(index_binlog_dir(a.out))
+        print(json.dumps(out))
         return 0
 
     owns_ray = _init_ray(a.num_cpus)

@@ -376,6 +376,22 @@ def write_segment_payload(seg: pa.Table, wal_dir: str, seq: int, fmt: str,
         raise ValueError(f"unknown wal format {fmt}")
 
 
+def _binlog_ddl_slice(registry, lo: int | None, hi: int, last: bool,
+                      codec_opts: dict | None) -> dict:
+    """codec_opts carrying the DDLs whose barrier falls in this segment's
+    (lo, hi] watermark window — DDL travels IN the binlog stream, where
+    MySQL puts it, so a relayed dir is self-describing with no side-band
+    ddl.json (sources/repl_protocol.index_binlog_dir rebuilds it). The
+    last segment also takes barriers past the final watermark."""
+    import types
+    ddls = [] if registry is None else \
+        [d for d in registry.ddls
+         if (lo is None or d.barrier_ts > lo) and (last or d.barrier_ts <= hi)]
+    opts = dict(codec_opts or {})
+    opts["registry"] = types.SimpleNamespace(ddls=ddls)
+    return opts
+
+
 def transcode_wal(src_wal: str, dst_wal: str, fmt: str,
                   codec_opts: dict | None = None) -> list[dict]:
     """Re-encode an existing parquet WAL segment-by-segment into another
@@ -388,13 +404,20 @@ def transcode_wal(src_wal: str, dst_wal: str, fmt: str,
     re-batching). Copies ddl.json; returns the new metas."""
     import shutil
 
-    from .sources.wal import list_segments
+    from .sources.wal import list_segments, load_registry
     os.makedirs(dst_wal, exist_ok=True)
     metas = []
-    for s in list_segments(src_wal):
+    segments = list_segments(src_wal)
+    reg = load_registry(src_wal)
+    for i, s in enumerate(segments):
         assert s.format == "parquet", f"transcode source must be parquet: {s}"
         seg = pq.read_table(s.path)
-        write_segment_payload(seg, dst_wal, s.seq, fmt, codec_opts)
+        opts = codec_opts
+        if fmt == "mysql_binlog" and (codec_opts or {}).get("registry") is None:
+            opts = _binlog_ddl_slice(
+                reg, None if i == 0 else segments[i - 1].watermark_ts,
+                s.watermark_ts, i == len(segments) - 1, codec_opts)
+        write_segment_payload(seg, dst_wal, s.seq, fmt, opts)
         meta = {"seq": s.seq, "watermark_ts": s.watermark_ts,
                 "min_ts": s.min_ts, "max_ts": s.max_ts, "rows": s.rows,
                 "format": fmt, "columns": list(seg.column_names)}
@@ -432,7 +455,12 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
     metas = []
     for s, (a, b) in enumerate(zip(starts, ends)):
         seg = t.slice(a, b - a)
-        write_segment_payload(seg, wal_dir, s, fmt, codec_opts)
+        opts = codec_opts
+        if fmt == "mysql_binlog" and (codec_opts or {}).get("registry") is None:
+            opts = _binlog_ddl_slice(registry,
+                                     None if s == 0 else int(cts[a - 1]),
+                                     int(cts[b - 1]), b == n, codec_opts)
+        write_segment_payload(seg, wal_dir, s, fmt, opts)
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
                 "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),
                 "rows": int(b - a), "format": fmt,

@@ -1191,6 +1191,40 @@ def q_cdc_replay_binlog(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
 
 
+def q_cdc_replay_relay(sf_dir: str) -> pa.Table:
+    """S4 closed at the WIRE layer: the binlog WAL is served over a
+    loopback TCP socket speaking the PUBLIC MySQL replication protocol
+    (handshake v10, mysql_native_password, COM_REGISTER_SLAVE,
+    COM_BINLOG_DUMP — dm/relay/relay.go + dm/pkg/binlog/reader/tcp.go),
+    relayed 1:1 into local relay files whose metas + DDL schedule are
+    rebuilt purely from the stream, then replayed to the lake. Oracle =
+    the same SQL twin as cdc_replay, so the whole wire loop is
+    hash-checked end to end."""
+    from .config import ReplayConfig
+    from .pipelines import replay as rp
+    from .sources.repl_protocol import (BinlogDumpServer, index_binlog_dir,
+                                        relay_binlog)
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    bdir = os.path.join(root, "wal_binlog")
+    if not os.path.exists(os.path.join(bdir, "ddl.json")):
+        segs = [pq.read_table(s.path)
+                for s in list_segments(os.path.join(root, "wal"))]
+        t = pa.concat_tables(segs, promote_options="default")
+        write_wal_segments(t, bdir, len(segs), registry, fmt="mysql_binlog")
+    rdir = os.path.join(root, "wal_relay")
+    with BinlogDumpServer(bdir) as srv:
+        relay_binlog(srv.host, srv.port, rdir)
+    index_binlog_dir(rdir)
+    cfg = ReplayConfig(wal_dir=rdir,
+                       lake_dir=os.path.join(root, "lake_relay"),
+                       num_partitions=CDC_P, max_segments_per_epoch=2)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    return rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+
+
 def q_sql_apply(sf_dir: str) -> pa.Table:
     """K3 (MySQL txn sink) made real: the engine's compaction front-end
     (normalize → split → combine → per-partition final reduce) feeds the
@@ -4013,6 +4047,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_sharded": (q_cdc_replay_sharded, _CDC_REPLAY_SQL),
     "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
     "cdc_replay_binlog": (q_cdc_replay_binlog, _CDC_REPLAY_SQL),  # NEW r5
+    "cdc_replay_relay": (q_cdc_replay_relay, _CDC_REPLAY_SQL),  # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),

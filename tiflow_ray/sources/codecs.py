@@ -1577,11 +1577,11 @@ def decode_mysql_binlog(data: bytes,
     return _decode_binlog_body(data[4:], columns)
 
 
-def decode_binlog_ddls(data: bytes):
-    """binlog file bytes → SchemaRegistry from its DDL QUERY events
-    (versions renumbered dense in barrier order, the registry contract —
-    same shape as decode_canal_ddl_lines)."""
-    from ..stages.schema_evo import SchemaRegistry
+def binlog_ddl_pairs(data: bytes) -> list[tuple[int, str]]:
+    """binlog file bytes → [(barrier_ts, sql)] from its DDL QUERY events,
+    sorted by barrier. The multi-file form of decode_binlog_ddls: a relay
+    dir spreads DDLs across segment files, so registry reconstruction
+    collects pairs per file, dedupes on barrier_ts, and renumbers once."""
     assert data[:4] == _BINLOG_MAGIC, "not a MySQL binlog file"
     sqls: list[str] = []
     _decode_binlog_body(data[4:], None, ddl_sink=sqls)
@@ -1590,9 +1590,27 @@ def decode_binlog_ddls(data: bytes):
         m = re.search(r"/\* barrier_ts=(\d+) \*/\s*$", sql)
         assert m, f"DDL query lacks barrier comment: {sql!r}"
         parsed.append((int(m.group(1)), sql[:m.start()].strip()))
-    parsed.sort(key=lambda x: x[0])
+    return sorted(parsed, key=lambda x: x[0])
+
+
+def registry_from_ddl_pairs(pairs: list[tuple[int, str]]):
+    """Deduped (barrier_ts, sql) pairs → SchemaRegistry (versions
+    renumbered dense in barrier order, the registry contract)."""
+    from ..stages.schema_evo import SchemaRegistry
+    uniq: dict[int, str] = {}
+    for bts, sql in pairs:
+        prev = uniq.setdefault(bts, sql)
+        assert prev == sql, f"conflicting DDLs at barrier {bts}"
+    ordered = sorted(uniq.items())
     return SchemaRegistry([sql_to_ddl(sql, bts, i + 2)
-                           for i, (bts, sql) in enumerate(parsed)])
+                           for i, (bts, sql) in enumerate(ordered)])
+
+
+def decode_binlog_ddls(data: bytes):
+    """binlog file bytes → SchemaRegistry from its DDL QUERY events
+    (versions renumbered dense in barrier order, the registry contract —
+    same shape as decode_canal_ddl_lines)."""
+    return registry_from_ddl_pairs(binlog_ddl_pairs(data))
 
 
 def binlog_txn_ranges(data: bytes) -> list[tuple[int, int]]:
