@@ -1,0 +1,148 @@
+# The Kafka wire loop (sinks/kafka_wire.py + pipelines/mq.py broker
+# mode): a loopback broker speaking the public protocol (big-endian
+# frames, v0 message sets with CRC), produced to by the MQ sink's Ray
+# tasks (kafka_dml_producer.go slot) and fetched back into the consumer
+# spool (cmd/kafka-consumer slot).
+import os
+import struct
+import threading
+import zlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from tiflow_ray.sinks.kafka_wire import (KafkaLiteBroker, KafkaLiteClient,
+                                         decode_message_set,
+                                         encode_message_set)
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    with KafkaLiteBroker(str(tmp_path / "log")) as b:
+        yield b
+
+
+def test_produce_fetch_roundtrip_offsets_dense(broker):
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        assert c.produce("t", 0, [(b"a", b"1"), (None, b"2")]) == 0
+        assert c.produce("t", 0, [(b"c", None)]) == 2
+        hw, recs = c.fetch("t", 0, 0)
+        assert hw == 3
+        assert recs == [(0, b"a", b"1"), (1, None, b"2"), (2, b"c", None)]
+        # resume from mid-stream
+        assert c.fetch_all("t", 0, 1) == recs[1:]
+        assert c.list_offsets("t", 0) == 3
+        assert c.list_offsets("t", 0, earliest=True) == 0
+
+
+def test_fetch_truncates_partial_message_at_max_bytes(broker):
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        c.produce("t", 0, [(b"k", b"x" * 1000), (b"k2", b"y" * 1000)])
+        hw, recs = c.fetch("t", 0, 0, max_bytes=1100)   # second msg cut
+        assert hw == 2 and [o for o, _k, _v in recs] == [0]
+        # fetch_all transparently drains past the cut
+        assert [o for o, _k, _v in c.fetch_all("t", 0, 0)] == [0, 1]
+        # a single message bigger than the default window still drains
+        # (consumer bumps max_bytes) — exercised with a tiny first window
+        hw, recs = c.fetch("t", 0, 1, max_bytes=64)
+        assert recs == []                               # too small
+        assert [o for o, _k, _v in c.fetch_all("t", 0, 1)] == [1]
+
+
+def test_corrupt_crc_rejected_nothing_appended(broker):
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        c.produce("t", 0, [(b"k", b"good")])
+        mset = bytearray(encode_message_set([(b"k", b"evil")]))
+        mset[-1] ^= 0xFF                    # flip a value byte; CRC stale
+        body = bytearray(struct.pack(">hii", 1, 30000, 1))
+        body += struct.pack(">h", 1) + b"t"
+        body += struct.pack(">ii", 1, 0)
+        body += struct.pack(">i", len(mset)) + bytes(mset)
+        r = c._call(0, 0, bytes(body))
+        pos = 4 + 2 + 1 + 4                 # topics count, name, nparts
+        part, err, base = struct.unpack_from(">ihq", r, pos)
+        assert (part, err, base) == (0, 2, -1)          # CORRUPT_MESSAGE
+        assert c.list_offsets("t", 0) == 1              # nothing appended
+        with pytest.raises(ValueError, match="CRC"):
+            decode_message_set(bytes(struct.pack(">qi", 0, len(mset) - 12)
+                                     + mset[12:]))
+
+
+def test_errors_unknown_topic_and_offset_out_of_range(broker):
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        with pytest.raises(RuntimeError, match="error 3"):
+            c.fetch("ghost", 0, 0)
+        c.produce("t", 0, [(b"k", b"v")])
+        with pytest.raises(IndexError, match="past high water"):
+            c.fetch("t", 0, 5)
+        assert c.metadata()["t"] == [0]
+        assert c.metadata(["ghost"]) == {}
+
+
+def test_concurrent_producers_interleave_without_loss(broker):
+    def produce(tag: bytes):
+        with KafkaLiteClient(broker.host, broker.port) as c:
+            for i in range(50):
+                c.produce("t", 0, [(tag, tag + str(i).encode())])
+
+    ts = [threading.Thread(target=produce, args=(t,))
+          for t in (b"a", b"b", b"c")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        recs = c.fetch_all("t", 0, 0)
+    assert [o for o, _k, _v in recs] == list(range(150))
+    by_tag = {}
+    for _o, k, v in recs:
+        by_tag.setdefault(k, []).append(v)
+    # per-producer order preserved (offsets are assigned under the
+    # partition append lock, one request at a time)
+    for tag, vals in by_tag.items():
+        assert vals == [tag + str(i).encode() for i in range(50)]
+
+
+def test_mq_pipeline_over_the_wire_matches_oracle(t1_fixture, tmp_path):
+    """produce_mq(broker=...) → fetch_mq → consume_mq == the sequential
+    oracle — the whole kafka-consumer e2e with a real wire hop."""
+    from tiflow_ray import oracle
+    from tiflow_ray.pipelines import replay as rp
+    from tiflow_ray.pipelines.mq import consume_mq, fetch_mq, produce_mq
+
+    root, reg, metas, info = t1_fixture
+    spool = str(tmp_path / "spool")
+    with KafkaLiteBroker(str(tmp_path / "blog")) as b:
+        addr = f"{b.host}:{b.port}"
+        r1 = produce_mq(os.path.join(root, "wal"), "", num_partitions=4,
+                        broker=addr, topic="cf")
+        r2 = fetch_mq(addr, "cf", spool)
+        assert r2["messages"] == r1["messages"]
+        # a second fetch is an offset-checkpointed no-op
+        assert fetch_mq(addr, "cf", spool)["messages"] == 0
+    lake = str(tmp_path / "lake")
+    res = consume_mq(spool, lake, base_dir=os.path.join(root, "base"),
+                     num_partitions=8)
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    assert got.equals(oracle.replay_to_table(root, reg))
+
+
+def test_group_fetch_members_split_partitions(t1_fixture, tmp_path):
+    """Two fetch members spool disjoint partitions of the same topic;
+    together they reconstruct the full message set."""
+    from tiflow_ray.pipelines.mq import fetch_mq, produce_mq
+
+    root, _reg, _metas, _info = t1_fixture
+    spool = str(tmp_path / "spool")
+    with KafkaLiteBroker(str(tmp_path / "blog")) as b:
+        addr = f"{b.host}:{b.port}"
+        r1 = produce_mq(os.path.join(root, "wal"), "", num_partitions=4,
+                        broker=addr, topic="cf")
+        a = fetch_mq(addr, "cf", spool, group=(0, 2))
+        bb = fetch_mq(addr, "cf", spool, group=(1, 2))
+    assert set(a["partitions"]) & set(bb["partitions"]) == set()
+    assert a["messages"] + bb["messages"] == r1["messages"]
+    spooled = sum(
+        pq.read_table(os.path.join(spool, d, "messages.parquet")).num_rows
+        for d in os.listdir(spool) if d.startswith("partition="))
+    assert spooled == r1["messages"]

@@ -124,9 +124,25 @@ def main(argv=None):
     rw.add_argument("--wal", help="verify the span above the target is "
                                   "still replayable from this WAL")
 
+    kb = sub.add_parser("mq-broker")    # Kafka-wire broker over a log dir
+    kb.add_argument("--log-dir", required=True)
+    kb.add_argument("--port-file", help="write host:port here once bound")
+
+    kf = sub.add_parser("mq-fetch")     # broker topic → local spool
+    kf.add_argument("--broker", required=True, help="host:port")
+    kf.add_argument("--topic", default="changefeed")
+    kf.add_argument("--out", required=True)
+    kf.add_argument("--group-member", type=int, default=None)
+    kf.add_argument("--group-size", type=int, default=None)
+
     mp = sub.add_parser("mq-produce")   # WAL → partitioned message logs
     mp.add_argument("--wal", required=True)
-    mp.add_argument("--out", required=True)
+    mp.add_argument("--out", default=None,
+                    help="message-log dir (omit with --broker)")
+    mp.add_argument("--broker", default=None,
+                    help="host:port — produce over the Kafka wire "
+                         "instead of writing files")
+    mp.add_argument("--topic", default="changefeed")
     mp.add_argument("-P", "--partitions", type=int, default=16)
     mp.add_argument("--dispatcher", default="key",
                     choices=["key", "index-value", "ts", "table"])
@@ -196,6 +212,30 @@ def main(argv=None):
                                            for k, v in m.parts.items()
                                            if v.get("deltas")},
                           "stats": m.stats}, indent=1))
+        return 0
+
+    if a.cmd == "mq-broker":              # pure sockets+files, no Ray
+        import time
+
+        from .sinks.kafka_wire import KafkaLiteBroker
+        brk = KafkaLiteBroker(a.log_dir)
+        host, port = brk.start()
+        if a.port_file:
+            with open(a.port_file, "w") as f:
+                f.write(f"{host}:{port}")
+        print(json.dumps({"host": host, "port": port}), flush=True)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            brk.stop()
+        return 0
+
+    if a.cmd == "mq-fetch":               # pure sockets+files, no Ray
+        from .pipelines.mq import fetch_mq
+        grp = (a.group_member, a.group_size) \
+            if a.group_member is not None else None
+        print(json.dumps(fetch_mq(a.broker, a.topic, a.out, group=grp)))
         return 0
 
     if a.cmd == "binlog-serve":           # pure sockets+files, no Ray
@@ -305,11 +345,13 @@ def main(argv=None):
         print(json.dumps(LakeState(a.lake).rewind(a.epoch, wal_dir=a.wal)))
     elif a.cmd == "mq-produce":
         from .pipelines.mq import produce_mq
-        print(json.dumps(produce_mq(a.wal, a.out, a.partitions,
+        assert a.out or a.broker, "need --out or --broker"
+        print(json.dumps(produce_mq(a.wal, a.out or "", a.partitions,
                                     dispatcher=a.dispatcher,
                                     protocol=a.protocol,
                                     max_message_bytes=a.max_message_bytes,
-                                    large_handle=a.large_handle)))
+                                    large_handle=a.large_handle,
+                                    broker=a.broker, topic=a.topic)))
     elif a.cmd == "mq-consume":
         from .pipelines.mq import consume_mq
         grp = (a.group_member, a.group_size) \

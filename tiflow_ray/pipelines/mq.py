@@ -36,7 +36,9 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                table: str = "documents",
                protocol: str = "canal_json",
                max_message_bytes: int | None = None,
-               large_handle: str = "none") -> dict:
+               large_handle: str = "none",
+               broker: str | None = None,
+               topic: str = "changefeed") -> dict:
     """WAL → per-partition message logs (canal-json / open-protocol text,
     or Confluent-framed avro binary via the file-backed schema registry)
     + a canal-json DDL broadcast (the control channel is canal-json under
@@ -46,7 +48,19 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     stream is encoded by one task (offsets must be dense per partition —
     the per-key ordering contract consumers rely on), so parallelism =
     num_partitions. Message logs are parquet (partition, offset, key,
-    payload) under partition= dirs — resumable, one dir per partition."""
+    payload) under partition= dirs — resumable, one dir per partition.
+
+    `broker="host:port"` sends each partition's messages over the REAL
+    Kafka wire instead (sinks/kafka_wire.py): every map_groups task opens
+    its own connection and produces its partition of `topic` — the
+    per-worker sarama producer shape (kafka_dml_producer.go). DDLs
+    broadcast to `{topic}.__ddl`, the stream descriptor to
+    `{topic}.__meta`; `fetch_mq` spools the topic back into this exact
+    file layout for `consume_mq`. At-least-once like any acks=1 Kafka
+    producer — a crashed task's partition may carry duplicates on rerun
+    (the v0 protocol has no idempotent-producer sequence numbers).
+    avro (needs the registry service) and claim_check (points at
+    external storage) are file-layout-only by nature."""
     from ..sinks.mq import MqSinkStage, dispatch
     from ..sources.wal import list_segments, load_registry
 
@@ -66,6 +80,12 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
             if c not in sup:
                 sup.append(c)
 
+    if broker is not None:
+        assert protocol != "avro", \
+            "broker mode needs a schema-registry service; avro is " \
+            "file-layout only"
+        assert large_handle != "claim_check", \
+            "claim_check points at external storage, not the broker"
     registry_root = None
     if protocol == "avro":
         registry_root = os.path.join(out_dir, "_registry")
@@ -80,11 +100,14 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     def emit_partition(t: pa.Table) -> pa.Table:
         msgs = sink(t)
         part = int(msgs["mq_partition"][0].as_py()) if msgs.num_rows else 0
-        d = os.path.join(out_dir, f"partition={part}")
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
-        pq.write_table(msgs, tmp, row_group_size=32768)
-        os.replace(tmp, os.path.join(d, "messages.parquet"))
+        if broker is not None:
+            _produce_partition(broker, topic, part, msgs)
+        else:
+            d = os.path.join(out_dir, f"partition={part}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
+            pq.write_table(msgs, tmp, row_group_size=32768)
+            os.replace(tmp, os.path.join(d, "messages.parquet"))
         return pa.table({"mq_partition": pa.array([part], pa.int32()),
                          "messages": pa.array([msgs.num_rows], pa.int64())})
 
@@ -99,19 +122,125 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     ddl_sink = sink if protocol == "canal_json" else \
         MqSinkStage(database=database, table=table, protocol="canal_json")
     ddl_msgs = ddl_sink.ddl_stream(registry, num_partitions)
-    os.makedirs(os.path.join(out_dir, "_ddl"), exist_ok=True)
-    pq.write_table(ddl_msgs, os.path.join(out_dir, "_ddl",
-                                          "messages.parquet"))
     meta = {"protocol": protocol, "columns": sup,
             "database": database, "table": table,
             "num_partitions": num_partitions, "dispatcher": dispatcher,
             "large_handle": large_handle,
             "max_message_bytes": max_message_bytes}
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if broker is not None:
+        for p in range(num_partitions):
+            sub = ddl_msgs.filter(
+                pa.compute.equal(ddl_msgs["mq_partition"], p))
+            _produce_partition(broker, f"{topic}.__ddl", p, sub)
+        _produce_partition(broker, f"{topic}.__meta", 0, pa.table({
+            "mq_partition": pa.array([0], pa.int32()),
+            "offset": pa.array([0], pa.int64()),
+            "key": pa.array(["__meta__"]),
+            "payload": pa.array([json.dumps(meta)], pa.string())}))
+    else:
+        os.makedirs(os.path.join(out_dir, "_ddl"), exist_ok=True)
+        pq.write_table(ddl_msgs, os.path.join(out_dir, "_ddl",
+                                              "messages.parquet"))
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
     return {"partitions": len(counts),
             "messages": int(sum(r["messages"] for r in counts)),
             "ddl_messages": ddl_msgs.num_rows // max(num_partitions, 1)}
+
+
+def _produce_partition(broker: str, topic: str, part: int,
+                       msgs: pa.Table, chunk: int = 2000) -> None:
+    """One partition's message table → Produce requests over the wire.
+    Strings go utf-8; the v0 message value is opaque bytes either way."""
+    from ..sinks.kafka_wire import KafkaLiteClient
+
+    host, port = broker.rsplit(":", 1)
+    keys = msgs["key"].to_pylist()
+    vals = msgs["payload"].to_pylist()
+    recs = [(None if k is None else k.encode(),
+             v.encode() if isinstance(v, str) else v)
+            for k, v in zip(keys, vals)]
+    with KafkaLiteClient(host, int(port)) as c:
+        for i in range(0, len(recs), chunk):
+            c.produce(topic, part, recs[i:i + chunk])
+
+
+def fetch_mq(broker: str, topic: str, out_dir: str,
+             group: tuple[int, int] | None = None) -> dict:
+    """Spool a broker topic into the standard message-log layout
+    (meta.json + partition={p}/messages.parquet + _ddl/) so `consume_mq`
+    replays it unchanged — the kafka-consumer's fetch loop. Resumable:
+    each partition re-fetches only past its locally spooled offset count
+    and commits via tmp→rename. `group=(member, size)` fetches only
+    partitions with p % size == member (members of a consumer group
+    split the spool the same way consume_mq splits the decode)."""
+    from ..sinks.kafka_wire import KafkaLiteClient
+
+    host, port = broker.rsplit(":", 1)
+    os.makedirs(out_dir, exist_ok=True)
+    with KafkaLiteClient(host, int(port)) as c:
+        meta_msgs = c.fetch_all(f"{topic}.__meta", 0)
+        assert meta_msgs, f"no {topic}.__meta on broker {broker}"
+        meta = json.loads(meta_msgs[-1][2].decode())
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        is_text = meta["protocol"] != "avro"
+
+        def spool(t: str, part: int, d: str) -> int:
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "messages.parquet")
+            prior, start = None, 0
+            if os.path.exists(path):
+                prior = pq.read_table(path)
+                start = prior.num_rows
+            recs = c.fetch_all(t, part, start)
+            if not recs and prior is not None:
+                return 0
+            tbl = pa.table({
+                "mq_partition": pa.array([part] * len(recs), pa.int32()),
+                "offset": pa.array([o for o, _k, _v in recs], pa.int64()),
+                "key": pa.array([None if k is None else k.decode()
+                                 for _o, k, _v in recs], pa.string()),
+                "payload": pa.array(
+                    [v.decode() if is_text else v for _o, _k, v in recs],
+                    pa.string() if is_text else pa.binary()),
+            })
+            if prior is not None:
+                tbl = pa.concat_tables([prior, tbl])
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp, row_group_size=32768)
+            os.replace(tmp, path)
+            return len(recs)
+
+        parts = c.metadata([topic]).get(topic, [])
+        assert parts, f"topic {topic!r} not on broker {broker}"
+        fetched = {}
+        for p in parts:
+            if group is not None and p % group[1] != group[0]:
+                continue
+            fetched[p] = spool(topic, p,
+                               os.path.join(out_dir, f"partition={p}"))
+        # the DDL broadcast is identical per partition: spool partition
+        # `member` (or 0) of __ddl — every member sees the full schedule
+        ddl_parts = c.metadata([f"{topic}.__ddl"]).get(f"{topic}.__ddl", [])
+        dp = group[0] % len(ddl_parts) if (group and ddl_parts) else 0
+        ddl_recs = c.fetch_all(f"{topic}.__ddl", dp) if ddl_parts else []
+        ddl_dir = os.path.join(out_dir, "_ddl")
+        os.makedirs(ddl_dir, exist_ok=True)
+        ddl_tbl = pa.table({
+            "mq_partition": pa.array([0] * len(ddl_recs), pa.int32()),
+            "offset": pa.array([o for o, _k, _v in ddl_recs], pa.int64()),
+            "key": pa.array([k.decode() if k else None
+                             for _o, k, _v in ddl_recs], pa.string()),
+            "payload": pa.array([v.decode() for _o, _k, v in ddl_recs],
+                                pa.string()),
+        })
+        tmp = os.path.join(ddl_dir, f"messages.parquet.tmp.{os.getpid()}")
+        pq.write_table(ddl_tbl, tmp)
+        os.replace(tmp, os.path.join(ddl_dir, "messages.parquet"))
+    return {"partitions": fetched,
+            "messages": int(sum(fetched.values())),
+            "ddl_messages": len(ddl_recs)}
 
 
 def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,

@@ -553,6 +553,34 @@ def q_cdc_replay_mq(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(lake, res["wal_dir"])
 
 
+def q_cdc_replay_mq_kafka(sf_dir: str) -> pa.Table:
+    """K4 closed at the WIRE layer: the MQ loop of cdc_replay_mq with a
+    REAL broker hop — every producer task speaks the public Kafka
+    protocol (Produce v0 with CRC-checked message sets) to a loopback
+    broker (sinks/kafka_wire.py, the sarama-producer slot of
+    kafka_dml_producer.go), the consumer fetches the topic back with
+    Fetch v0 (cmd/kafka-consumer's loop) into the standard spool, and the
+    replay engine drives it to the lake. Oracle = the same SQL twin as
+    cdc_replay, hash-checking the entire wire round trip."""
+    from .pipelines import replay as rp
+    from .pipelines.mq import consume_mq, fetch_mq, produce_mq
+    from .sinks.kafka_wire import KafkaLiteBroker
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    blog = os.path.join(root, "kafka_log")
+    spool = os.path.join(root, "kafka_spool")
+    with KafkaLiteBroker(blog) as b:
+        addr = f"{b.host}:{b.port}"
+        if not os.path.isdir(os.path.join(blog, "cf")):
+            produce_mq(os.path.join(root, "wal"), "", num_partitions=4,
+                       broker=addr, topic="cf")
+        fetch_mq(addr, "cf", spool)
+    lake = os.path.join(root, "lake_mq_kafka")
+    res = consume_mq(spool, lake, base_dir=os.path.join(root, "base"),
+                     num_partitions=CDC_P)
+    return rp.lake_to_table(lake, res["wal_dir"])
+
+
 _ONLINE_TABLES = ("documents", "_documents_gho", "_documents_ghc",
                   "_documents_del", "docs_archive")
 
@@ -4048,6 +4076,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_mq": (q_cdc_replay_mq, _CDC_REPLAY_SQL),
     "cdc_replay_binlog": (q_cdc_replay_binlog, _CDC_REPLAY_SQL),  # NEW r5
     "cdc_replay_relay": (q_cdc_replay_relay, _CDC_REPLAY_SQL),  # NEW r5
+    "cdc_replay_mq_kafka": (q_cdc_replay_mq_kafka, _CDC_REPLAY_SQL),  # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),
