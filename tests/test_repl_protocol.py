@@ -211,3 +211,81 @@ def test_packet_layer_splits_16mb_payloads():
     finally:
         a.close()
         b.close()
+
+
+def test_live_wire_to_lake_tail_replay(t1_fixture, tmp_path):
+    """The full DM topology live, over real sockets: the master commits
+    binlog segments over time → a follow-mode relay persists them →
+    on_rotate incrementally indexes each final file (metas + the
+    _ddl_pairs sidecar) → tail_replay continuously applies to the lake.
+    Final lake == the sequential oracle."""
+    import pyarrow.parquet as pq
+
+    from tiflow_ray import oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+    from tiflow_ray.sources import codecs as CC
+    from tiflow_ray.sources.wal import list_segments
+
+    root, reg, metas, info = t1_fixture
+    segs = list_segments(os.path.join(root, "wal"))
+    bdir = str(tmp_path / "master")
+    os.makedirs(bdir)
+
+    def commit_segment(i: int) -> None:
+        """Master-side sink: encode segment i with ITS DDL slice and
+        tmp→rename it into the binlog dir."""
+        s = segs[i]
+        lo = segs[i - 1].watermark_ts if i else None
+        ddls = [d for d in reg.ddls
+                if (lo is None or d.barrier_ts > lo)
+                and (i == len(segs) - 1 or d.barrier_ts <= s.watermark_ts)]
+        import types
+        blob = CC.encode_mysql_binlog(
+            pq.read_table(s.path), registry=types.SimpleNamespace(ddls=ddls))
+        tmpf = os.path.join(bdir, f".tmp.{s.seq}")
+        with open(tmpf, "wb") as f:
+            f.write(blob)
+        os.rename(tmpf, os.path.join(bdir, f"seq={s.seq:05d}.binlog"))
+
+    commit_segment(0)
+    rdir = str(tmp_path / "relay")
+    stop = threading.Event()
+    with BinlogDumpServer(bdir, poll=0.01, heartbeat=0.05) as srv:
+        th = threading.Thread(
+            target=lambda: relay_binlog(
+                srv.host, srv.port, rdir, follow=True, stop_event=stop,
+                on_rotate=lambda f: index_binlog_dir(rdir, paths=[f])),
+            daemon=True)
+        th.start()
+
+        def feeder():
+            for i in range(1, len(segs)):
+                time.sleep(0.3)
+                commit_segment(i)
+        ft = threading.Thread(target=feeder, daemon=True)
+        ft.start()
+
+        cfg = ReplayConfig(wal_dir=rdir, lake_dir=str(tmp_path / "lake"),
+                           num_partitions=8)
+        rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+        res = rp.tail_replay(cfg, poll_secs=0.1, idle_timeout=4.0)
+        ft.join(timeout=10)
+        # drain: the final file only becomes final when the relay rotates
+        # away, which never happens — index the remainder explicitly and
+        # finish the tail (the operator's stop-changefeed step)
+        deadline = time.monotonic() + 20
+        final = os.path.join(bdir, f"seq={segs[-1].seq:05d}.binlog")
+        while not (os.path.exists(os.path.join(rdir, os.path.basename(final)))
+                   and os.path.getsize(os.path.join(
+                       rdir, os.path.basename(final)))
+                   == os.path.getsize(final)):
+            assert time.monotonic() < deadline, "relay never caught up"
+            time.sleep(0.05)
+        stop.set()
+        th.join(timeout=10)
+    index_binlog_dir(rdir)
+    res2 = rp.tail_replay(cfg, poll_secs=0.05, idle_timeout=0.5)
+    assert len(res.epochs) + len(res2.epochs) >= 1
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert got.equals(oracle.replay_to_table(root, reg))

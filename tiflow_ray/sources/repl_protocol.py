@@ -379,13 +379,21 @@ def _connect(host: str, port: int, user: str, password: str,
 def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
                  password: str = "repl", server_id: int = 2,
                  follow: bool = False,
-                 stop_event: threading.Event | None = None) -> list[str]:
+                 stop_event: threading.Event | None = None,
+                 on_rotate=None) -> list[str]:
     """Dump the master's binlog stream into relay files under `out_dir`,
     byte-identical to the upstream files. Resumes from the last local
     file's size (relay.meta analog — the filesystem IS the meta). With
     `follow=False` (BINLOG_DUMP_NON_BLOCK) returns at catch-up; with
     `follow=True` streams until `stop_event` is set. Returns the relay
-    file names touched."""
+    file names touched.
+
+    `on_rotate(fname)` fires when the stream rotates AWAY from a relay
+    file — by the WAL's tmp→rename contract that file is final, so this
+    is the safe hook for incremental downstream work (e.g.
+    `index_binlog_dir(out_dir, paths=[fname])` to admit the segment to a
+    live `tail_replay` — the relay→syncer handoff, dm/relay
+    local_reader.go feeding dm/syncer)."""
     os.makedirs(out_dir, exist_ok=True)
     have = sorted(os.path.basename(p) for p in
                   glob.glob(os.path.join(out_dir, "*.binlog")))
@@ -428,6 +436,8 @@ def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
                     nxt = ev[27:-4].decode()
                     if f is not None:
                         f.close()
+                        if on_rotate is not None and cur is not None:
+                            on_rotate(cur)
                     path = os.path.join(out_dir, nxt)
                     if os.path.exists(path) and os.path.getsize(path) >= 4:
                         assert os.path.getsize(path) == nxt_pos, \
@@ -461,14 +471,33 @@ def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
         sock.close()
 
 
-def index_binlog_dir(wal_dir: str) -> list[dict]:
+def index_binlog_dir(wal_dir: str,
+                     paths: list[str] | None = None) -> list[dict]:
     """Rebuild seq=*.meta.json + ddl.json for a relayed binlog dir purely
     from the stream (TABLE_MAP COLUMN_NAME TLVs type the rows, DDL QUERY
     events carry the schedule) — the dm/syncer position: relay files are
-    the only input. Returns the metas. Idempotent; re-run after each
-    relay catch-up."""
-    metas, pairs = [], []
-    for path in sorted(glob.glob(os.path.join(wal_dir, "*.binlog"))):
+    the only input. Returns the metas written. Idempotent; re-run after
+    each relay catch-up.
+
+    `paths` (file names or paths under wal_dir) indexes only those
+    files — the incremental form for a live relay (`on_rotate` hands
+    over exactly the files that became final). DDL pairs accumulate in
+    a `_ddl_pairs.json` sidecar (the syncer's schema-tracker checkpoint,
+    dm/syncer/schema.go analog) so incremental calls never re-decode
+    history; ddl.json is regenerated from the merged set each call.
+    In-stream DDL barrier order guarantees a DDL is indexed no later
+    than the segment whose watermark covers it, so an epoch planner
+    reading this dir never plans past an unknown barrier."""
+    side = os.path.join(wal_dir, "_ddl_pairs.json")
+    pairs: list[tuple[int, str]] = []
+    if os.path.exists(side):
+        with open(side) as fh:
+            pairs = [tuple(x) for x in json.load(fh)]
+    todo = sorted(os.path.join(wal_dir, os.path.basename(p))
+                  for p in paths) if paths is not None else \
+        sorted(glob.glob(os.path.join(wal_dir, "*.binlog")))
+    metas = []
+    for path in todo:
         base = os.path.basename(path)
         assert base.startswith("seq=") and base.endswith(".binlog"), base
         seq = int(base[4:-7])
@@ -487,6 +516,13 @@ def index_binlog_dir(wal_dir: str) -> list[dict]:
             json.dump(meta, fh)
         metas.append(meta)
     reg = C.registry_from_ddl_pairs(pairs)
-    with open(os.path.join(wal_dir, "ddl.json"), "w") as fh:
+    uniq = sorted({(int(b), s) for b, s in pairs})
+    tmp = f"{side}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(uniq, fh)
+    os.replace(tmp, side)
+    tmp = os.path.join(wal_dir, f"ddl.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
         fh.write(reg.to_json())
+    os.replace(tmp, os.path.join(wal_dir, "ddl.json"))
     return metas
