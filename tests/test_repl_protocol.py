@@ -289,3 +289,133 @@ def test_live_wire_to_lake_tail_replay(t1_fixture, tmp_path):
     assert len(res.epochs) + len(res2.epochs) >= 1
     got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
     assert got.equals(oracle.replay_to_table(root, reg))
+
+
+# ------------------------------------------------------------------ GTID
+
+@pytest.fixture(scope="module")
+def gtid_master_dir(t1_fixture):
+    """t1 transcoded with GTID mode on: PREVIOUS_GTIDS chains + one GTID
+    event per transaction (row txns AND auto-commit DDLs)."""
+    from tiflow_ray.sources import codecs as CC
+    root, reg, metas, info = t1_fixture
+    bdir = os.path.join(root, "binlog_gtid_master")
+    if not os.path.exists(bdir):
+        fixtures.transcode_wal(os.path.join(root, "wal"), bdir,
+                               "mysql_binlog", codec_opts={"gtid": True})
+    return root, reg, bdir
+
+
+def test_gtid_set_primitives():
+    from tiflow_ray.sources import codecs as CC
+    sid = "ab" * 16
+    s = CC.gtid_set_parse(f"{sid}:1-5:7")
+    assert CC.gtid_set_str(s) == f"{sid}:1-5:7"
+    rt, _ = CC.gtid_set_decode(CC.gtid_set_encode(s))
+    assert rt == s
+    assert CC.gtid_set_contains(s, {sid: [(2, 4), (7, 7)]})
+    assert not CC.gtid_set_contains(s, {sid: [(5, 6)]})
+    assert not CC.gtid_set_contains(s, {"cd" * 16: [(1, 1)]})
+    # adjacent intervals merge; union is commutative
+    u = CC.gtid_set_union(s, {sid: [(6, 6)]})
+    assert CC.gtid_set_str(u) == f"{sid}:1-7"
+    assert CC.gtid_set_union({}, s) == s
+
+
+def test_gtid_chain_prev_equals_prior_executed(gtid_master_dir):
+    """Each file's PREVIOUS_GTIDS == the executed set after its
+    predecessor; gnos are dense from 1 (MySQL's invariant — how a GTID
+    dump locates its start file without row decode)."""
+    from tiflow_ray.sources import codecs as CC
+    _root, _reg, bdir = gtid_master_dir
+    prev_exec: dict = {}
+    for p in sorted(glob.glob(os.path.join(bdir, "*.binlog"))):
+        with open(p, "rb") as f:
+            prev, executed = CC.binlog_gtid_info(f.read())
+        assert prev == prev_exec
+        prev_exec = executed
+    sid = CC._GTID_SID.hex()
+    assert len(prev_exec[sid]) == 1 and prev_exec[sid][0][0] == 1
+
+
+def test_gtid_wal_replays_identically(gtid_master_dir, tmp_path):
+    """GTID events are transparent to the decode path: a GTID-enabled
+    binlog WAL replays to the same oracle lake (ranges include the GTID
+    framing; the row decoder ignores types 33/35)."""
+    from tiflow_ray import oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+
+    root, reg, bdir = gtid_master_dir
+    cfg = ReplayConfig(wal_dir=bdir, lake_dir=str(tmp_path / "lake"),
+                       num_partitions=8)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    assert got.equals(oracle.replay_to_table(root, reg))
+
+
+def test_gtid_relay_resume_modes(gtid_master_dir, tmp_path):
+    """COM_BINLOG_DUMP_GTID resume: fresh replica gets everything;
+    caught-up replica gets nothing new; a lost newest file is re-fetched
+    whole; a tail torn MID-TRANSACTION (clean event boundary!) is
+    discarded and re-fetched — its last gno named an incomplete txn and
+    must not count as executed. relay.meta.json tracks the set."""
+    from tiflow_ray.sources import codecs as CC
+    from tiflow_ray.sources.repl_protocol import (_file_is_txn_clean,
+                                                  executed_gtid_set)
+    _root, _reg, bdir = gtid_master_dir
+    files = sorted(glob.glob(os.path.join(bdir, "*.binlog")))
+    rdir = str(tmp_path / "relay")
+
+    def same() -> bool:
+        return all(
+            open(p, "rb").read() ==
+            open(os.path.join(rdir, os.path.basename(p)), "rb").read()
+            for p in files)
+
+    with BinlogDumpServer(bdir) as srv:
+        relay_binlog(srv.host, srv.port, rdir, gtid=True)
+        assert same()
+        with open(os.path.join(rdir, "relay.meta.json")) as f:
+            meta = json.load(f)
+        assert meta["gtid_set"] == CC.gtid_set_str(executed_gtid_set(bdir))
+
+        before = {p: os.path.getmtime(p) for p in
+                  glob.glob(os.path.join(rdir, "*.binlog"))}
+        relay_binlog(srv.host, srv.port, rdir, gtid=True)
+        assert same()                       # caught-up: no duplicates
+
+        last = sorted(glob.glob(os.path.join(rdir, "*.binlog")))[-1]
+        os.remove(last)
+        touched = relay_binlog(srv.host, srv.port, rdir, gtid=True)
+        assert os.path.basename(last) in touched and same()
+
+        # tear the tail mid-transaction but ON an event boundary
+        with open(last, "rb") as f:
+            data = f.read()
+        pos, cut = 4, None
+        while pos < len(data):
+            size = struct.unpack_from("<I", data, pos + 9)[0]
+            if data[pos + 4] == CC._EV_TABLE_MAP:
+                cut = pos + size
+                break
+            pos += size
+        assert cut is not None
+        with open(last, "wb") as f:
+            f.write(data[:cut])
+        assert not _file_is_txn_clean(data[:cut])
+        relay_binlog(srv.host, srv.port, rdir, gtid=True)
+        with open(last, "rb") as f:
+            assert f.read() == data         # refetched whole
+        assert same()
+
+
+def test_gtid_dump_rejected_on_gtid_free_binlog(master_dir, tmp_path):
+    """A GTID dump against a binlog dir without GTID events must fail
+    loudly (error 1236), not silently fall back to file/pos."""
+    _root, _reg, bdir = master_dir
+    with BinlogDumpServer(bdir, user="repl", password="s3cret") as srv:
+        with pytest.raises(RuntimeError, match="1236"):
+            relay_binlog(srv.host, srv.port, str(tmp_path / "r"),
+                         user="repl", password="s3cret", gtid=True)

@@ -99,6 +99,9 @@ def main(argv=None):
                              "craft", "mysql_binlog"])
     tc.add_argument("--charset", default="utf8mb4",
                     help="mysql_binlog only: utf8mb4|latin1|gbk|gb18030")
+    tc.add_argument("--gtid", action="store_true",
+                    help="mysql_binlog only: emit PREVIOUS_GTIDS + GTID "
+                         "events (resume-by-gtid support)")
 
     bs = sub.add_parser("binlog-serve")   # replication master over a dir
     bs.add_argument("--binlog-dir", required=True)  # of binlog v4 files
@@ -115,6 +118,9 @@ def main(argv=None):
     rl.add_argument("--server-id", type=int, default=2)
     rl.add_argument("--follow", action="store_true",
                     help="blocking dump: stream until interrupted")
+    rl.add_argument("--gtid", action="store_true",
+                    help="resume by GTID set (COM_BINLOG_DUMP_GTID) "
+                         "instead of (file, pos)")
     rl.add_argument("--no-index", action="store_true",
                     help="skip rebuilding metas + ddl.json after catch-up")
 
@@ -260,7 +266,7 @@ def main(argv=None):
         from .sources.repl_protocol import index_binlog_dir, relay_binlog
         touched = relay_binlog(a.host, a.port, a.out, user=a.user,
                                password=a.password, server_id=a.server_id,
-                               follow=a.follow)
+                               follow=a.follow, gtid=a.gtid)
         out = {"touched": touched}
         if not a.no_index:
             out["segments"] = len(index_binlog_dir(a.out))
@@ -336,7 +342,8 @@ def main(argv=None):
         print(json.dumps(rp.gc_wal(a.wal, a.lake)))
     elif a.cmd == "transcode":
         from .fixtures import transcode_wal
-        opts = {"charset": a.charset} if a.fmt == "mysql_binlog" else None
+        opts = {"charset": a.charset, **({"gtid": True} if a.gtid else {})} \
+            if a.fmt == "mysql_binlog" else None
         metas = transcode_wal(a.src, a.dst, a.fmt, codec_opts=opts)
         print(json.dumps({"segments": len(metas), "fmt": a.fmt,
                           "rows": sum(m["rows"] for m in metas)}))

@@ -392,6 +392,19 @@ def _binlog_ddl_slice(registry, lo: int | None, hi: int, last: bool,
     return opts
 
 
+def _binlog_gtid_chain(opts: dict, seg: pa.Table, running: int) -> int:
+    """Chain dense gnos across segment files when codec_opts asks for
+    GTID mode ({"gtid": True}): this segment starts after `running`
+    transactions; returns the new running count. PREVIOUS_GTIDS in each
+    file carries the prior set, so a GTID dump can pick its start file
+    without decoding rows (dm resume-by-gtid, dm/pkg/gtid)."""
+    from .sources.codecs import binlog_txn_count
+    if not opts.pop("gtid", False):
+        return running
+    opts["gtid_start"] = running
+    return running + binlog_txn_count(seg, opts["registry"])
+
+
 def transcode_wal(src_wal: str, dst_wal: str, fmt: str,
                   codec_opts: dict | None = None) -> list[dict]:
     """Re-encode an existing parquet WAL segment-by-segment into another
@@ -409,6 +422,7 @@ def transcode_wal(src_wal: str, dst_wal: str, fmt: str,
     metas = []
     segments = list_segments(src_wal)
     reg = load_registry(src_wal)
+    gtid_running = 0
     for i, s in enumerate(segments):
         assert s.format == "parquet", f"transcode source must be parquet: {s}"
         seg = pq.read_table(s.path)
@@ -417,6 +431,7 @@ def transcode_wal(src_wal: str, dst_wal: str, fmt: str,
             opts = _binlog_ddl_slice(
                 reg, None if i == 0 else segments[i - 1].watermark_ts,
                 s.watermark_ts, i == len(segments) - 1, codec_opts)
+            gtid_running = _binlog_gtid_chain(opts, seg, gtid_running)
         write_segment_payload(seg, dst_wal, s.seq, fmt, opts)
         meta = {"seq": s.seq, "watermark_ts": s.watermark_ts,
                 "min_ts": s.min_ts, "max_ts": s.max_ts, "rows": s.rows,
@@ -453,6 +468,7 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
     cuts = sorted({c for c in cuts if 0 < c < n})
     starts, ends = [0] + cuts, cuts + [n]
     metas = []
+    gtid_running = 0
     for s, (a, b) in enumerate(zip(starts, ends)):
         seg = t.slice(a, b - a)
         opts = codec_opts
@@ -460,6 +476,7 @@ def write_wal_segments(t: pa.Table, wal_dir: str, n_segments: int,
             opts = _binlog_ddl_slice(registry,
                                      None if s == 0 else int(cts[a - 1]),
                                      int(cts[b - 1]), b == n, codec_opts)
+            gtid_running = _binlog_gtid_chain(opts, seg, gtid_running)
         write_segment_payload(seg, wal_dir, s, fmt, opts)
         meta = {"seq": s, "watermark_ts": int(cts[b - 1]),
                 "min_ts": int(cts[a]), "max_ts": int(cts[b - 1]),

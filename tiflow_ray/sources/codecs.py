@@ -22,6 +22,7 @@ codecs exist so reference-shaped change files replay bit-identically
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import struct
@@ -1153,6 +1154,10 @@ def decode_craft(data: bytes, columns: list[str] | None = None) -> pa.Table:
 _BINLOG_MAGIC = b"\xfebin"
 _EV_QUERY, _EV_ROTATE, _EV_FDE, _EV_XID, _EV_TABLE_MAP = 2, 4, 15, 16, 19
 _EV_WRITE_V2, _EV_UPDATE_V2, _EV_DELETE_V2 = 30, 31, 32
+_EV_GTID, _EV_PREV_GTIDS = 33, 35
+#: the stream's source UUID (server_uuid analog) — deterministic so the
+#: same WAL always carries the same GTID identity
+_GTID_SID = hashlib.md5(b"tiflow-ray-binlog-source-1").digest()
 _ROWS_OP = {_EV_WRITE_V2: OP_INSERT, _EV_UPDATE_V2: OP_UPDATE,
             _EV_DELETE_V2: OP_DELETE}
 _OP_ROWS = {v: k for k, v in _ROWS_OP.items()}
@@ -1234,9 +1239,141 @@ def _binlog_fde(out: bytearray) -> None:
     phl[_EV_TABLE_MAP - 1] = 8
     for tc in (_EV_WRITE_V2, _EV_UPDATE_V2, _EV_DELETE_V2):
         phl[tc - 1] = 10
+    phl[_EV_GTID - 1] = 42        # flags+sid+gno+lc pair (5.7 layout)
+    phl[_EV_PREV_GTIDS - 1] = 0   # body IS the gtid set
     post += phl
     post.append(1)                                      # checksum alg: CRC32
     _binlog_event(out, _EV_FDE, bytes(post), 0)
+
+
+# --- GTID sets (dm/pkg/gtid + go-mysql mysql.GTIDSet analog) -----------
+# Canonical python form: {sid_hex: [(lo, hi)]} with inclusive, merged,
+# sorted intervals. The binary layout is MySQL's (PREVIOUS_GTIDS body and
+# COM_BINLOG_DUMP_GTID payload): n_sids u64le, then per sid 16 raw bytes
+# + n_intervals u64le + per interval start u64le, stop u64le (exclusive).
+
+def gtid_set_normalize(s: dict) -> dict:
+    out = {}
+    for sid, ivs in s.items():
+        ivs = sorted((int(a), int(b)) for a, b in ivs if a <= b)
+        merged: list[tuple[int, int]] = []
+        for a, b in ivs:
+            if merged and a <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        if merged:
+            out[sid] = merged
+    return out
+
+
+def gtid_set_union(a: dict, b: dict) -> dict:
+    out = {sid: list(ivs) for sid, ivs in a.items()}
+    for sid, ivs in b.items():
+        out.setdefault(sid, []).extend(ivs)
+    return gtid_set_normalize(out)
+
+
+def gtid_set_contains(a: dict, b: dict) -> bool:
+    """b ⊆ a."""
+    a = gtid_set_normalize(a)
+    for sid, ivs in gtid_set_normalize(b).items():
+        have = a.get(sid, [])
+        for lo, hi in ivs:
+            if not any(x <= lo and hi <= y for x, y in have):
+                return False
+    return True
+
+
+def gtid_set_str(s: dict) -> str:
+    """'sid:1-5:7,sid2:1-3' — the SHOW MASTER STATUS / relay.meta form."""
+    parts = []
+    for sid in sorted(s):
+        ivs = ":".join(f"{a}-{b}" if a != b else f"{a}"
+                       for a, b in gtid_set_normalize({sid: s[sid]})[sid])
+        parts.append(f"{sid}:{ivs}")
+    return ",".join(parts)
+
+
+def gtid_set_parse(text: str) -> dict:
+    out: dict = {}
+    for chunk in filter(None, (c.strip() for c in text.split(","))):
+        sid, *ivs = chunk.split(":")
+        out.setdefault(sid, [])
+        for iv in ivs:
+            a, _, b = iv.partition("-")
+            out[sid].append((int(a), int(b or a)))
+    return gtid_set_normalize(out)
+
+
+def gtid_set_encode(s: dict) -> bytes:
+    s = gtid_set_normalize(s)
+    out = bytearray(struct.pack("<Q", len(s)))
+    for sid in sorted(s):
+        out += bytes.fromhex(sid)
+        out += struct.pack("<Q", len(s[sid]))
+        for lo, hi in s[sid]:
+            out += struct.pack("<QQ", lo, hi + 1)       # stop exclusive
+    return bytes(out)
+
+
+def gtid_set_decode(data: bytes, pos: int = 0) -> tuple[dict, int]:
+    (n_sids,) = struct.unpack_from("<Q", data, pos)
+    pos += 8
+    out: dict = {}
+    for _ in range(n_sids):
+        sid = data[pos:pos + 16].hex()
+        pos += 16
+        (n_iv,) = struct.unpack_from("<Q", data, pos)
+        pos += 8
+        ivs = []
+        for _ in range(n_iv):
+            lo, stop = struct.unpack_from("<QQ", data, pos)
+            pos += 16
+            ivs.append((lo, stop - 1))
+        out[sid] = ivs
+    return gtid_set_normalize(out), pos
+
+
+def _binlog_prev_gtids(out: bytearray, executed: dict) -> None:
+    """PREVIOUS_GTIDS_LOG_EVENT: the set executed before this file — how
+    a GTID dump locates its start file without decoding row events."""
+    _binlog_event(out, _EV_PREV_GTIDS, gtid_set_encode(executed), 0)
+
+
+def _binlog_gtid(out: bytearray, gno: int, seq_in_file: int,
+                 ts32: int) -> None:
+    """GTID_LOG_EVENT (42-byte post-header, 5.7 layout): commit flag,
+    sid, gno, then the logical-clock pair (last_committed /
+    sequence_number) that MTS schedulers read."""
+    body = b"\x01" + _GTID_SID + struct.pack("<q", gno) \
+        + b"\x02" + struct.pack("<qq", seq_in_file - 1, seq_in_file)
+    _binlog_event(out, _EV_GTID, body, ts32)
+
+
+def binlog_gtid_info(data: bytes) -> tuple[dict | None, dict]:
+    """binlog file bytes → (previous_gtids set or None, executed set =
+    previous ∪ this file's GTID events). Headers-only walk plus the two
+    tiny GTID payload shapes — no row decode."""
+    assert data[:4] == _BINLOG_MAGIC, "not a MySQL binlog file"
+    pos, n = 4, len(data)
+    prev, gnos = None, []
+    while pos + 19 <= n:                     # tolerate a torn tail: the
+        tc = data[pos + 4]                   # caller truncates/refetches
+        size = struct.unpack_from("<I", data, pos + 9)[0]
+        if size < 23 or pos + size > n:
+            break
+        if tc == _EV_PREV_GTIDS:
+            prev, _ = gtid_set_decode(data, pos + 19)
+        elif tc == _EV_GTID:
+            sid = data[pos + 20:pos + 36].hex()
+            (gno,) = struct.unpack_from("<q", data, pos + 36)
+            gnos.append((sid, gno))
+        pos += size
+    executed = dict(prev) if prev else {}
+    for sid, gno in gnos:
+        executed = gtid_set_union(executed, {sid: [(gno, gno)]})
+    return prev, executed
 
 
 def _binlog_query(out: bytearray, sql: str, ts32: int,
@@ -1314,13 +1451,21 @@ def _binlog_image(buf: bytearray, vals: list, present_idx: list[int],
 
 def encode_mysql_binlog(t: pa.Table, charset: str = "utf8mb4",
                         registry=None, schema: str = "tiflow",
-                        table: str = "documents") -> bytes:
+                        table: str = "documents",
+                        gtid_start: int | None = None) -> bytes:
     """Event table → MySQL binlog v4 file bytes. `registry` (optional
     SchemaRegistry) interleaves each DDL as an auto-commit QUERY event at
     its barrier position in commit_ts order — DDL travels IN the binlog,
     where MySQL puts it (dm/syncer consumes DDL from the same stream); the
     barrier ts rides a TiDB-style trailing comment because the v4 header
-    timestamp is 32-bit seconds."""
+    timestamp is 32-bit seconds.
+
+    `gtid_start` (the count of transactions executed BEFORE this file)
+    turns on GTID mode: a PREVIOUS_GTIDS event after the FDE carries the
+    prior executed set, and every transaction — row txns AND auto-commit
+    DDLs, exactly like MySQL — gets a GTID event with a dense gno
+    (gtid_start+1, gtid_start+2, …). Returns via binlog_txn_count how
+    many gnos a table consumes so multi-file writers can chain files."""
     cols_all = list(t.column_names)
     assert "op" in cols_all and "commit_ts" in cols_all \
         and "doc_id" in cols_all, cols_all
@@ -1344,6 +1489,17 @@ def encode_mysql_binlog(t: pa.Table, charset: str = "utf8mb4",
     rows = t.to_pylist()
     out = bytearray(_BINLOG_MAGIC)
     _binlog_fde(out)
+    seq = 0
+
+    def _next_gtid(ts32: int) -> None:
+        nonlocal seq
+        seq += 1
+        if gtid_start is not None:
+            _binlog_gtid(out, gtid_start + seq, seq, ts32)
+
+    if gtid_start is not None:
+        _binlog_prev_gtids(
+            out, {_GTID_SID.hex(): [(1, gtid_start)]} if gtid_start else {})
     i, n = 0, len(rows)
     while i < n:
         j, cts = i, rows[i]["commit_ts"]
@@ -1352,10 +1508,12 @@ def encode_mysql_binlog(t: pa.Table, charset: str = "utf8mb4",
         ts32 = int(cts) & 0xFFFFFFFF
         while di < len(ddls) and ddls[di].barrier_ts < int(cts):
             d = ddls[di]
+            _next_gtid(d.barrier_ts & 0xFFFFFFFF)
             _binlog_query(out, ddl_to_sql(d, table) +
                           f" /* barrier_ts={d.barrier_ts} */",
                           d.barrier_ts & 0xFFFFFFFF, schema_b)
             di += 1
+        _next_gtid(ts32)
         _binlog_query(out, "BEGIN", ts32, schema_b)
         _binlog_table_map(out, tbl_cols, specs, coll_id, ts32,
                           schema_b, table_b)
@@ -1393,11 +1551,25 @@ def encode_mysql_binlog(t: pa.Table, charset: str = "utf8mb4",
         i = j
     while di < len(ddls):                    # barriers past the last txn
         d = ddls[di]
+        _next_gtid(d.barrier_ts & 0xFFFFFFFF)
         _binlog_query(out, ddl_to_sql(d, table) +
                       f" /* barrier_ts={d.barrier_ts} */",
                       d.barrier_ts & 0xFFFFFFFF, schema_b)
         di += 1
     return bytes(out)
+
+
+def binlog_txn_count(t: pa.Table, registry=None) -> int:
+    """How many gnos encode_mysql_binlog will consume for this table:
+    one per CONSECUTIVE commit_ts run (the encoder's txn grouping — the
+    stream keeps the segment's row order, which is not necessarily
+    commit_ts-monotonic) + interleaved DDLs — lets a multi-file writer
+    chain gtid_start across segments without encoding twice."""
+    n = 0
+    if t.num_rows:
+        cts = t["commit_ts"].to_numpy(zero_copy_only=False)
+        n = 1 + int(np.sum(cts[1:] != cts[:-1]))
+    return n + (len(registry.ddls) if registry is not None else 0)
 
 
 class _BinlogTableMap:

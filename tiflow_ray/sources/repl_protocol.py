@@ -50,6 +50,7 @@ _CAPS = (_CAP_LONG_PASSWORD | _CAP_PROTOCOL_41 | _CAP_SECURE_CONNECTION
 
 _COM_QUIT, _COM_QUERY = 0x01, 0x03
 _COM_BINLOG_DUMP, _COM_REGISTER_SLAVE = 0x12, 0x15
+_COM_BINLOG_DUMP_GTID = 0x1E
 _BINLOG_DUMP_NON_BLOCK = 0x01
 _EV_HEARTBEAT = 27
 _MAX_PACKET = 0xFFFFFF
@@ -242,6 +243,13 @@ class BinlogDumpServer:
                     pos, flags, _sid = struct.unpack_from("<IHI", cmd, 1)
                     fname = cmd[11:].decode()
                     self._stream(conn, fname, pos, flags)
+                elif cmd[0] == _COM_BINLOG_DUMP_GTID:
+                    flags, _sid, nlen = struct.unpack_from("<HII", cmd, 1)
+                    p = 11 + nlen                  # name+pos ignored: the
+                    p += 8                         # gtid set is authoritative
+                    (_dlen,) = struct.unpack_from("<I", cmd, p)
+                    client_set, _ = C.gtid_set_decode(cmd, p + 4)
+                    self._stream_gtid(conn, client_set, flags)
                 else:
                     _send_packet(conn, 1, _err_packet(
                         1047, f"unsupported command {cmd[0]:#x}"))
@@ -286,6 +294,41 @@ class BinlogDumpServer:
             return False
         _send_packet(conn, 2, _ok_packet())
         return True
+
+    def _stream_gtid(self, conn: socket.socket, client_set: dict,
+                     flags: int) -> None:
+        """Resume-by-GTID (dm/pkg/gtid; MySQL COM_BINLOG_DUMP_GTID):
+        start at the OLDEST file whose executed set isn't contained in
+        the replica's — located from each file's PREVIOUS_GTIDS +
+        headers-only GTID walk, never decoding rows. Because our files
+        never split transactions, file-level start is an exact resume.
+        A replica that already has everything parks at the end of the
+        newest file (blocking mode then tails)."""
+        files = self._files()
+        if not files:
+            _send_packet(conn, 1, _err_packet(1236, "no binlog files"))
+            return
+        start, pos = None, 4
+        for f in files:
+            with open(os.path.join(self.dir, f), "rb") as fh:
+                data = fh.read()
+            prev, executed = C.binlog_gtid_info(data)
+            if prev is None:
+                _send_packet(conn, 1, _err_packet(
+                    1236, f"{f} carries no GTID events; use file/pos dump"))
+                return
+            if not C.gtid_set_contains(client_set, executed):
+                if not C.gtid_set_contains(client_set, prev):
+                    _send_packet(conn, 1, _err_packet(
+                        1236, "replica set is behind the oldest binlog "
+                              f"({f}); required gtids were never written"))
+                    return
+                start = f
+                break
+        if start is None:                      # fully caught up
+            start = files[-1]
+            pos = os.path.getsize(os.path.join(self.dir, start))
+        self._stream(conn, start, pos, flags)
 
     def _stream(self, conn: socket.socket, fname: str, pos: int,
                 flags: int) -> None:
@@ -376,11 +419,81 @@ def _connect(host: str, port: int, user: str, password: str,
     return sock
 
 
+def _truncate_to_event_boundary(path: str) -> None:
+    """Drop a torn tail (crash mid-append): keep only whole events."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, n = 4, len(data)
+    while pos + 19 <= n:
+        size = struct.unpack_from("<I", data, pos + 9)[0]
+        if size < 23 or pos + size > n:
+            break
+        pos += size
+    if pos < n:
+        with open(path, "r+b") as f:
+            f.truncate(pos)
+
+
+def _file_is_txn_clean(data: bytes) -> bool:
+    """True iff the file ends on a transaction boundary: every event is
+    whole AND no GTID/BEGIN is left without its XID (or DDL body). A file
+    that merely ends on an EVENT boundary mid-transaction must not count
+    toward the replica's executed set — its last gno names an incomplete
+    transaction."""
+    pos, n, open_unit = 4, len(data), False
+    while pos < n:
+        if pos + 19 > n:
+            return False
+        tc = data[pos + 4]
+        size = struct.unpack_from("<I", data, pos + 9)[0]
+        if size < 23 or pos + size > n:
+            return False
+        if tc == C._EV_GTID:
+            open_unit = True
+        elif tc == C._EV_XID:
+            open_unit = False
+        elif tc == C._EV_QUERY:
+            _tid, _exec, slen, _err, svlen = struct.unpack_from(
+                "<IIBHH", data, pos + 19)
+            start = pos + 19 + 13 + svlen + slen + 1
+            if data[start:pos + size - 4] != b"BEGIN":
+                open_unit = False              # auto-commit DDL completes
+        pos += size
+    return not open_unit
+
+
+def executed_gtid_set(wal_dir: str) -> dict:
+    """Union of the executed sets of every local binlog file — the
+    replica's position for a GTID dump (relay.meta's gtid field,
+    dm/relay/meta.go)."""
+    out: dict = {}
+    for p in sorted(glob.glob(os.path.join(wal_dir, "*.binlog"))):
+        with open(p, "rb") as f:
+            _prev, executed = C.binlog_gtid_info(f.read())
+        out = C.gtid_set_union(out, executed)
+    return out
+
+
+def _write_relay_meta(out_dir: str, fname: str, with_gtid: bool) -> None:
+    """relay.meta.json: (file, pos[, gtid_set]) — dm/relay/meta.go. The
+    filesystem already IS the resume source; the meta file is the
+    human/ops-facing mirror of it, refreshed per finalized file (the
+    gtid recompute is a headers-only walk)."""
+    meta = {"file": fname,
+            "pos": os.path.getsize(os.path.join(out_dir, fname))}
+    if with_gtid:
+        meta["gtid_set"] = C.gtid_set_str(executed_gtid_set(out_dir))
+    tmp = os.path.join(out_dir, f"relay.meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "relay.meta.json"))
+
+
 def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
                  password: str = "repl", server_id: int = 2,
                  follow: bool = False,
                  stop_event: threading.Event | None = None,
-                 on_rotate=None) -> list[str]:
+                 on_rotate=None, gtid: bool = False) -> list[str]:
     """Dump the master's binlog stream into relay files under `out_dir`,
     byte-identical to the upstream files. Resumes from the last local
     file's size (relay.meta analog — the filesystem IS the meta). With
@@ -393,18 +506,45 @@ def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
     is the safe hook for incremental downstream work (e.g.
     `index_binlog_dir(out_dir, paths=[fname])` to admit the segment to a
     live `tail_replay` — the relay→syncer handoff, dm/relay
-    local_reader.go feeding dm/syncer)."""
+    local_reader.go feeding dm/syncer).
+
+    `gtid=True` resumes by GTID set instead of (file, pos): the replica
+    computes its executed set from the local relay files (a torn last
+    file is first truncated to an event boundary and, if it would leave
+    gtid gaps, removed — whole-file re-fetch is the exact resume) and
+    sends COM_BINLOG_DUMP_GTID; the master picks the start file from
+    PREVIOUS_GTIDS chains. `relay.meta.json` records (file, pos,
+    gtid_set) after every finalized file — dm/relay/meta.go."""
     os.makedirs(out_dir, exist_ok=True)
     have = sorted(os.path.basename(p) for p in
                   glob.glob(os.path.join(out_dir, "*.binlog")))
+    if gtid and have:
+        # keep only whole transactions: a file whose tail was torn
+        # mid-txn would under-report its gtids; simplest exact rule is
+        # to drop the newest file unless it ends on a clean XID/DDL
+        # boundary — the dump re-sends it whole from its gtid position
+        last_p = os.path.join(out_dir, have[-1])
+        _truncate_to_event_boundary(last_p)
+        with open(last_p, "rb") as f:
+            data = f.read()
+        if not _file_is_txn_clean(data):
+            os.remove(last_p)
+            have.pop()
     start_file = have[-1] if have else ""
     start_pos = os.path.getsize(os.path.join(out_dir, start_file)) \
         if have else 4
     sock = _connect(host, port, user, password, server_id)
     try:
         flags = 0 if follow else _BINLOG_DUMP_NON_BLOCK
-        dump = bytes([_COM_BINLOG_DUMP]) + struct.pack(
-            "<IHI", start_pos, flags, server_id) + start_file.encode()
+        if gtid:
+            sid_blob = C.gtid_set_encode(executed_gtid_set(out_dir))
+            dump = bytes([_COM_BINLOG_DUMP_GTID]) + struct.pack(
+                "<HII", flags, server_id, len(start_file)) \
+                + start_file.encode() + struct.pack("<Q", start_pos) \
+                + struct.pack("<I", len(sid_blob)) + sid_blob
+        else:
+            dump = bytes([_COM_BINLOG_DUMP]) + struct.pack(
+                "<IHI", start_pos, flags, server_id) + start_file.encode()
         _send_packet(sock, 0, dump)
         sock.settimeout(0.2)
         touched: list[str] = []
@@ -436,9 +576,15 @@ def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
                     nxt = ev[27:-4].decode()
                     if f is not None:
                         f.close()
-                        if on_rotate is not None and cur is not None:
-                            on_rotate(cur)
+                        if cur is not None:
+                            _write_relay_meta(out_dir, cur, gtid)
+                            if on_rotate is not None:
+                                on_rotate(cur)
                     path = os.path.join(out_dir, nxt)
+                    if gtid and nxt_pos <= 4 and os.path.exists(path):
+                        # GTID dump restarts this file from the top (the
+                        # local copy under-covered its gtids): rewrite
+                        os.remove(path)
                     if os.path.exists(path) and os.path.getsize(path) >= 4:
                         assert os.path.getsize(path) == nxt_pos, \
                             f"relay resume offset mismatch for {nxt}: " \
@@ -466,6 +612,8 @@ def relay_binlog(host: str, port: int, out_dir: str, user: str = "repl",
         finally:
             if f is not None:
                 f.close()
+            if cur is not None:
+                _write_relay_meta(out_dir, cur, gtid)
         return touched
     finally:
         sock.close()
