@@ -146,3 +146,80 @@ def test_group_fetch_members_split_partitions(t1_fixture, tmp_path):
         pq.read_table(os.path.join(spool, d, "messages.parquet")).num_rows
         for d in os.listdir(spool) if d.startswith("partition="))
     assert spooled == r1["messages"]
+
+
+def test_group_coordination_range_assignment(broker):
+    """JoinGroup/SyncGroup: two concurrent members land in one
+    generation and the range assignor splits partitions contiguously;
+    heartbeats are accepted while Stable; a later joiner rebalances into
+    a higher generation and owns everything."""
+    from tiflow_ray.sinks.kafka_wire import join_consumer_group
+
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        for p in range(4):
+            c.produce("t", p, [(b"k", b"v")])
+    results = {}
+
+    def member(tag):
+        with KafkaLiteClient(broker.host, broker.port) as c:
+            gen, me, parts = join_consumer_group(c, "g", "t")
+            results[tag] = (gen, me, parts)
+            assert c.heartbeat("g", gen, me) == 0
+            c.offset_commit("g", "t", {p: 1 for p in parts})
+            c.leave_group("g", me)
+
+    ts = [threading.Thread(target=member, args=(f"m{i}",))
+          for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    (g0, _m0, a), (g1, _m1, b) = results["m0"], results["m1"]
+    assert g0 == g1 and sorted(a + b) == [0, 1, 2, 3] and not set(a) & set(b)
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        assert c.offset_fetch("g", "t", [0, 1, 2, 3]) == \
+            {0: 1, 1: 1, 2: 1, 3: 1}
+        assert c.offset_fetch("g", "t", [9]) == {9: -1}  # never committed
+        gen, me, parts = join_consumer_group(c, "g", "t")
+        assert parts == [0, 1, 2, 3] and gen > g0
+        # stale-generation heartbeat is rejected
+        assert c.heartbeat("g", gen - 1, me) == 22
+        c.leave_group("g", me)
+
+
+def test_fetch_mq_coordinated_group(t1_fixture, tmp_path):
+    """Two fetch_mq members coordinating via group_id split the topic
+    through the broker's group protocol; together they spool everything,
+    commit offsets, and the spool replays to the oracle lake."""
+    from tiflow_ray import oracle
+    from tiflow_ray.pipelines import replay as rp
+    from tiflow_ray.pipelines.mq import consume_mq, fetch_mq, produce_mq
+
+    root, reg, _metas, _info = t1_fixture
+    spool = str(tmp_path / "spool")
+    results = {}
+    with KafkaLiteBroker(str(tmp_path / "blog"), rebalance_wait=0.4) as b:
+        addr = f"{b.host}:{b.port}"
+        r1 = produce_mq(os.path.join(root, "wal"), "", num_partitions=4,
+                        broker=addr, topic="cf")
+
+        def member(tag):
+            results[tag] = fetch_mq(addr, "cf", spool, group_id="cg")
+
+        ts = [threading.Thread(target=member, args=(f"m{i}",))
+              for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        owned = [set(r["partitions"]) for r in results.values()]
+        assert owned[0] | owned[1] == {0, 1, 2, 3} and not owned[0] & owned[1]
+        assert sum(r["messages"] for r in results.values()) == r1["messages"]
+        with KafkaLiteClient(b.host, b.port) as c:
+            committed = c.offset_fetch("cg", "cf", [0, 1, 2, 3])
+            assert all(v >= 0 for v in committed.values())
+    lake = str(tmp_path / "lake")
+    res = consume_mq(spool, lake, base_dir=os.path.join(root, "base"),
+                     num_partitions=8)
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    assert got.equals(oracle.replay_to_table(root, reg))

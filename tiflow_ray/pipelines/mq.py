@@ -166,15 +166,23 @@ def _produce_partition(broker: str, topic: str, part: int,
 
 
 def fetch_mq(broker: str, topic: str, out_dir: str,
-             group: tuple[int, int] | None = None) -> dict:
+             group: tuple[int, int] | None = None,
+             group_id: str | None = None) -> dict:
     """Spool a broker topic into the standard message-log layout
     (meta.json + partition={p}/messages.parquet + _ddl/) so `consume_mq`
     replays it unchanged — the kafka-consumer's fetch loop. Resumable:
     each partition re-fetches only past its locally spooled offset count
     and commits via tmp→rename. `group=(member, size)` fetches only
-    partitions with p % size == member (members of a consumer group
-    split the spool the same way consume_mq splits the decode)."""
-    from ..sinks.kafka_wire import KafkaLiteClient
+    partitions with p % size == member (a STATIC split). `group_id`
+    instead coordinates through the broker's group protocol
+    (JoinGroup/SyncGroup range assignor — the sarama consumer-group
+    shape): the member fetches exactly its assigned partitions, commits
+    per-partition offsets (OffsetCommit) as the group's progress record,
+    and leaves the group when done. Mutually exclusive with `group`."""
+    from ..sinks.kafka_wire import KafkaLiteClient, join_consumer_group
+
+    assert group is None or group_id is None, \
+        "pick static split (group) or coordinated (group_id), not both"
 
     host, port = broker.rsplit(":", 1)
     os.makedirs(out_dir, exist_ok=True)
@@ -214,12 +222,22 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
 
         parts = c.metadata([topic]).get(topic, [])
         assert parts, f"topic {topic!r} not on broker {broker}"
+        member = None
+        if group_id is not None:
+            generation, member, assigned = \
+                join_consumer_group(c, group_id, topic)
+            parts = assigned
         fetched = {}
         for p in parts:
             if group is not None and p % group[1] != group[0]:
                 continue
             fetched[p] = spool(topic, p,
                                os.path.join(out_dir, f"partition={p}"))
+        if group_id is not None:
+            hw = {p: c.list_offsets(topic, p) for p in fetched}
+            if hw:
+                c.offset_commit(group_id, topic, hw)
+            c.leave_group(group_id, member)
         # the DDL broadcast is identical per partition: spool partition
         # `member` (or 0) of __ddl — every member sees the full schedule
         ddl_parts = c.metadata([f"{topic}.__ddl"]).get(f"{topic}.__ddl", [])

@@ -29,14 +29,23 @@ import os
 import socket
 import struct
 import threading
+import time
 import zlib
 
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 0, 1, 2
 _API_METADATA, _API_VERSIONS = 3, 18
+_API_OFFSET_COMMIT, _API_OFFSET_FETCH = 8, 9
+_API_JOIN_GROUP, _API_HEARTBEAT = 11, 12
+_API_LEAVE_GROUP, _API_SYNC_GROUP = 13, 14
 _ERR_NONE, _ERR_OFFSET_OUT_OF_RANGE, _ERR_CORRUPT = 0, 1, 2
 _ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+_ERR_ILLEGAL_GENERATION, _ERR_UNKNOWN_MEMBER = 22, 25
+_ERR_REBALANCE_IN_PROGRESS = 27
 _SUPPORTED = {_API_PRODUCE: (0, 0), _API_FETCH: (0, 0),
               _API_LIST_OFFSETS: (0, 0), _API_METADATA: (0, 0),
+              _API_OFFSET_COMMIT: (0, 0), _API_OFFSET_FETCH: (0, 0),
+              _API_JOIN_GROUP: (0, 0), _API_HEARTBEAT: (0, 0),
+              _API_LEAVE_GROUP: (0, 0), _API_SYNC_GROUP: (0, 0),
               _API_VERSIONS: (0, 0)}
 
 
@@ -179,16 +188,46 @@ class _PartitionLog:
             return f.read(max_bytes)
 
 
+class _GroupState:
+    """One consumer group's coordinator state (the GroupCoordinator slot,
+    in-memory like Kafka's — membership is ephemeral, offsets persist).
+
+    Rebalance protocol: the first JoinGroup of a round opens a join
+    window; every member that joins inside it lands in the same
+    generation. The leader (lowest member id) computes assignments and
+    SyncGroup distributes them. Heartbeats answer
+    REBALANCE_IN_PROGRESS while a new round is open."""
+
+    def __init__(self, rebalance_wait: float):
+        self.cond = threading.Condition()
+        self.rebalance_wait = rebalance_wait
+        self.generation = 0
+        self.state = "Empty"        # Empty | Joining | AwaitingSync | Stable
+        self.joining: dict[str, bytes] = {}
+        self.members: dict[str, bytes] = {}
+        self.leader: str | None = None
+        self.protocol = ""
+        self.assignments: dict[str, bytes] = {}
+        self.join_deadline = 0.0
+        self.next_id = 0
+
+
 class KafkaLiteBroker:
     """Single-node Kafka-wire broker over `log_dir`. Topics/partitions
     auto-create on first produce (the reference's kafka_manager creates
-    the changefeed topic the same way)."""
+    the changefeed topic the same way). Group coordination (JoinGroup/
+    SyncGroup/Heartbeat/LeaveGroup v0) and committed offsets
+    (OffsetCommit/OffsetFetch v0, persisted under __groups/) carry the
+    cmd/kafka-consumer consumer-group shape."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, rebalance_wait: float = 0.2):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._logs_lock = threading.Lock()
+        self._groups: dict[str, _GroupState] = {}
+        self._groups_lock = threading.Lock()
+        self.rebalance_wait = rebalance_wait
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._sock: socket.socket | None = None
@@ -285,8 +324,20 @@ class KafkaLiteBroker:
                     resp = self._produce(body)
                 elif api == _API_FETCH:
                     resp = self._fetch(body)
-                else:
+                elif api == _API_LIST_OFFSETS:
                     resp = self._list_offsets(body)
+                elif api == _API_OFFSET_COMMIT:
+                    resp = self._offset_commit(body)
+                elif api == _API_OFFSET_FETCH:
+                    resp = self._offset_fetch(body)
+                elif api == _API_JOIN_GROUP:
+                    resp = self._join_group(body)
+                elif api == _API_SYNC_GROUP:
+                    resp = self._sync_group(body)
+                elif api == _API_HEARTBEAT:
+                    resp = self._heartbeat(body)
+                else:
+                    resp = self._leave_group(body)
                 _send_frame(conn, struct.pack(">i", corr) + resp)
         except (OSError, ConnectionError):
             pass
@@ -403,6 +454,199 @@ class KafkaLiteBroker:
                 off = 0 if ts == -2 else lp.high_water()
                 out += struct.pack(">ihi", part, _ERR_NONE, 1)
                 out += struct.pack(">q", off)
+        return bytes(out)
+
+
+    # -- group coordination
+    def _group(self, name: str) -> _GroupState:
+        with self._groups_lock:
+            g = self._groups.get(name)
+            if g is None:
+                g = self._groups[name] = _GroupState(self.rebalance_wait)
+            return g
+
+    def _offsets_path(self, group: str) -> str:
+        d = os.path.join(self.log_dir, "__groups")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{group}.offsets.json")
+
+    def _join_group(self, body: bytes) -> bytes:
+        import json as _json
+        group, pos = _r_str(body, 0)
+        (_session_timeout,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        member, pos = _r_str(body, pos)
+        _ptype, pos = _r_str(body, pos)
+        (nproto,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        proto_name, meta = "", b""
+        for i in range(nproto):
+            nm, pos = _r_str(body, pos)
+            mb, pos = _r_bytes(body, pos)
+            if i == 0:
+                proto_name, meta = nm, mb or b""
+        g = self._group(group)
+        with g.cond:
+            if not member:
+                g.next_id += 1
+                member = f"member-{g.next_id}"
+            if g.state in ("Empty", "Stable", "AwaitingSync"):
+                g.state = "Joining"
+                g.joining = {}
+                g.join_deadline = time.monotonic() + g.rebalance_wait
+                g.cond.notify_all()
+            g.joining[member] = meta
+            g.protocol = proto_name
+            target = g.generation + 1
+            while not self._stop.is_set():
+                now = time.monotonic()
+                if g.state == "Joining" and g.generation < target \
+                        and now >= g.join_deadline:
+                    g.generation = target
+                    g.members = dict(g.joining)
+                    g.leader = min(g.members)
+                    g.assignments = {}
+                    g.state = "AwaitingSync"
+                    g.cond.notify_all()
+                if g.generation >= target and g.state != "Joining":
+                    break
+                g.cond.wait(timeout=0.05)
+            out = bytearray(struct.pack(">hi", _ERR_NONE, g.generation))
+            _w_str(out, g.protocol)
+            _w_str(out, g.leader)
+            _w_str(out, member)
+            mems = sorted(g.members.items()) if member == g.leader else []
+            out += struct.pack(">i", len(mems))
+            for mid, mmeta in mems:
+                _w_str(out, mid)
+                _w_bytes(out, mmeta)
+            return bytes(out)
+
+    def _sync_group(self, body: bytes) -> bytes:
+        group, pos = _r_str(body, 0)
+        (generation,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        member, pos = _r_str(body, pos)
+        (nassign,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        given: dict[str, bytes] = {}
+        for _ in range(nassign):
+            mid, pos = _r_str(body, pos)
+            ab, pos = _r_bytes(body, pos)
+            given[mid] = ab or b""
+        g = self._group(group)
+        with g.cond:
+            if member not in g.members:
+                return struct.pack(">h", _ERR_UNKNOWN_MEMBER) + \
+                    struct.pack(">i", -1)
+            if generation != g.generation:
+                return struct.pack(">h", _ERR_ILLEGAL_GENERATION) + \
+                    struct.pack(">i", -1)
+            if member == g.leader and given and g.state == "AwaitingSync":
+                # a leader syncing into a round that a newcomer already
+                # reopened must NOT flip the group Stable — it gets
+                # REBALANCE_IN_PROGRESS below and rejoins instead
+                g.assignments = given
+                g.state = "Stable"
+                g.cond.notify_all()
+            while member not in g.assignments and g.state != "Joining" \
+                    and not self._stop.is_set():
+                g.cond.wait(timeout=0.05)
+            if member not in g.assignments:
+                return struct.pack(">h", _ERR_REBALANCE_IN_PROGRESS) + \
+                    struct.pack(">i", -1)
+            out = bytearray(struct.pack(">h", _ERR_NONE))
+            _w_bytes(out, g.assignments[member])
+            return bytes(out)
+
+    def _heartbeat(self, body: bytes) -> bytes:
+        group, pos = _r_str(body, 0)
+        (generation,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        member, pos = _r_str(body, pos)
+        g = self._group(group)
+        with g.cond:
+            if g.state == "Joining":
+                return struct.pack(">h", _ERR_REBALANCE_IN_PROGRESS)
+            if member not in g.members:
+                return struct.pack(">h", _ERR_UNKNOWN_MEMBER)
+            if generation != g.generation:
+                return struct.pack(">h", _ERR_ILLEGAL_GENERATION)
+            return struct.pack(">h", _ERR_NONE)
+
+    def _leave_group(self, body: bytes) -> bytes:
+        group, pos = _r_str(body, 0)
+        member, pos = _r_str(body, pos)
+        g = self._group(group)
+        with g.cond:
+            g.members.pop(member, None)
+            g.joining.pop(member, None)
+            g.assignments.pop(member, None)
+            if not g.members:
+                g.state = "Empty"
+            else:
+                # remaining members must rebalance (they learn via
+                # REBALANCE_IN_PROGRESS on their next heartbeat)
+                g.state = "Joining"
+                g.joining = {}
+                g.join_deadline = time.monotonic() + g.rebalance_wait
+            g.cond.notify_all()
+        return struct.pack(">h", _ERR_NONE)
+
+    def _offset_commit(self, body: bytes) -> bytes:
+        import json as _json
+        group, pos = _r_str(body, 0)
+        (ntopics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        path = self._offsets_path(group)
+        with self._groups_lock:
+            stored = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    stored = _json.load(f)
+            out = bytearray(struct.pack(">i", ntopics))
+            for _ in range(ntopics):
+                topic, pos = _r_str(body, pos)
+                (nparts,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                _w_str(out, topic)
+                out += struct.pack(">i", nparts)
+                for _ in range(nparts):
+                    part, offset = struct.unpack_from(">iq", body, pos)
+                    pos += 12
+                    _meta, pos = _r_str(body, pos)
+                    stored.setdefault(topic, {})[str(part)] = offset
+                    out += struct.pack(">ih", part, _ERR_NONE)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(stored, f)
+            os.replace(tmp, path)
+        return bytes(out)
+
+    def _offset_fetch(self, body: bytes) -> bytes:
+        import json as _json
+        group, pos = _r_str(body, 0)
+        (ntopics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        path = self._offsets_path(group)
+        stored = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = _json.load(f)
+        out = bytearray(struct.pack(">i", ntopics))
+        for _ in range(ntopics):
+            topic, pos = _r_str(body, pos)
+            (nparts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            _w_str(out, topic)
+            out += struct.pack(">i", nparts)
+            for _ in range(nparts):
+                (part,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                off = stored.get(topic, {}).get(str(part), -1)
+                out += struct.pack(">iq", part, off)
+                _w_str(out, "")
+                out += struct.pack(">h", _ERR_NONE)
         return bytes(out)
 
 
@@ -540,6 +784,119 @@ class KafkaLiteClient:
             if offset >= hw:
                 return out
 
+    # -- consumer groups
+    def join_group(self, group: str, topics: list[str],
+                   member_id: str = "",
+                   session_timeout: int = 30000) \
+            -> tuple[int, str, str, dict[str, bytes]]:
+        """(generation, member_id, leader_id, members) — members is
+        non-empty only for the leader (who must compute assignments)."""
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", session_timeout)
+        _w_str(body, member_id)
+        _w_str(body, "consumer")
+        body += struct.pack(">i", 1)
+        _w_str(body, "range")
+        _w_bytes(body, _consumer_meta(topics))
+        r = self._call(_API_JOIN_GROUP, 0, bytes(body))
+        err, generation = struct.unpack_from(">hi", r, 0)
+        if err:
+            raise RuntimeError(f"join_group failed: error {err}")
+        pos = 6
+        _proto, pos = _r_str(r, pos)
+        leader, pos = _r_str(r, pos)
+        me, pos = _r_str(r, pos)
+        (nmem,) = struct.unpack_from(">i", r, pos)
+        pos += 4
+        members: dict[str, bytes] = {}
+        for _ in range(nmem):
+            mid, pos = _r_str(r, pos)
+            meta, pos = _r_bytes(r, pos)
+            members[mid] = meta or b""
+        return generation, me, leader, members
+
+    def sync_group(self, group: str, generation: int, member_id: str,
+                   assignments: dict[str, bytes] | None = None) -> bytes:
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", generation)
+        _w_str(body, member_id)
+        items = sorted((assignments or {}).items())
+        body += struct.pack(">i", len(items))
+        for mid, blob in items:
+            _w_str(body, mid)
+            _w_bytes(body, blob)
+        r = self._call(_API_SYNC_GROUP, 0, bytes(body))
+        (err,) = struct.unpack_from(">h", r, 0)
+        if err:
+            raise RuntimeError(f"sync_group failed: error {err}")
+        blob, _ = _r_bytes(r, 2)
+        return blob or b""
+
+    def heartbeat(self, group: str, generation: int,
+                  member_id: str) -> int:
+        """Returns the error code (0 ok, 27 rebalance in progress, ...)."""
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", generation)
+        _w_str(body, member_id)
+        r = self._call(_API_HEARTBEAT, 0, bytes(body))
+        return struct.unpack_from(">h", r, 0)[0]
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        body = bytearray()
+        _w_str(body, group)
+        _w_str(body, member_id)
+        self._call(_API_LEAVE_GROUP, 0, bytes(body))
+
+    def offset_commit(self, group: str, topic: str,
+                      offsets: dict[int, int]) -> None:
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", len(offsets))
+        for part, off in sorted(offsets.items()):
+            body += struct.pack(">iq", part, off)
+            _w_str(body, "")
+        r = self._call(_API_OFFSET_COMMIT, 0, bytes(body))
+        pos = 4
+        _t, pos = _r_str(r, pos)
+        (nparts,) = struct.unpack_from(">i", r, pos)
+        pos += 4
+        for _ in range(nparts):
+            part, err = struct.unpack_from(">ih", r, pos)
+            pos += 6
+            if err:
+                raise RuntimeError(f"offset commit {topic}/{part}: {err}")
+
+    def offset_fetch(self, group: str, topic: str,
+                     partitions: list[int]) -> dict[int, int]:
+        """Committed offsets; -1 where the group never committed."""
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", len(partitions))
+        for p in partitions:
+            body += struct.pack(">i", p)
+        r = self._call(_API_OFFSET_FETCH, 0, bytes(body))
+        pos = 4
+        _t, pos = _r_str(r, pos)
+        (nparts,) = struct.unpack_from(">i", r, pos)
+        pos += 4
+        out: dict[int, int] = {}
+        for _ in range(nparts):
+            part, off = struct.unpack_from(">iq", r, pos)
+            pos += 12
+            _meta, pos = _r_str(r, pos)
+            (err,) = struct.unpack_from(">h", r, pos)
+            pos += 2
+            assert err == 0, err
+            out[part] = off
+        return out
+
     def list_offsets(self, topic: str, partition: int,
                      earliest: bool = False) -> int:
         body = bytearray(struct.pack(">ii", -1, 1))
@@ -556,3 +913,83 @@ class KafkaLiteClient:
             raise RuntimeError(f"list_offsets {topic}/{part}: error {err}")
         assert n == 1
         return struct.unpack_from(">q", r, pos)[0]
+
+
+# ------------------------------------------------- consumer protocol blobs
+
+def _consumer_meta(topics: list[str]) -> bytes:
+    """ConsumerProtocolSubscription v0: version, topic array, userdata."""
+    out = bytearray(struct.pack(">h", 0))
+    out += struct.pack(">i", len(topics))
+    for t in topics:
+        _w_str(out, t)
+    _w_bytes(out, b"")
+    return bytes(out)
+
+
+def _consumer_meta_topics(blob: bytes) -> list[str]:
+    (n,) = struct.unpack_from(">i", blob, 2)
+    pos, out = 6, []
+    for _ in range(n):
+        t, pos = _r_str(blob, pos)
+        out.append(t)
+    return out
+
+
+def _consumer_assignment(parts: dict[str, list[int]]) -> bytes:
+    """ConsumerProtocolAssignment v0: version, [topic, partition array],
+    userdata."""
+    out = bytearray(struct.pack(">h", 0))
+    out += struct.pack(">i", len(parts))
+    for t in sorted(parts):
+        _w_str(out, t)
+        out += struct.pack(">i", len(parts[t]))
+        for p in parts[t]:
+            out += struct.pack(">i", p)
+    _w_bytes(out, b"")
+    return bytes(out)
+
+
+def _consumer_assignment_parts(blob: bytes) -> dict[str, list[int]]:
+    (n,) = struct.unpack_from(">i", blob, 2)
+    pos, out = 6, {}
+    for _ in range(n):
+        t, pos = _r_str(blob, pos)
+        (k,) = struct.unpack_from(">i", blob, pos)
+        pos += 4
+        out[t] = list(struct.unpack_from(f">{k}i", blob, pos))
+        pos += 4 * k
+    return out
+
+
+def join_consumer_group(client: KafkaLiteClient, group: str,
+                        topic: str) -> tuple[int, str, list[int]]:
+    """Full join→(leader assigns)→sync round: returns (generation,
+    member_id, assigned partitions). The leader runs the RANGE assignor
+    (contiguous partition spans over sorted members — Kafka's default),
+    everyone else syncs empty and receives its slice. A sync rejected
+    with REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION (a newcomer reopened
+    the round) rejoins, keeping the member id — exactly the client loop
+    every Kafka consumer runs."""
+    me = ""
+    while True:
+        generation, me, leader, members = client.join_group(
+            group, [topic], member_id=me)
+        assignments = None
+        if me == leader:
+            parts = sorted(client.metadata([topic]).get(topic, []))
+            mids = sorted(members)
+            assert mids, "leader sees no members"
+            span = (len(parts) + len(mids) - 1) // len(mids)
+            per = {mid: parts[i * span:(i + 1) * span]
+                   for i, mid in enumerate(mids)}
+            assignments = {mid: _consumer_assignment({topic: ps})
+                           for mid, ps in per.items()}
+        try:
+            blob = client.sync_group(group, generation, me, assignments)
+        except RuntimeError as e:
+            if "error 27" in str(e) or "error 22" in str(e):
+                continue
+            raise
+        return generation, me, \
+            _consumer_assignment_parts(blob).get(topic, [])
