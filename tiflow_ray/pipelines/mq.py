@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -38,7 +39,8 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                max_message_bytes: int | None = None,
                large_handle: str = "none",
                broker: str | None = None,
-               topic: str = "changefeed") -> dict:
+               topic: str = "changefeed",
+               schema_registry: str | None = None) -> dict:
     """WAL → per-partition message logs (canal-json / open-protocol text,
     or Confluent-framed avro binary via the file-backed schema registry)
     + a canal-json DDL broadcast (the control channel is canal-json under
@@ -59,8 +61,11 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     file layout for `consume_mq`. At-least-once like any acks=1 Kafka
     producer — a crashed task's partition may carry duplicates on rerun
     (the v0 protocol has no idempotent-producer sequence numbers).
-    avro (needs the registry service) and claim_check (points at
-    external storage) are file-layout-only by nature."""
+    avro over the broker needs `schema_registry="http://..."` — the schema-
+    registry REST service (sinks/schema_registry_http.py), the same
+    endpoint pair (broker + registry) the reference's avro sink deploys
+    against. claim_check (points at external storage) stays
+    file-layout-only by nature."""
     from ..sinks.mq import MqSinkStage, dispatch
     from ..sources.wal import list_segments, load_registry
 
@@ -81,15 +86,24 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                 sup.append(c)
 
     if broker is not None:
-        assert protocol != "avro", \
-            "broker mode needs a schema-registry service; avro is " \
-            "file-layout only"
         assert large_handle != "claim_check", \
             "claim_check points at external storage, not the broker"
     registry_root = None
     if protocol == "avro":
-        registry_root = os.path.join(out_dir, "_registry")
-        os.makedirs(registry_root, exist_ok=True)
+        # `registry` is a spec: an http:// URL reaches the REST registry
+        # service (sinks/schema_registry_http.py — the Confluent API the
+        # reference's avro codec calls); a path is the shared-directory
+        # store. Broker mode has no message-log dir to default into, so
+        # the service URL is required there — exactly the reference's
+        # deployment shape (Kafka + schema-registry endpoints).
+        if schema_registry is None:
+            assert broker is None, \
+                "avro over a wire broker needs schema_registry=" \
+                "'http://...' (the schema-registry service endpoint)"
+            schema_registry = os.path.join(out_dir, "_registry")
+        registry_root = schema_registry
+        if "://" not in registry_root:
+            os.makedirs(registry_root, exist_ok=True)
     claim_dir = os.path.join(out_dir, "_claim") \
         if large_handle == "claim_check" else None
     sink = MqSinkStage(database=database, table=table, protocol=protocol,
@@ -126,7 +140,8 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
             "database": database, "table": table,
             "num_partitions": num_partitions, "dispatcher": dispatcher,
             "large_handle": large_handle,
-            "max_message_bytes": max_message_bytes}
+            "max_message_bytes": max_message_bytes,
+            "registry": registry_root}
     if broker is not None:
         for p in range(num_partitions):
             sub = ddl_msgs.filter(
@@ -190,8 +205,11 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
         meta_msgs = c.fetch_all(f"{topic}.__meta", 0)
         assert meta_msgs, f"no {topic}.__meta on broker {broker}"
         meta = json.loads(meta_msgs[-1][2].decode())
-        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        mtmp = os.path.join(out_dir, f"meta.json.tmp.{os.getpid()}."
+                                     f"{threading.get_ident()}")
+        with open(mtmp, "w") as f:
             json.dump(meta, f)
+        os.replace(mtmp, os.path.join(out_dir, "meta.json"))
         is_text = meta["protocol"] != "avro"
 
         def spool(t: str, part: int, d: str) -> int:
@@ -215,7 +233,7 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
             })
             if prior is not None:
                 tbl = pa.concat_tables([prior, tbl])
-            tmp = f"{path}.tmp.{os.getpid()}"
+            tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
             pq.write_table(tbl, tmp, row_group_size=32768)
             os.replace(tmp, path)
             return len(recs)
@@ -253,7 +271,13 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
             "payload": pa.array([v.decode() for _o, _k, v in ddl_recs],
                                 pa.string()),
         })
-        tmp = os.path.join(ddl_dir, f"messages.parquet.tmp.{os.getpid()}")
+        # tmp name must be unique per CALL, not per process: coordinated
+        # group members run as threads of one consumer process and each
+        # spools the (identical) DDL broadcast — a pid-only suffix lets
+        # one thread's os.replace consume the other's tmp file
+        tmp = os.path.join(
+            ddl_dir, f"messages.parquet.tmp.{os.getpid()}."
+                     f"{threading.get_ident()}")
         pq.write_table(ddl_tbl, tmp)
         os.replace(tmp, os.path.join(ddl_dir, "messages.parquet"))
     return {"partitions": fetched,
@@ -375,9 +399,12 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
             return decode_open_protocol_lines([p for p in payloads], cols)
     elif protocol == "avro":
         from ..sinks.avro_registry import AvroMessageDecoder
-        reg_root = os.path.join(msg_dir, "_registry")
+        # registry spec travels in the stream meta (URL of the registry
+        # service, or the shared-dir store that produce_mq defaulted to)
+        reg_spec = meta.get("registry") or os.path.join(msg_dir,
+                                                        "_registry")
 
-        def decode_msgs(payloads, cols=sup, _root=reg_root):
+        def decode_msgs(payloads, cols=sup, _root=reg_spec):
             # one decoder per task; its schema cache amortizes per file
             return AvroMessageDecoder(_root, cols).decode(list(payloads))
     else:
