@@ -160,6 +160,15 @@ def main(argv=None):
                     help="large-message option (pkg/config/"
                          "large_message.go): reject / key-only stub / "
                          "claim-check store")
+    mp.add_argument("--registry", default=None,
+                    help="avro schema-registry spec: http://host:port "
+                         "(REST service) or a shared directory; "
+                         "required for --protocol avro with --broker")
+
+    rs = sub.add_parser("registry-serve")   # Confluent-API registry svc
+    rs.add_argument("--root", required=True,
+                    help="shared directory backing the registry store")
+    rs.add_argument("--port-file", help="write host:port here once bound")
 
     mc = sub.add_parser("mq-consume")   # message logs → replayed lake
     mc.add_argument("--messages", required=True)
@@ -235,6 +244,23 @@ def main(argv=None):
                 time.sleep(1)
         except KeyboardInterrupt:
             brk.stop()
+        return 0
+
+    if a.cmd == "registry-serve":         # pure http+files, no Ray
+        import time
+
+        from .sinks.schema_registry_http import SchemaRegistryServer
+        srv = SchemaRegistryServer(a.root)
+        if a.port_file:
+            with open(a.port_file, "w") as f:
+                f.write(f"{srv.host}:{srv.port}")
+        print(json.dumps({"host": srv.host, "port": srv.port,
+                          "url": srv.url}), flush=True)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            srv.close()
         return 0
 
     if a.cmd == "mq-fetch":               # pure sockets+files, no Ray
@@ -358,7 +384,8 @@ def main(argv=None):
                                     protocol=a.protocol,
                                     max_message_bytes=a.max_message_bytes,
                                     large_handle=a.large_handle,
-                                    broker=a.broker, topic=a.topic)))
+                                    broker=a.broker, topic=a.topic,
+                                    schema_registry=a.registry)))
     elif a.cmd == "mq-consume":
         from .pipelines.mq import consume_mq
         grp = (a.group_member, a.group_size) \

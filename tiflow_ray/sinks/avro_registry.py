@@ -26,6 +26,8 @@ from __future__ import annotations
 import json
 import os
 import struct
+import threading
+import time
 
 import pyarrow as pa
 
@@ -37,6 +39,20 @@ def _canon(schema_json: str) -> str:
                       separators=(",", ":"))
 
 
+def _load_json_retry(path: str, attempts: int = 200) -> dict:
+    """Read a registry file that a concurrent writer may have O_EXCL-
+    created but not yet filled (the claim→fill window is a few µs; the
+    claim file is the arbitration, so the content follows immediately).
+    Retries JSON parse briefly instead of failing the scan."""
+    for i in range(attempts):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, ValueError):
+            time.sleep(0.001 * min(i + 1, 10))
+    raise ValueError(f"registry file {path} never became parsable")
+
+
 class AvroSchemaRegistry:
     """Minimal Confluent-registry analog over a shared directory."""
 
@@ -45,13 +61,15 @@ class AvroSchemaRegistry:
         os.makedirs(os.path.join(root, "ids"), exist_ok=True)
         os.makedirs(os.path.join(root, "subjects"), exist_ok=True)
         self._by_id: dict[int, str] = {}      # id -> canonical schema json
+        self._reg_lock = threading.Lock()     # in-process serialization
 
     # -- lookups ----------------------------------------------------------
     def schema_by_id(self, schema_id: int) -> str:
         if schema_id not in self._by_id:
             p = os.path.join(self.root, "ids", f"{schema_id:08d}.json")
-            with open(p) as f:
-                self._by_id[schema_id] = json.load(f)["schema"]
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+            self._by_id[schema_id] = _load_json_retry(p)["schema"]
         return self._by_id[schema_id]
 
     def versions(self, subject: str) -> list[int]:
@@ -66,34 +84,58 @@ class AvroSchemaRegistry:
         if not vs:
             return None
         d = os.path.join(self.root, "subjects", subject)
-        with open(os.path.join(d, f"v{vs[-1]:05d}.json")) as f:
-            sid = json.load(f)["id"]
+        sid = _load_json_retry(os.path.join(d, f"v{vs[-1]:05d}.json"))["id"]
         return sid, self.schema_by_id(sid)
 
     # -- registration -----------------------------------------------------
     def register(self, subject: str, schema_json: str) -> int:
         """Idempotent register: the schema's existing id under `subject`
         if already present, else a fresh global id + next subject version.
-        Lock-free: O_EXCL creates arbitrate races; losers rescan."""
+        Concurrency-safe across processes without locks: O_EXCL creates
+        arbitrate version slots, and the winner re-checks the versions
+        BELOW its slot for the same canonical schema — a racer that
+        registered the schema between our scan and our slot win is
+        detected and its id reused (one id per canonical schema, always).
+        An in-process lock additionally serializes threads sharing one
+        instance (the registry HTTP service)."""
+        with self._reg_lock:
+            return self._register_locked(subject, schema_json)
+
+    def _register_locked(self, subject: str, schema_json: str) -> int:
         canon = _canon(schema_json)
         sdir = os.path.join(self.root, "subjects", subject)
         os.makedirs(sdir, exist_ok=True)
         while True:
-            for v in self.versions(subject):
-                with open(os.path.join(sdir, f"v{v:05d}.json")) as f:
-                    sid = json.load(f)["id"]
-                if self.schema_by_id(sid) == canon:
-                    return sid
-            sid = self._alloc_id(subject, canon)
+            found = self._find_canon(subject, canon)
+            if found is not None:
+                return found
             ver = (self.versions(subject) or [0])[-1] + 1
             try:
                 fd = os.open(os.path.join(sdir, f"v{ver:05d}.json"),
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 continue    # another writer took this version: rescan
+            # we own slot `ver`; a concurrent writer may have registered
+            # this same schema in a version that landed after our scan —
+            # only versions < ver can exist, so rescan them and reuse
+            prior = self._find_canon(subject, canon, below=ver)
+            sid = prior if prior is not None \
+                else self._alloc_id(subject, canon)
             with os.fdopen(fd, "w") as f:
                 json.dump({"id": sid}, f)
             return sid
+
+    def _find_canon(self, subject: str, canon: str,
+                    below: int | None = None) -> int | None:
+        sdir = os.path.join(self.root, "subjects", subject)
+        for v in self.versions(subject):
+            if below is not None and v >= below:
+                continue
+            sid = _load_json_retry(
+                os.path.join(sdir, f"v{v:05d}.json"))["id"]
+            if self.schema_by_id(sid) == canon:
+                return sid
+        return None
 
     def _alloc_id(self, subject: str, canon: str) -> int:
         ids_dir = os.path.join(self.root, "ids")
@@ -149,7 +191,10 @@ class AvroMessageDecoder:
     construct once per actor, decode per batch."""
 
     def __init__(self, registry_root: str, columns: list[str]):
-        self.registry = AvroSchemaRegistry(registry_root)
+        # registry_root is a spec: http:// URL → REST client, else a
+        # shared-directory root (see schema_registry_http.open_registry)
+        from .schema_registry_http import open_registry
+        self.registry = open_registry(registry_root)
         self.columns = list(columns)
         self._fields: dict[int, list] = {}
 

@@ -82,13 +82,17 @@ class MqSinkStage:
 
     def _avro_payloads(self, ev: pa.Table) -> pa.Array:
         """Register the value schema (idempotent — every worker may race
-        on the shared registry dir, same-schema registrations converge on
-        one id) and emit one Confluent-framed binary datum per event."""
+        on the shared registry, same-schema registrations converge on
+        one id) and emit one Confluent-framed binary datum per event.
+        `registry_root` is a registry SPEC: an http:// URL talks to the
+        REST registry service (schema_registry_http.py), a plain path is
+        the shared-directory store — both back the same layout."""
         from ..sources.codecs import _avro_schema_json
-        from .avro_registry import AvroSchemaRegistry, encode_avro_messages
+        from .avro_registry import encode_avro_messages
+        from .schema_registry_http import open_registry
         schema_json = _avro_schema_json(list(ev.column_names), ev.schema)
         if schema_json not in self._schema_cache:
-            reg = AvroSchemaRegistry(self.registry_root)
+            reg = open_registry(self.registry_root)
             subject = f"{self.database}.{self.table}-value"
             self._schema_cache[schema_json] = (
                 reg.register(subject, schema_json), schema_json)
