@@ -156,6 +156,28 @@ def test_multitable_three_tables_independent_ddl(tmp_path, pipeline):
     assert res2.epochs == []
 
 
+@pytest.mark.parametrize("pipeline", [1, 3])
+def test_multitable_two_pass_matches_oracle(tmp_path, pipeline):
+    """replay_mode='two_pass' on the multi-table path: the thin pass
+    builds per-(table, part) winner-signature blocks, the payload pass
+    keeps only surviving events per tpart. Same doc_id values exist in
+    every table, so a cross-table signature admit would corrupt a lake —
+    per-table oracle equality is the isolation proof."""
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=os.path.join(root, "lake2p"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       pipeline_epochs=pipeline, replay_mode="two_pass",
+                       validate=True)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+    res = mt.run_replay_multitable(cfg)
+    assert res.epochs, "nothing committed"
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        assert got.equals(_expected(root, regs, t)), \
+            f"table {t} diverged from its oracle under two_pass"
+    assert mt.run_replay_multitable(cfg).epochs == []   # idempotent
+
+
 def test_multitable_per_table_resume_and_lag(tmp_path):
     """Stop mid-stream, verify each table equals its oracle AT that
     watermark, resume to the end; the lagging table's sink progress

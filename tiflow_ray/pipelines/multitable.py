@@ -43,7 +43,7 @@ import ray.data
 from ..config import ReplayConfig
 from ..model import hash_fingerprint, hash_partition
 from ..sources.wal import Epoch, list_segments, plan_epochs
-from ..stages.compact import compact_batch
+from ..stages.compact import assign_partition, compact_batch
 from ..stages.merge import MergeApply, fold_part
 from ..stages.normalize import EVENT_KEY_COLS, KEY_COL_TYPES
 from ..stages.schema_evo import SchemaRegistry
@@ -268,6 +268,75 @@ def _mt_compact_batch(t: pa.Table, table_ids: dict[str, int],
     return empty
 
 
+def _mt_split_assign(t: pa.Table, table_ids: dict[str, int],
+                     num_partitions: int,
+                     collation: str = "binary") -> pa.Table:
+    """Per-table update-split + (table, part) key assignment WITHOUT the
+    combiner — the two-pass payload path, where the thin-pass signature
+    filter replaces per-batch compaction. Split must run per table (the
+    synthesized delete half nulls every non-key column, table_name
+    included, so routing has to be pinned before the split)."""
+    P = num_partitions
+    tn = t["table_name"].to_numpy(zero_copy_only=False)
+    pieces = []
+    for name in np.unique(tn):
+        sub = t.filter(pa.array(tn == name)).drop_columns(["table_name"])
+        sub = split_updates(sub)
+        sub = assign_partition(sub, P, collation)
+        tid = table_ids[str(name)]
+        part = sub["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = sub.append_column(
+            "tpart", pa.array(tid * P + part, pa.int64()))
+        pieces.append(sub.drop_columns(["part"]))
+    if pieces:
+        return pa.concat_tables(pieces)
+    empty = split_updates(t.drop_columns(["table_name"]))
+    return empty.append_column("tpart", pa.nulls(0, pa.int64()))
+
+
+def _thin_winner_signatures_mt(cfg: ReplayConfig, ep: Epoch,
+                               read_kwargs: dict,
+                               table_ids: dict[str, int]) -> tuple:
+    """Two-pass pass 1 for the multi-table changefeed: the single-table
+    thin pass (replay._thin_winner_signatures) with (table, part) as the
+    shard key. Reads only (op, commit_ts, start_ts, doc_id, new_doc_id,
+    table_name) — token payloads never travel — combines per table per
+    batch, final-reduces per tpart group, and leaves the per-tpart sorted
+    signature blocks in the object store ((ref, tparts) index; payload
+    filter workers fetch only the blocks covering their batches).
+    Signatures are checked per tpart, so equal doc_ids in two tables
+    never cross-admit."""
+    from ..stages.compact import compact_partition, event_signature
+    from .replay import _block_parts
+
+    flt = (pads.field("commit_ts") > ep.lo) \
+        & (pads.field("commit_ts") <= ep.hi)
+    thin_cols = EVENT_KEY_COLS + ["table_name"]
+    with _READ_PLAN_LOCK:
+        ds = ray.data.read_parquet(list(ep.files), columns=thin_cols,
+                                   filter=flt, **read_kwargs)
+    ds = ds.map_batches(
+        lambda t: _mt_compact_batch(t, table_ids, cfg.num_partitions,
+                                    cfg.key_collation),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    def winners_to_sigs(t: pa.Table) -> pa.Table:
+        tpart = int(t["tpart"][0].as_py()) if t.num_rows else -1
+        w = compact_partition(t.drop_columns(["tpart"]),
+                              collation=cfg.key_collation)
+        sigs = np.sort(event_signature(w, cfg.key_collation))
+        return pa.table({
+            "part": pa.array(np.full(len(sigs), tpart, np.int64)),
+            "sig": pa.array(sigs),
+        })
+
+    sig_ds = ds.groupby("tpart").map_groups(winners_to_sigs,
+                                            batch_format="pyarrow")
+    refs = sig_ds.to_arrow_refs()          # blocks stay in the object store
+    parts = ray.get([_block_parts.remote(r) for r in refs])
+    return tuple(zip(refs, parts))
+
+
 class _MultiMergeApply:
     """map_groups body for the (table, part) shuffle: route the group to
     its table's MergeApply (registry, schema version, prev chain, and
@@ -455,20 +524,48 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
         _MultiNormalize(union_fields, active, ep.lo, ep.hi,
                         validate=cfg.validate, enforce_range=enforce_range),
         batch_format="pyarrow", batch_size=cfg.batch_size)
-    # hot-key handling, feature parity with the single-table path: static
-    # salting (salt_shuffle > 1) salts every row; auto_salt detects hot
-    # keys per batch PER TABLE inside _mt_compact_batch and salts only
-    # those. Either way a (tpart, salt) pre-reduce collapses the hot key's
-    # sub-groups in parallel before the final per-(table, part) merge, so
-    # one table's hot key can't serialize the whole feed's exchange.
-    dynamic_salt = cfg.auto_salt and cfg.salt_shuffle <= 1
-    hot_share = cfg.auto_salt_share if dynamic_salt else None
-    ds = ds.map_batches(
-        lambda t: _mt_compact_batch(t, table_ids, cfg.num_partitions,
-                                    cfg.key_collation,
-                                    hot_share=hot_share,
-                                    salt_factor=cfg.auto_salt_factor),
-        batch_format="pyarrow", batch_size=cfg.batch_size)
+    if cfg.replay_mode == "two_pass" and ep.fmt == "parquet":
+        # two-pass thin-winner mode, (table, part)-sharded: pass 1 built
+        # per-tpart winner-signature blocks from key columns only; the
+        # payload pass splits + routes per table, then keeps only rows
+        # whose signature survives in THEIR tpart's block (the combiner
+        # is replaced by the filter — at most one event per key remains,
+        # so hot-key salting is moot and stays off)
+        from ..stages.compact import filter_by_signature_sharded
+        from .replay import _part_sig_map
+        sig_index = _thin_winner_signatures_mt(cfg, ep, read_kwargs,
+                                               table_ids)
+
+        def keep_winners_mt(t: pa.Table) -> pa.Table:
+            t = _mt_split_assign(t, table_ids, cfg.num_partitions,
+                                 cfg.key_collation)
+            if t.num_rows == 0:
+                return t
+            batch_parts = np.unique(
+                t["tpart"].to_numpy(zero_copy_only=False))
+            return filter_by_signature_sharded(
+                t, _part_sig_map(sig_index, batch_parts),
+                cfg.key_collation, part_col="tpart")
+
+        ds = ds.map_batches(keep_winners_mt, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+        dynamic_salt = False
+    else:
+        # hot-key handling, feature parity with the single-table path:
+        # static salting (salt_shuffle > 1) salts every row; auto_salt
+        # detects hot keys per batch PER TABLE inside _mt_compact_batch
+        # and salts only those. Either way a (tpart, salt) pre-reduce
+        # collapses the hot key's sub-groups in parallel before the final
+        # per-(table, part) merge, so one table's hot key can't serialize
+        # the whole feed's exchange.
+        dynamic_salt = cfg.auto_salt and cfg.salt_shuffle <= 1
+        hot_share = cfg.auto_salt_share if dynamic_salt else None
+        ds = ds.map_batches(
+            lambda t: _mt_compact_batch(t, table_ids, cfg.num_partitions,
+                                        cfg.key_collation,
+                                        hot_share=hot_share,
+                                        salt_factor=cfg.auto_salt_factor),
+            batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.salt_shuffle > 1 or dynamic_salt:
         from ..stages.compact import compact_partition
         S = cfg.salt_shuffle

@@ -197,14 +197,17 @@ def filter_by_signature(t: pa.Table, winner_sigs_sorted: np.ndarray,
 
 
 def filter_by_signature_sharded(t: pa.Table, sig_map: dict,
-                                collation: str = "binary") -> pa.Table:
-    """Sharded variant: `t` carries a `part` column; each row is checked
-    against ONLY its partition's sorted sig block (plasma-backed views —
-    no task ever materializes the union of the blocks)."""
+                                collation: str = "binary",
+                                part_col: str = "part") -> pa.Table:
+    """Sharded variant: `t` carries a partition column (`part_col` —
+    "part" single-table, "tpart" for the multi-table (table, part) key);
+    each row is checked against ONLY its partition's sorted sig block
+    (plasma-backed views — no task ever materializes the union of the
+    blocks)."""
     if t.num_rows == 0:
         return t
     sig = event_signature(t, collation)
-    parts = t["part"].to_numpy(zero_copy_only=False)
+    parts = t[part_col].to_numpy(zero_copy_only=False)
     keep = np.zeros(t.num_rows, bool)
     for p in np.unique(parts):
         blk = sig_map.get(int(p))
