@@ -178,6 +178,67 @@ def test_multitable_two_pass_matches_oracle(tmp_path, pipeline):
     assert mt.run_replay_multitable(cfg).epochs == []   # idempotent
 
 
+def test_multitable_shard_merge_matches_oracle(tmp_path):
+    """run_replay_multitable_sharded: two upstream shards, each carrying
+    all three tables with the identical declaration, merge into one
+    multi-table lake equal to the per-table oracles over the UNION of
+    events. Plus the pessimist's guards: divergent declarations are
+    rejected upfront, and an empty shard holds the frontier (nothing
+    commits)."""
+    import pyarrow.parquet as pq
+
+    from tiflow_ray.sources.wal import list_segments
+
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    full = pa.concat_tables(
+        [pq.read_table(s.path) for s in list_segments(wal_dir)],
+        promote_options="default")
+    shard_dirs = []
+    for k in range(2):
+        mask = pa.array(
+            full["start_ts"].to_numpy(zero_copy_only=False) % 2 == k)
+        d = os.path.join(root, f"shard{k}")
+        fixtures.write_wal_segments(full.filter(mask), d, 3)
+        mt.write_multitable_registries(d, regs)
+        shard_dirs.append(d)
+
+    cfg = ReplayConfig(wal_dir=shard_dirs[0],
+                       lake_dir=os.path.join(root, "lake_sh"),
+                       num_partitions=8, max_segments_per_epoch=2,
+                       validate=True)
+    mt.bootstrap_multitable(cfg, regs, base_dirs)
+
+    # guard 1: an empty (declared, undelivered) shard holds the frontier
+    empty = os.path.join(root, "shard_empty")
+    os.makedirs(empty)
+    mt.write_multitable_registries(empty, regs)
+    held = mt.run_replay_multitable_sharded(cfg, shard_dirs + [empty])
+    assert held.epochs == []
+
+    # guard 2: divergent declaration rejected upfront
+    diverged = os.path.join(root, "shard_div")
+    os.makedirs(diverged)
+    mt.write_multitable_registries(
+        diverged, {t: r for t, r in regs.items() if t != "tc"})
+    with pytest.raises(ValueError, match="identical migrations"):
+        mt.run_replay_multitable_sharded(cfg, [shard_dirs[0], diverged])
+
+    res = mt.run_replay_multitable_sharded(cfg, shard_dirs)
+    assert res.epochs, "nothing committed"
+    # the pessimist's frontier is min over shards of their last watermark:
+    # events past the laggard shard's watermark are HELD BACK (delivered
+    # on catch-up), so the oracle is evaluated at the frontier
+    frontier = min(list_segments(d)[-1].watermark_ts for d in shard_dirs)
+    for t in sorted(regs):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        exp = oracle.replay_to_table(os.path.join(root, f"oracle_{t}"),
+                                     regs[t], max_watermark=frontier)
+        assert got.equals(exp), \
+            f"table {t} diverged from its oracle under shard merge"
+    # catch-up is idempotent (resume ≡ next epoch)
+    assert mt.run_replay_multitable_sharded(cfg, shard_dirs).epochs == []
+
+
 def test_multitable_per_table_resume_and_lag(tmp_path):
     """Stop mid-stream, verify each table equals its oracle AT that
     watermark, resume to the end; the lagging table's sink progress

@@ -402,9 +402,6 @@ def run_replay_multitable(cfg: ReplayConfig,
         tables, lifecycle = load_multitable_registries(cfg.wal_dir)
     if lifecycle is None:
         lifecycle = {t: TableLifecycle() for t in tables}
-    table_names = sorted(tables)
-    table_ids = {t: i for i, t in enumerate(table_names)}
-    registries_json = {t: r.to_json() for t, r in tables.items()}
 
     segs = list_segments(cfg.wal_dir)
     epochs = plan_epochs(segs, _UnionBarriers(tables, lifecycle),
@@ -415,6 +412,73 @@ def run_replay_multitable(cfg: ReplayConfig,
                          max_bytes_per_epoch=_epoch_byte_cap(cfg))
     if max_epochs is not None:
         epochs = epochs[:max_epochs]
+    return _drive_epochs_mt(cfg, lake, tables, lifecycle, prev, epochs)
+
+
+def run_replay_multitable_sharded(cfg: ReplayConfig, wal_dirs: list[str],
+                                  upto_ts: int | None = None) -> ReplayResult:
+    """Shard-merge × multi-table: N upstream shard WALs — each carrying
+    the SAME declared table set — merge into ONE multi-table changefeed
+    (DM's sharded-database migration shape: a whole database of sharded
+    tables, dm/syncer/shardddl pessimist applied per table).
+
+    Pessimistic coordination, composed from the single-table rules
+    (replay.run_replay_sharded):
+    - every shard must declare the IDENTICAL tables.json — per-table DDL
+      schedules AND lifecycle barriers (a CREATE TABLE is a coordinated
+      DDL like any other); a divergent declaration is the conflict the
+      pessimist blocks on, rejected upfront.
+    - the merged frontier is min over shards of their last watermark; a
+      lagging shard holds every table's barrier back (min-over-spans).
+      A shard with zero segments holds the frontier at 0 — nothing
+      commits until it delivers.
+    - within an epoch the union of shard segments is ONE read demuxed to
+      the one (table, part) shuffle; per-key ordering needs no
+      cross-shard coordination (the compactor sorts by
+      (commit_ts, start_ts) after the shuffle, per table).
+    Catch-up is calling this again after new segments land
+    (resume ≡ next epoch)."""
+    lake = LakeState(cfg.lake_dir)
+    prev = lake.latest()
+    assert prev is not None, "call bootstrap_multitable() first"
+    decls = [load_multitable_registries(d) for d in wal_dirs]
+    regs0, lcs0 = decls[0]
+    ref = {t: r.to_json() for t, r in regs0.items()}
+    for d, (regs, lcs) in zip(wal_dirs[1:], decls[1:]):
+        if {t: r.to_json() for t, r in regs.items()} != ref or lcs != lcs0:
+            raise ValueError(
+                f"shard {d} declares a different table set / DDL schedule "
+                f"/ lifecycle than {wal_dirs[0]} — pessimistic shard-merge "
+                "requires identical migrations on every shard before any "
+                "may proceed")
+
+    shard_segs = [list_segments(d) for d in wal_dirs]
+    # zero-segment shards hold the frontier (see run_replay_sharded): the
+    # shard's data simply has not been delivered yet, and committing past
+    # it would silently lose its events to the from_ts filter on catch-up
+    if any(not s for s in shard_segs):
+        return ReplayResult()
+    frontier = min(s[-1].watermark_ts for s in shard_segs)
+    if upto_ts is not None:
+        frontier = min(frontier, upto_ts)
+    merged = sorted((seg for segs in shard_segs for seg in segs),
+                    key=lambda s: (s.watermark_ts, s.path))
+    epochs = plan_epochs(merged, _UnionBarriers(regs0, lcs0),
+                         from_ts=prev.watermark_ts,
+                         max_segments_per_epoch=cfg.max_segments_per_epoch,
+                         upto_ts=frontier,
+                         syncpoint_interval=cfg.syncpoint_interval,
+                         max_bytes_per_epoch=_epoch_byte_cap(cfg))
+    return _drive_epochs_mt(cfg, lake, regs0, lcs0, prev, epochs)
+
+
+def _drive_epochs_mt(cfg: ReplayConfig, lake: LakeState,
+                     tables: dict[str, SchemaRegistry],
+                     lifecycle: dict[str, TableLifecycle],
+                     prev, epochs: list[Epoch]) -> ReplayResult:
+    table_names = sorted(tables)
+    table_ids = {t: i for i, t in enumerate(table_names)}
+    registries_json = {t: r.to_json() for t, r in tables.items()}
     result = ReplayResult()
     # pipelined epochs (same contract as replay._drive_epochs): up to k
     # consecutive MoR epochs execute concurrently — their delta appends

@@ -581,6 +581,38 @@ def q_cdc_replay_mq_kafka(sf_dir: str) -> pa.Table:
     return rp.lake_to_table(lake, res["wal_dir"])
 
 
+def q_cdc_replay_mq_avro_wire(sf_dir: str) -> pa.Table:
+    """The reference's full avro deployment shape as wire endpoints: a
+    loopback Kafka broker (sinks/kafka_wire.py) plus the Confluent
+    schema-registry REST service (sinks/schema_registry_http.py — the
+    API pkg/sink/codec/avro/schema_registry.go calls). Producer tasks
+    register the value schema over HTTP and frame every message in the
+    Confluent wire format; the consumer resolves schema ids over HTTP
+    while decoding the fetched topic. Oracle = the same SQL twin as
+    cdc_replay, hash-checking broker + registry + binary avro round
+    trip."""
+    from .pipelines import replay as rp
+    from .pipelines.mq import consume_mq, fetch_mq, produce_mq
+    from .sinks.kafka_wire import KafkaLiteBroker
+    from .sinks.schema_registry_http import SchemaRegistryServer
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    blog = os.path.join(root, "kafka_avro_log")
+    spool = os.path.join(root, "kafka_avro_spool")
+    with KafkaLiteBroker(blog) as b, \
+            SchemaRegistryServer(os.path.join(root, "avro_reg")) as srv:
+        addr = f"{b.host}:{b.port}"
+        if not os.path.isdir(os.path.join(blog, "cfa")):
+            produce_mq(os.path.join(root, "wal"), "", num_partitions=4,
+                       broker=addr, topic="cfa", protocol="avro",
+                       schema_registry=srv.url)
+        fetch_mq(addr, "cfa", spool)
+        lake = os.path.join(root, "lake_mq_avro_wire")
+        res = consume_mq(spool, lake, base_dir=os.path.join(root, "base"),
+                         num_partitions=CDC_P)
+        return rp.lake_to_table(lake, res["wal_dir"])
+
+
 _ONLINE_TABLES = ("documents", "_documents_gho", "_documents_ghc",
                   "_documents_del", "docs_archive")
 
@@ -4077,6 +4109,8 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_binlog": (q_cdc_replay_binlog, _CDC_REPLAY_SQL),  # NEW r5
     "cdc_replay_relay": (q_cdc_replay_relay, _CDC_REPLAY_SQL),  # NEW r5
     "cdc_replay_mq_kafka": (q_cdc_replay_mq_kafka, _CDC_REPLAY_SQL),  # NEW r5
+    "cdc_replay_mq_avro_wire": (q_cdc_replay_mq_avro_wire,
+                                _CDC_REPLAY_SQL),                     # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),
