@@ -185,7 +185,13 @@ def main(argv=None):
 
     mt = sub.add_parser("mt-replay")   # multi-table changefeed
     mt.add_argument("--wal", required=True,
-                    help="shared WAL dir with tables.json declaration")
+                    help="shared WAL dir with tables.json declaration; "
+                         "repeat --shard-wal for shard-merge")
+    mt.add_argument("--shard-wal", action="append", default=[],
+                    help="additional shard WAL dirs (each with the "
+                         "IDENTICAL tables.json) — pessimistic "
+                         "shard-merge × multi-table; incompatible with "
+                         "--follow")
     mt.add_argument("--lake", required=True)
     mt.add_argument("-P", "--partitions", type=int, default=64)
     mt.add_argument("--upto", type=int, default=None)
@@ -339,7 +345,12 @@ def main(argv=None):
             if unknown:
                 raise SystemExit(f"--base names unknown tables {unknown}")
             mtp.bootstrap_multitable(cfg, regs, base_dirs, lcs)
-        if a.follow:
+        if a.shard_wal:
+            assert not a.follow, "--shard-wal does not tail; re-run to " \
+                "catch up (resume ≡ next epoch)"
+            res = mtp.run_replay_multitable_sharded(
+                cfg, [a.wal] + list(a.shard_wal), upto_ts=a.upto)
+        elif a.follow:
             res = mtp.tail_replay_multitable(cfg,
                                              idle_timeout=a.idle_timeout,
                                              stop_file=a.stop_file)
