@@ -204,6 +204,21 @@ def main(argv=None):
     mt.add_argument("--idle-timeout", type=float, default=None)
     mt.add_argument("--stop-file", default=None)
 
+    he = sub.add_parser("handle-error")   # dmctl binlog skip/replace/
+    he.add_argument("--wal", required=True)   # inject/list/revert
+    he.add_argument("--op", required=True,
+                    choices=["skip", "replace", "inject", "list",
+                             "revert"])
+    he.add_argument("--ts", type=int, default=None,
+                    help="DDL barrier_ts (the binlog position)")
+    he.add_argument("--ddl", action="append", default=[],
+                    metavar="'TYPE COLUMN [DEFAULT]'",
+                    help="replacement/injection DDL spec, e.g. "
+                         "'add_column lang:string und' (repeatable)")
+    he.add_argument("--lake", default=None,
+                    help="lake dir — its checkpoint sweeps/refuses "
+                         "outdated operators")
+
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
 
@@ -250,6 +265,20 @@ def main(argv=None):
                 time.sleep(1)
         except KeyboardInterrupt:
             brk.stop()
+        return 0
+
+    if a.cmd == "handle-error":           # pure files, no Ray
+        from .stages.handle_error import handle_error
+        ddls = []
+        for spec in a.ddl:
+            bits = spec.split(None, 2)
+            d = {"ddl_type": bits[0], "column": bits[1]}
+            if len(bits) == 3:
+                d["default"] = bits[2]
+            ddls.append(d)
+        print(json.dumps(handle_error(a.wal, a.op, at_ts=a.ts,
+                                      ddls=ddls or None,
+                                      lake_dir=a.lake)))
         return 0
 
     if a.cmd == "registry-serve":         # pure http+files, no Ray

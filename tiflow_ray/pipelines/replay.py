@@ -746,10 +746,11 @@ def _commit_epoch(lake: LakeState, registry: SchemaRegistry, prev: Manifest,
     # lake): the skip is recorded HERE, in the durable manifest, so it is
     # auditable rather than silent (cdc/owner/ddl_manager.go's treatment
     # of non-schema-affecting jobs)
-    from ..stages.schema_evo import NON_SCHEMA_DDLS
+    from ..stages.schema_evo import NON_SCHEMA_DDLS, OPERATOR_SKIP_DDL
     skipped = [f"{d.ddl_type}:{d.column}" for d in registry.ddls
                if prev.schema_ver < d.schema_ver <= ep.schema_ver
-               and d.ddl_type in NON_SCHEMA_DDLS]
+               and (d.ddl_type in NON_SCHEMA_DDLS
+                    or d.ddl_type == OPERATOR_SKIP_DDL)]
 
     m = Manifest(epoch=epoch_no, watermark_ts=ep.hi, schema_ver=ep.schema_ver,
                  num_partitions=prev.num_partitions,

@@ -21,7 +21,7 @@ import json
 import os
 from dataclasses import dataclass
 
-from ..stages.schema_evo import SchemaRegistry
+from ..stages.schema_evo import DDL, SchemaRegistry
 
 
 @dataclass(frozen=True)
@@ -76,11 +76,22 @@ def list_segments(wal_dir: str) -> list[Segment]:
 
 
 def load_registry(wal_dir: str) -> SchemaRegistry:
+    """ddl.json → SchemaRegistry, with any registered error operators
+    applied (stages/handle_error.py — dmctl binlog skip/replace/inject).
+    Patching happens on the RAW specs before validation: the point of an
+    operator is getting past a schedule the engine cannot execute, so a
+    bad DDL must be neutralized before the registry walks it. A tailing
+    replay reloads per iteration, picking fresh operators up live."""
     p = os.path.join(wal_dir, "ddl.json")
+    raw: list[dict] = []
     if os.path.exists(p):
         with open(p) as f:
-            return SchemaRegistry.from_json(f.read())
-    return SchemaRegistry([])
+            raw = json.loads(f.read())
+    from ..stages.handle_error import apply_error_ops, load_ops
+    ops = load_ops(wal_dir)
+    if ops:
+        raw = apply_error_ops(raw, ops)
+    return SchemaRegistry([DDL(**d) for d in raw])
 
 
 def plan_epochs(segments: list[Segment], registry: SchemaRegistry,

@@ -49,6 +49,12 @@ _TYPE_NAMES = {v: k for k, v in _TYPES.items()}
 NON_SCHEMA_DDLS = frozenset(
     {"add_index", "drop_index", "exchange_partition"})
 
+#: a DDL neutralized by an error operator (dmctl `binlog skip`, see
+#: stages/handle_error.py): keeps its barrier (version++, epoch cut at
+#: the exact barrier-ts) but changes nothing — visible in the registry
+#: and recorded in the committing manifest's ddl_skipped note
+OPERATOR_SKIP_DDL = "skipped_by_operator"
+
 
 def _enum_elements(spec: str) -> tuple[str, ...]:
     """Parse "enum('a','b',...)" → its declared element tuple."""
@@ -188,7 +194,8 @@ class SchemaRegistry:
                 # barrier cuts an epoch; cast_table crossing it empties any
                 # pre-truncate table/image — see `truncated_between`
                 pass
-            elif d.ddl_type in NON_SCHEMA_DDLS:
+            elif d.ddl_type in NON_SCHEMA_DDLS \
+                    or d.ddl_type == OPERATOR_SKIP_DDL:
                 # recognize-and-skip, loudly (r3 verdict #7): index and
                 # partition DDLs are metadata-only for a columnar lake —
                 # cdc/owner/ddl_manager.go treats non-schema-affecting jobs
