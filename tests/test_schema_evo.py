@@ -267,3 +267,65 @@ def test_non_schema_ddls_are_noop_barriers_with_manifest_note(tmp_path):
         notes += lake.load(e).stats.get("ddl_skipped", [])
     assert "add_index:idx_doc" in notes
     assert "exchange_partition:p0" in notes
+
+
+def test_vector_column_replicates_through_the_changefeed(tmp_path):
+    """TiDB VECTOR(d) (tests/integration_tests/vector: VECTOR(5) columns,
+    ALTER TABLE ADD column emb VECTOR(3)): the vector type rides the DDL
+    lattice as list<float32> with a dimension-checked typed default, and
+    a changefeed with an add_column vector barrier replays to the oracle."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from tiflow_ray import fixtures, oracle
+    from tiflow_ray.config import ReplayConfig
+    from tiflow_ray.pipelines import replay as rp
+
+    r = SchemaRegistry([
+        DDL(50, "add_column", "emb:vector(3)", "[0.0,0.0,0.0]", 2),
+    ])
+    assert r.schema(2).field("emb").type == pa.list_(pa.float32())
+    assert r.defaults(2) == {"emb": [0.0, 0.0, 0.0]}
+    with pytest.raises(AssertionError, match="not 3-dimensional"):
+        SchemaRegistry([DDL(5, "add_column", "v:vector(3)", "[1.0]", 2)])
+
+    root = str(tmp_path / "fx")
+    os.makedirs(root)
+    n = 40
+    dnum = np.arange(n, dtype=np.int64)
+    base = pa.table({
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "tokens": pa.array([[0]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["seed"] * n)})
+    fixtures.write_base_partitioned(base, root, 4)
+    cts = np.arange(10, 10 + 4 * n, 4, dtype=np.uint64)
+    vers = np.array([r.version_at(int(t)) for t in cts], np.int32)
+    ev = pa.table({
+        "op": pa.array(np.full(n, 2, np.uint8)),
+        "commit_ts": pa.array(cts),
+        "start_ts": pa.array(np.arange(n, dtype=np.uint64)),
+        "doc_id": pa.array(fixtures.doc_name(dnum)),
+        "pre_tokens": pa.nulls(n, pa.list_(pa.int32())),
+        "new_doc_id": pa.nulls(n, pa.string()),
+        "tokens": pa.array([[int(d)] for d in dnum], pa.list_(pa.int32())),
+        "n_tok": pa.array(np.ones(n, np.int32)),
+        "source": pa.array(["web"] * n),
+        "emb": pa.array(
+            [([float(d), float(d) + 0.5, -1.0] if v >= 2 else None)
+             for d, v in zip(dnum, vers)], pa.list_(pa.float32())),
+        "schema_ver": pa.array(vers)})
+    fixtures.write_wal_segments(ev, os.path.join(root, "wal"), 4, r)
+
+    cfg = ReplayConfig(wal_dir=os.path.join(root, "wal"),
+                       lake_dir=os.path.join(root, "lake"),
+                       num_partitions=4, max_segments_per_epoch=1,
+                       validate=True)
+    rp.bootstrap(cfg, base_dir=os.path.join(root, "base"))
+    rp.run_replay(cfg)
+    got = rp.lake_to_table(cfg.lake_dir, cfg.wal_dir)
+    exp = oracle.replay_to_table(root, r)
+    assert got.schema.field("emb").type == pa.list_(pa.float32())
+    assert got.equals(exp)

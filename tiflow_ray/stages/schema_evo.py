@@ -67,6 +67,12 @@ def _parse_type(spec: str) -> pa.DataType:
         return pa.dictionary(pa.int32(), pa.string())
     if spec.startswith("set("):          # "set('a','b')" also accepted
         return pa.list_(pa.string())
+    if spec.startswith("vector("):       # TiDB VECTOR(d) — float32 list
+        # (tests/integration_tests/vector: VECTOR(5) columns replicate
+        # through the changefeed; ALTER TABLE ADD column emb VECTOR(3));
+        # the declared dimension is enforced on typed defaults, carried
+        # in the spec for readers
+        return pa.list_(pa.float32())
     return _TYPES[spec]
 
 
@@ -116,6 +122,12 @@ class DDL:
         if spec == "json":
             json.loads(self.default)      # must at least parse
             return self.default
+        if spec.startswith("vector("):
+            dim = int(spec[len("vector("):-1])
+            vals = json.loads(self.default)
+            assert isinstance(vals, list) and len(vals) == dim, \
+                f"vector default {self.default!r} is not {dim}-dimensional"
+            return [float(v) for v in vals]
         t = self.col_type
         if pa.types.is_integer(t):
             return int(self.default)
