@@ -223,3 +223,67 @@ def test_fetch_mq_coordinated_group(t1_fixture, tmp_path):
                      num_partitions=8)
     got = rp.lake_to_table(lake, res["wal_dir"])
     assert got.equals(oracle.replay_to_table(root, reg))
+
+
+def test_crc32c_known_answer_and_varints():
+    from tiflow_ray.sinks.kafka_wire import (_r_varint, _w_varint, crc32c)
+    assert crc32c(b"123456789") == 0xE3069283       # RFC 3720 check value
+    assert crc32c(b"") == 0
+    for v in (0, 1, -1, 63, 64, -64, -65, 300, -300, 2**31, -2**31,
+              2**62, -2**62):
+        buf = bytearray()
+        _w_varint(buf, v)
+        got, pos = _r_varint(bytes(buf), 0)
+        assert got == v and pos == len(buf), v
+
+
+def test_record_batch_roundtrip_and_cross_version(broker):
+    """Produce v3 (magic-2 record batches) and fetch back through BOTH
+    paths: Fetch v4 re-serves an up-converted batch, Fetch v0 serves the
+    stored message set — same records either way (the broker's
+    conversion path, exactly what real brokers do for mixed-age
+    clients)."""
+    recs = [(b"k0", b"v0"), (None, b"v1"), (b"k2", None),
+            (b"k3", b"x" * 3000)]
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        assert c.produce("t2", 0, recs, fmt="v2") == 0
+        assert c.produce("t2", 0, [(b"k4", b"v4")], fmt="v0") == 4
+        via_v2 = c.fetch_all("t2", 0, fmt="v2")
+        via_v0 = c.fetch_all("t2", 0, fmt="v0")
+        want = [(i, k, v) for i, (k, v) in enumerate(recs + [(b"k4",
+                                                              b"v4")])]
+        assert via_v2 == want and via_v0 == want
+        # mid-stream resume through the up-converted batch
+        assert c.fetch_all("t2", 0, offset=2, fmt="v2") == want[2:]
+
+
+def test_corrupt_record_batch_rejected(broker):
+    import struct as _s
+
+    from tiflow_ray.sinks.kafka_wire import encode_record_batch
+    batch = bytearray(encode_record_batch([(b"k", b"evil")]))
+    batch[-1] ^= 0xFF                       # flip a value byte; CRC stale
+    body = bytearray()
+    body += _s.pack(">h", -1)               # transactional_id null
+    body += _s.pack(">hii", 1, 30000, 1)
+    body += _s.pack(">h", 2) + b"t3"
+    body += _s.pack(">ii", 1, 0)
+    body += _s.pack(">i", len(batch)) + bytes(batch)
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        r = c._call(0, 3, bytes(body))
+        pos = 4
+        (tl,) = struct.unpack_from(">h", r, pos)
+        pos += 2 + tl + 4
+        part, err, base = struct.unpack_from(">ihq", r, pos)
+        assert err == 2 and base == -1      # CORRUPT_MESSAGE
+        assert c.metadata(["t3"]).get("t3", []) == []   # nothing appended
+
+
+def test_unsupported_mid_versions_refused(broker):
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        # advertised range is contiguous (0..3 / 0..4) but only the ends
+        # are dispatched; a middle version gets UNSUPPORTED_VERSION
+        r = c._call(0, 2, b"")
+        assert struct.unpack_from(">h", r, 0)[0] == 35
+        vers = c.api_versions()
+        assert vers[0] == (0, 3) and vers[1] == (0, 4)

@@ -11,10 +11,16 @@
 #   KafkaLiteBroker — single-node broker over an append-only on-disk log
 #     (offset-dense records per (topic, partition), an .idx of byte
 #     positions for O(1) seeks). Serves ApiVersions(18) v0, Metadata(3)
-#     v0, Produce(0) v0, Fetch(1) v0 and ListOffsets(2) v0 with v0
-#     message sets (CRC32-verified: crc covers magic..value).
+#     v0, Produce(0) v0+v3, Fetch(1) v0+v4 and ListOffsets(2) v0. Two
+#     payload formats: v0 message sets (CRC32 over magic..value) and the
+#     modern magic-2 RECORD BATCHES (Produce v3 / Fetch v4: zigzag
+#     varints, relative offsets, CRC32C over attributes..records) that
+#     every post-0.11 client speaks. Storage is format-v0 at rest; the
+#     broker up-converts on Fetch v4 and down-converts on Fetch v0, the
+#     same conversion path a real broker runs for old consumers.
 #   KafkaLiteClient — produce / fetch / metadata / list_offsets speaking
-#     the same frames; every Ray sink task opens its own connection (the
+#     the same frames (fmt="v2" by default, fmt="v0" for the legacy
+#     path); every Ray sink task opens its own connection (the
 #     per-worker producer shape).
 #
 # Scale note: one broker partition = one append stream, exactly Kafka's
@@ -41,12 +47,15 @@ _ERR_NONE, _ERR_OFFSET_OUT_OF_RANGE, _ERR_CORRUPT = 0, 1, 2
 _ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 _ERR_ILLEGAL_GENERATION, _ERR_UNKNOWN_MEMBER = 22, 25
 _ERR_REBALANCE_IN_PROGRESS = 27
-_SUPPORTED = {_API_PRODUCE: (0, 0), _API_FETCH: (0, 0),
+_SUPPORTED = {_API_PRODUCE: (0, 3), _API_FETCH: (0, 4),
               _API_LIST_OFFSETS: (0, 0), _API_METADATA: (0, 0),
               _API_OFFSET_COMMIT: (0, 0), _API_OFFSET_FETCH: (0, 0),
               _API_JOIN_GROUP: (0, 0), _API_HEARTBEAT: (0, 0),
               _API_LEAVE_GROUP: (0, 0), _API_SYNC_GROUP: (0, 0),
               _API_VERSIONS: (0, 0)}
+# versions actually dispatched (the advertised range is contiguous, as
+# the protocol requires; middle versions answer UNSUPPORTED_VERSION)
+_DISPATCH = {_API_PRODUCE: (0, 3), _API_FETCH: (0, 4)}
 
 
 # ------------------------------------------------------------ primitives
@@ -118,6 +127,160 @@ def decode_message_set(data: bytes) -> list[tuple[int, bytes | None,
         value, p = _r_bytes(msg, p)
         out.append((offset, key, value))
         pos += 12 + size
+    return out
+
+
+# ------------------------------------------- magic-2 record batches (v2)
+# The modern Kafka payload (KIP-98 message format v2, public spec):
+# batches of zigzag-varint-framed records with relative offsets, guarded
+# by CRC32C (Castagnoli) over attributes..records — a different
+# polynomial than the v0 sets' CRC32, so it needs its own kernel.
+
+_CRC32C_TABLES: list[list[int]] | None = None
+
+
+def _crc32c_make_tables() -> list[list[int]]:
+    poly = 0x82F63B78                     # Castagnoli, reflected
+    t0 = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (poly if c & 1 else 0)
+        t0.append(c)
+    tables = [t0]
+    for _ in range(7):
+        prev = tables[-1]
+        tables.append([(prev[i] >> 8) ^ t0[prev[i] & 0xFF]
+                       for i in range(256)])
+    return tables
+
+
+def crc32c(data: bytes) -> int:
+    """CRC32C (slicing-by-8). Plenty for wire-test scale; a real
+    deployment would bind a native kernel here."""
+    global _CRC32C_TABLES
+    if _CRC32C_TABLES is None:
+        _CRC32C_TABLES = _crc32c_make_tables()
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C_TABLES
+    crc = 0xFFFFFFFF
+    n8 = len(data) & ~7
+    i = 0
+    while i < n8:
+        b0, b1, b2, b3, b4, b5, b6, b7 = data[i:i + 8]
+        crc ^= b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        crc = (t7[crc & 0xFF] ^ t6[(crc >> 8) & 0xFF]
+               ^ t5[(crc >> 16) & 0xFF] ^ t4[crc >> 24]
+               ^ t3[b4] ^ t2[b5] ^ t1[b6] ^ t0[b7])
+        i += 8
+    for b in data[n8:]:
+        crc = (crc >> 8) ^ t0[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _w_varint(buf: bytearray, v: int) -> None:
+    """Zigzag varint (protobuf wire shape, as the v2 record format)."""
+    z = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _r_varint(data: bytes, pos: int) -> tuple[int, int]:
+    z = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def encode_record_batch(records: list[tuple[bytes | None, bytes | None]],
+                        base_offset: int = 0) -> bytes:
+    """One magic-2 RecordBatch. Deterministic: timestamps are -1 ("no
+    timestamp"), producer id/epoch/sequence -1 (no idempotent producer —
+    same honesty note as the v0 path)."""
+    body = bytearray()
+    body += struct.pack(">h", 0)                    # attributes
+    body += struct.pack(">i", max(len(records) - 1, 0))  # lastOffsetDelta
+    body += struct.pack(">qq", -1, -1)              # base/max timestamp
+    body += struct.pack(">qhi", -1, -1, -1)         # pid, epoch, baseSeq
+    body += struct.pack(">i", len(records))
+    for i, (k, v) in enumerate(records):
+        rec = bytearray()
+        rec.append(0)                               # record attributes
+        _w_varint(rec, 0)                           # timestampDelta
+        _w_varint(rec, i)                           # offsetDelta
+        if k is None:
+            _w_varint(rec, -1)
+        else:
+            _w_varint(rec, len(k))
+            rec += k
+        if v is None:
+            _w_varint(rec, -1)
+        else:
+            _w_varint(rec, len(v))
+            rec += v
+        _w_varint(rec, 0)                           # headers
+        _w_varint(body, len(rec))
+        body += rec
+    crc = crc32c(bytes(body))
+    out = bytearray(struct.pack(">qi", base_offset, 4 + 1 + 4 + len(body)))
+    out += struct.pack(">i", 0)                     # partitionLeaderEpoch
+    out.append(2)                                   # magic
+    out += struct.pack(">I", crc)
+    out += body
+    return bytes(out)
+
+
+def decode_record_batches(data: bytes) -> list[tuple[int, bytes | None,
+                                                     bytes | None]]:
+    """[(offset, key, value)] across the concatenated batches in `data`;
+    CRC32C-verified per batch; a partial trailing batch is dropped, as
+    consumers must (the broker truncates fetch responses at max_bytes)."""
+    out: list[tuple[int, bytes | None, bytes | None]] = []
+    pos, n = 0, len(data)
+    while pos + 12 <= n:
+        base_offset, batch_len = struct.unpack_from(">qi", data, pos)
+        if pos + 12 + batch_len > n:
+            break                                    # partial trailing batch
+        magic = data[pos + 16]
+        if magic != 2:
+            raise ValueError(f"unexpected magic {magic} in record batch")
+        (crc,) = struct.unpack_from(">I", data, pos + 17)
+        body = data[pos + 21:pos + 12 + batch_len]
+        if crc != crc32c(body):
+            raise ValueError(f"CRC32C mismatch at base offset {base_offset}")
+        (count,) = struct.unpack_from(">i", body, 36)
+        p = 40
+        for _ in range(count):
+            rec_len, p = _r_varint(body, p)
+            end = p + rec_len
+            p += 1                                   # record attributes
+            _tsd, p = _r_varint(body, p)
+            odelta, p = _r_varint(body, p)
+            klen, p = _r_varint(body, p)
+            if klen < 0:
+                key = None
+            else:
+                key = bytes(body[p:p + klen])
+                p += klen
+            vlen, p = _r_varint(body, p)
+            if vlen < 0:
+                value = None
+            else:
+                value = bytes(body[p:p + vlen])
+                p += vlen
+            out.append((base_offset + odelta, key, value))
+            p = end                                  # skip headers
+        pos += 12 + batch_len
     return out
 
 
@@ -314,16 +477,18 @@ class KafkaLiteBroker:
                 _cid, pos = _r_str(req, 8)
                 body = req[pos:]
                 lo, hi = _SUPPORTED.get(api, (1, 0))
-                if not lo <= ver <= hi:
+                ok = lo <= ver <= hi and \
+                    ver in _DISPATCH.get(api, (0,))  # only v0 + the
+                if not ok:                           # record-batch version
                     resp = struct.pack(">h", 35)   # UNSUPPORTED_VERSION
                 elif api == _API_VERSIONS:
                     resp = self._api_versions()
                 elif api == _API_METADATA:
                     resp = self._metadata(body)
                 elif api == _API_PRODUCE:
-                    resp = self._produce(body)
+                    resp = self._produce(body, ver)
                 elif api == _API_FETCH:
-                    resp = self._fetch(body)
+                    resp = self._fetch(body, ver)
                 elif api == _API_LIST_OFFSETS:
                     resp = self._list_offsets(body)
                 elif api == _API_OFFSET_COMMIT:
@@ -377,9 +542,16 @@ class KafkaLiteBroker:
                 out += struct.pack(">ii", 1, 0)    # isr = [0]
         return bytes(out)
 
-    def _produce(self, body: bytes) -> bytes:
-        _acks, _timeout, ntopics = struct.unpack_from(">hii", body, 0)
-        pos = 10
+    def _produce(self, body: bytes, ver: int = 0) -> bytes:
+        """v0: message sets. v3 (record batches): a transactional_id
+        leads the request, partition responses gain log_append_time and
+        the response ends with throttle_time — both per the public
+        request/response schemas."""
+        pos = 0
+        if ver >= 3:
+            _txn, pos = _r_str(body, pos)
+        _acks, _timeout, ntopics = struct.unpack_from(">hii", body, pos)
+        pos += 10
         out = bytearray(struct.pack(">i", ntopics))
         for _ in range(ntopics):
             topic, pos = _r_str(body, pos)
@@ -393,20 +565,42 @@ class KafkaLiteBroker:
                 mset = body[pos:pos + mss]
                 pos += mss
                 try:
-                    records = [(k, v) for _o, k, v in
-                               decode_message_set(mset)]
+                    decoded = decode_record_batches(mset) if ver >= 3 \
+                        else decode_message_set(mset)
+                    records = [(k, v) for _o, k, v in decoded]
                 except ValueError:
                     out += struct.pack(">ihq", part, _ERR_CORRUPT, -1)
+                    if ver >= 3:
+                        out += struct.pack(">q", -1)
                     continue
                 base = self._log(topic, part, create=True).append(records)
                 out += struct.pack(">ihq", part, _ERR_NONE, base)
+                if ver >= 3:
+                    out += struct.pack(">q", -1)    # log_append_time
+        if ver >= 3:
+            out += struct.pack(">i", 0)             # throttle_time_ms
         return bytes(out)
 
-    def _fetch(self, body: bytes) -> bytes:
-        _replica, _max_wait, _min_bytes, ntopics = \
-            struct.unpack_from(">iiii", body, 0)
-        pos = 16
-        out = bytearray(struct.pack(">i", ntopics))
+    def _fetch(self, body: bytes, ver: int = 0) -> bytes:
+        """v0: raw stored message-set bytes. v4: the response leads with
+        throttle_time, partitions gain last_stable_offset + aborted-txn
+        array, and the payload is an UP-CONVERTED magic-2 record batch —
+        storage stays format-v0 at rest, the conversion happens on read
+        exactly like a real broker serving a modern consumer from an old
+        segment."""
+        pos = 0
+        if ver >= 4:
+            _replica, _max_wait, _min_bytes, _max_total, _iso, ntopics = \
+                struct.unpack_from(">iiiibi", body, 0)
+            pos = 21
+        else:
+            _replica, _max_wait, _min_bytes, ntopics = \
+                struct.unpack_from(">iiii", body, 0)
+            pos = 16
+        out = bytearray()
+        if ver >= 4:
+            out += struct.pack(">i", 0)             # throttle_time_ms
+        out += struct.pack(">i", ntopics)
         for _ in range(ntopics):
             topic, pos = _r_str(body, pos)
             (nparts,) = struct.unpack_from(">i", body, pos)
@@ -417,19 +611,31 @@ class KafkaLiteBroker:
                 part, offset, max_bytes = struct.unpack_from(">iqi", body,
                                                              pos)
                 pos += 16
+
+                def phdr(err: int, hw: int) -> bytes:
+                    h = struct.pack(">ihq", part, err, hw)
+                    if ver >= 4:                    # last_stable_offset +
+                        h += struct.pack(">qi", hw, 0)  # no aborted txns
+                    return h
+
                 lp = self._log(topic, part, create=False)
                 if lp is None:
-                    out += struct.pack(">ihqi", part,
-                                       _ERR_UNKNOWN_TOPIC_OR_PARTITION,
-                                       -1, 0)
+                    out += phdr(_ERR_UNKNOWN_TOPIC_OR_PARTITION, -1)
+                    out += struct.pack(">i", 0)
                     continue
                 hw = lp.high_water()
                 if offset > hw:
-                    out += struct.pack(">ihqi", part,
-                                       _ERR_OFFSET_OUT_OF_RANGE, hw, 0)
+                    out += phdr(_ERR_OFFSET_OUT_OF_RANGE, hw)
+                    out += struct.pack(">i", 0)
                     continue
                 mset = lp.read(offset, max_bytes)
-                out += struct.pack(">ihqi", part, _ERR_NONE, hw, len(mset))
+                if ver >= 4:
+                    recs = decode_message_set(mset)
+                    mset = encode_record_batch(
+                        [(k, v) for _o, k, v in recs],
+                        base_offset=recs[0][0]) if recs else b""
+                out += phdr(_ERR_NONE, hw)
+                out += struct.pack(">i", len(mset))
                 out += mset
         return bytes(out)
 
@@ -728,14 +934,23 @@ class KafkaLiteClient:
         return out
 
     def produce(self, topic: str, partition: int,
-                records: list[tuple[bytes | None, bytes | None]]) -> int:
-        """Append records; returns the base offset assigned."""
-        body = bytearray(struct.pack(">hii", 1, 30000, 1))   # acks=1
+                records: list[tuple[bytes | None, bytes | None]],
+                fmt: str = "v2") -> int:
+        """Append records; returns the base offset assigned. fmt="v2"
+        (default) speaks Produce v3 with magic-2 record batches — what
+        every modern client sends; fmt="v0" keeps the legacy message-set
+        path."""
+        assert fmt in ("v0", "v2"), fmt
+        body = bytearray()
+        if fmt == "v2":
+            _w_str(body, None)                      # transactional_id
+        body += struct.pack(">hii", 1, 30000, 1)    # acks=1
         _w_str(body, topic)
-        mset = encode_message_set(records)
+        mset = encode_record_batch(records) if fmt == "v2" \
+            else encode_message_set(records)
         body += struct.pack(">ii", 1, partition)
         body += struct.pack(">i", len(mset)) + mset
-        r = self._call(_API_PRODUCE, 0, bytes(body))
+        r = self._call(_API_PRODUCE, 3 if fmt == "v2" else 0, bytes(body))
         pos = 4
         _t, pos = _r_str(r, pos)
         pos += 4
@@ -746,27 +961,48 @@ class KafkaLiteClient:
         return base
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 22) \
+              max_bytes: int = 1 << 22, fmt: str = "v2") \
             -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
         """(high_water, [(offset, key, value)]) from `offset`. Raises on
-        OFFSET_OUT_OF_RANGE (offset past the high-water mark)."""
-        body = bytearray(struct.pack(">iiii", -1, 100, 1, 1))
+        OFFSET_OUT_OF_RANGE (offset past the high-water mark). fmt="v2"
+        (default) speaks Fetch v4 and decodes magic-2 record batches."""
+        assert fmt in ("v0", "v2"), fmt
+        body = bytearray()
+        if fmt == "v2":
+            body += struct.pack(">iiiib", -1, 100, 1, max_bytes, 0)
+        else:
+            body += struct.pack(">iii", -1, 100, 1)
+        body += struct.pack(">i", 1)
         _w_str(body, topic)
         body += struct.pack(">iiqi", 1, partition, offset, max_bytes)
-        r = self._call(_API_FETCH, 0, bytes(body))
+        r = self._call(_API_FETCH, 4 if fmt == "v2" else 0, bytes(body))
         pos = 4
+        if fmt == "v2":
+            pos += 4                                # throttle_time_ms
         _t, pos = _r_str(r, pos)
         pos += 4
-        part, err, hw, mss = struct.unpack_from(">ihqi", r, pos)
-        pos += 18
+        part, err, hw = struct.unpack_from(">ihq", r, pos)
+        pos += 14
+        if fmt == "v2":
+            pos += 8                                # last_stable_offset
+            (naborted,) = struct.unpack_from(">i", r, pos)
+            pos += 4 + 16 * max(naborted, 0)
+        (mss,) = struct.unpack_from(">i", r, pos)
+        pos += 4
         if err == _ERR_OFFSET_OUT_OF_RANGE:
             raise IndexError(f"offset {offset} past high water {hw} on "
                              f"{topic}/{part}")
         if err:
             raise RuntimeError(f"fetch {topic}/{part} failed: error {err}")
-        return hw, decode_message_set(r[pos:pos + mss])
+        payload = r[pos:pos + mss]
+        recs = decode_record_batches(payload) if fmt == "v2" \
+            else decode_message_set(payload)
+        # a record batch decodes whole: drop records below the asked
+        # offset (a v0-storage up-conversion starts at the stored record)
+        return hw, [rec for rec in recs if rec[0] >= offset]
 
-    def fetch_all(self, topic: str, partition: int, offset: int = 0) \
+    def fetch_all(self, topic: str, partition: int, offset: int = 0,
+                  fmt: str = "v2") \
             -> list[tuple[int, bytes | None, bytes | None]]:
         """Drain a partition from `offset` to the current high water,
         doubling max_bytes when a single message exceeds it (the
@@ -774,7 +1010,7 @@ class KafkaLiteClient:
         out: list[tuple[int, bytes | None, bytes | None]] = []
         max_bytes = 1 << 22
         while True:
-            hw, recs = self.fetch(topic, partition, offset, max_bytes)
+            hw, recs = self.fetch(topic, partition, offset, max_bytes, fmt)
             out.extend(recs)
             if recs:
                 offset = recs[-1][0] + 1
