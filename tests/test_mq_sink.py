@@ -144,3 +144,47 @@ def test_avro_registry_concurrent_same_schema_converges(tmp_path):
     ids = {AvroSchemaRegistry(root).register("s-value", s)
            for _ in range(6)}
     assert len(ids) == 1
+
+
+def test_watermark_broadcast_rides_every_partition(t1_fixture, tmp_path):
+    """produce_mq ends each partition's stream with a TIDB_WATERMARK
+    control message (the canal-json TiDB extension resolved event);
+    consume_mq reads the resolved ts IN-BAND and stamps the derived
+    WAL's segment metas with it instead of inferring from event maxima."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from tiflow_ray import oracle
+    from tiflow_ray.pipelines import replay as rp
+    from tiflow_ray.pipelines.mq import consume_mq, produce_mq
+    from tiflow_ray.sources.codecs import (decode_canal_watermark,
+                                           encode_canal_watermark)
+    from tiflow_ray.sources.wal import list_segments
+
+    assert decode_canal_watermark(encode_canal_watermark(12345)) == 12345
+
+    root, reg, _metas, _info = t1_fixture
+    msg_dir = str(tmp_path / "msgs")
+    produce_mq(os.path.join(root, "wal"), msg_dir, num_partitions=4)
+    stream_wm = max(s.watermark_ts
+                    for s in list_segments(os.path.join(root, "wal")))
+    for d in sorted(os.listdir(msg_dir)):
+        if not d.startswith("partition="):
+            continue
+        msgs = _pq.read_table(os.path.join(msg_dir, d, "messages.parquet"))
+        keys = msgs["key"].to_pylist()
+        assert keys[-1] == "__watermark__", d
+        assert keys.count("__watermark__") == 1
+        obj = _json.loads(msgs["payload"][-1].as_py())
+        assert obj["type"] == "TIDB_WATERMARK" and obj["es"] == stream_wm
+
+    lake = str(tmp_path / "lake")
+    res = consume_mq(msg_dir, lake, base_dir=os.path.join(root, "base"),
+                     num_partitions=8)
+    # derived-WAL metas carry the broadcast resolved ts
+    for s in list_segments(res["wal_dir"]):
+        assert s.watermark_ts == stream_wm
+    got = rp.lake_to_table(lake, res["wal_dir"])
+    assert got.equals(oracle.replay_to_table(root, reg))

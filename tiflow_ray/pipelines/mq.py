@@ -111,9 +111,28 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                        max_message_bytes=max_message_bytes,
                        large_handle=large_handle, claim_dir=claim_dir)
 
+    # resolved-ts broadcast (TIDB_WATERMARK, canal-json control envelope
+    # under every protocol like the DDL stream): each produced partition
+    # ends with a watermark message carrying the stream's resolved ts, so
+    # consumers learn progress IN-BAND instead of inferring it from event
+    # maxima (cdc/sink/dmlsink/mq emits resolved events the same way)
+    stream_wm = max(s.watermark_ts for s in segs)
+
     def emit_partition(t: pa.Table) -> pa.Table:
+        from ..sources.codecs import encode_canal_watermark
         msgs = sink(t)
         part = int(msgs["mq_partition"][0].as_py()) if msgs.num_rows else 0
+        wm_payload = encode_canal_watermark(stream_wm, database, table)
+        is_bin = msgs["payload"].type in (pa.binary(), pa.large_binary())
+        wm_row = pa.table({
+            "mq_partition": pa.array([part], pa.int32()),
+            "offset": pa.array([msgs.num_rows], pa.int64()),
+            "key": pa.array(["__watermark__"]),
+            "payload": pa.array(
+                [wm_payload.encode() if is_bin else wm_payload],
+                msgs["payload"].type),
+        })
+        msgs = pa.concat_tables([msgs, wm_row])
         if broker is not None:
             _produce_partition(broker, topic, part, msgs)
         else:
@@ -456,12 +475,27 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
             if st is not None and os.path.exists(dst):
                 # this member already decoded p (data files are atomic:
                 # present = complete); reuse its committed stats
-                out.append({"part": p, **{k: st[k] for k in
-                                          ("rows", "min_ts", "max_ts",
-                                           "offset", "cols")}})
+                out.append({"part": p, "wm": st.get("wm", 0),
+                            **{k: st[k] for k in
+                               ("rows", "min_ts", "max_ts",
+                                "offset", "cols")}})
                 continue
             msgs = pq.read_table(row["src"]).sort_by("offset")
-            ev = decode_msgs(resolve_payloads(msgs["payload"].to_pylist()))
+            # in-band resolved-ts messages (TIDB_WATERMARK broadcast by
+            # the producer) are control rows: read their ts, strip them
+            # from the event decode
+            from ..sources.codecs import decode_canal_watermark
+            wm = 0
+            payloads = []
+            for k_, pl in zip(msgs["key"].to_pylist(),
+                              msgs["payload"].to_pylist()):
+                if k_ == "__watermark__":
+                    txt = pl.decode() if isinstance(pl, (bytes, bytearray)) \
+                        else pl
+                    wm = max(wm, decode_canal_watermark(txt))
+                else:
+                    payloads.append(pl)
+            ev = decode_msgs(resolve_payloads(payloads))
             ev = ev.take(pa.compute.sort_indices(
                 ev, sort_keys=[("commit_ts", "ascending"),
                                ("start_ts", "ascending")]))
@@ -473,6 +507,7 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                         "min_ts": int(cts.min()) if len(cts) else 0,
                         "max_ts": int(cts.max()) if len(cts) else 0,
                         "offset": msgs.num_rows,   # next-to-consume
+                        "wm": wm,
                         "cols": ev.column_names})
         return pa.Table.from_pylist(out)
 
@@ -495,6 +530,7 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
             stats[int(r["part"])] = {
                 "rows": int(r["rows"]), "min_ts": int(r["min_ts"]),
                 "max_ts": int(r["max_ts"]), "offset": int(r["offset"]),
+                "wm": int(r.get("wm") or 0),
                 "cols": list(r["cols"])}
         with open(member_ckpt + ".tmp", "w") as f:
             json.dump({"member": member_id, "group_size": group_size,
@@ -517,14 +553,20 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
                     "pending": missing}
         decoded = [{"part": p, **union[p]} for p in all_parts]
 
-    # Per-partition segments overlap in commit_ts and their maxima are NOT
-    # monotone in seq order, but the WAL contract requires nondecreasing
-    # watermarks (an epoch at watermark W asserts every event <= W has
-    # been delivered). The message log is complete — this is a batch
-    # consume of fully-delivered partitions — so every segment's honest
-    # watermark is the GLOBAL max; the driver stamps metas after all data
-    # lands (meta-after-data: a crash before this point just re-decodes).
-    global_max = max((r["max_ts"] for r in decoded), default=0)
+    # Watermark for the derived WAL's segment metas: when every partition
+    # carried an in-band TIDB_WATERMARK broadcast, that IS the resolved
+    # ts (same value on every partition — broadcast, so nondecreasing
+    # across seqs holds trivially). Older spools without watermark
+    # messages fall back to the batch-consume inference: the log is
+    # complete, so the honest watermark is the GLOBAL event max — and a
+    # MIXED spool falls back entirely (a per-partition mix could order a
+    # smaller inferred max after a larger broadcast ts, violating the
+    # nondecreasing contract).
+    wms = [int(r.get("wm") or 0) for r in decoded]
+    if wms and all(wms):
+        global_max = max(wms)
+    else:
+        global_max = max((r["max_ts"] for r in decoded), default=0)
     for r in decoded:
         mpath = os.path.join(wal_dir, f"seq={int(r['part']):05d}.meta.json")
         if os.path.exists(mpath):

@@ -294,6 +294,25 @@ def encode_canal_ddl(registry, database: str = "tiflow",
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def encode_canal_watermark(ts: int, database: str = "tiflow",
+                           table: str = "documents") -> str:
+    """Resolved-ts watermark message (the canal-json TiDB extension's
+    TIDB_WATERMARK event, pkg/sink/codec/canal canal_json_message.go —
+    TiCDC broadcasts resolved events in-band so consumers can advance
+    safely): es carries the resolved ts, no row data."""
+    return json.dumps({"database": database, "table": table,
+                       "pkNames": None, "isDdl": False,
+                       "type": "TIDB_WATERMARK", "es": int(ts), "ts": 0,
+                       "data": None, "old": None},
+                      separators=(",", ":"))
+
+
+def decode_canal_watermark(line: str) -> int:
+    obj = json.loads(line)
+    assert obj.get("type") == "TIDB_WATERMARK", obj
+    return int(obj["es"])
+
+
 def decode_canal_ddl_lines(lines: list[str]):
     """canal-json DDL lines → SchemaRegistry (versions renumbered dense in
     barrier order, matching the registry contract)."""
