@@ -40,7 +40,8 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                large_handle: str = "none",
                broker: str | None = None,
                topic: str = "changefeed",
-               schema_registry: str | None = None) -> dict:
+               schema_registry: str | None = None,
+               producer_state: str | None = None) -> dict:
     """WAL → per-partition message logs (canal-json / open-protocol text,
     or Confluent-framed avro binary via the file-backed schema registry)
     + a canal-json DDL broadcast (the control channel is canal-json under
@@ -65,7 +66,14 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     registry REST service (sinks/schema_registry_http.py), the same
     endpoint pair (broker + registry) the reference's avro sink deploys
     against. claim_check (points at external storage) stays
-    file-layout-only by nature."""
+    file-layout-only by nature.
+
+    `producer_state="path.json"` makes the producer STREAMING: only WAL
+    segments not yet recorded there are encoded, partition streams
+    append, the DDL broadcast sends only its unsent tail, and every call
+    ends with a TIDB_WATERMARK broadcast to every partition — call it in
+    a loop over a growing WAL and the topic is a live changefeed
+    (consume incrementally with consume_mq_stream)."""
     from ..sinks.mq import MqSinkStage, dispatch
     from ..sources.wal import list_segments, load_registry
 
@@ -111,50 +119,52 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                        max_message_bytes=max_message_bytes,
                        large_handle=large_handle, claim_dir=claim_dir)
 
-    # resolved-ts broadcast (TIDB_WATERMARK, canal-json control envelope
-    # under every protocol like the DDL stream): each produced partition
-    # ends with a watermark message carrying the stream's resolved ts, so
-    # consumers learn progress IN-BAND instead of inferring it from event
-    # maxima (cdc/sink/dmlsink/mq emits resolved events the same way)
+    from ..sources.codecs import encode_canal_watermark
+
+    # producer checkpoint (streaming mode): with `producer_state`, only
+    # segments not yet produced are encoded and partition streams APPEND
+    # — repeated calls turn this into the changefeed's continuous MQ
+    # sink (cdc/sink/dmlsink/mq over a live changefeed), each call
+    # ending with a resolved-ts broadcast
+    produced: set[str] = set()
+    ddls_sent = 0
+    streaming = producer_state is not None
+    if streaming and os.path.exists(producer_state):
+        with open(producer_state) as f:
+            st = json.load(f)
+        produced = set(st["segments"])
+        ddls_sent = int(st.get("ddls", 0))
+    todo = [s for s in segs if s.path not in produced]
     stream_wm = max(s.watermark_ts for s in segs)
+    payload_type = pa.binary() if protocol == "avro" else pa.string()
 
     def emit_partition(t: pa.Table) -> pa.Table:
-        from ..sources.codecs import encode_canal_watermark
         msgs = sink(t)
         part = int(msgs["mq_partition"][0].as_py()) if msgs.num_rows else 0
-        wm_payload = encode_canal_watermark(stream_wm, database, table)
-        is_bin = msgs["payload"].type in (pa.binary(), pa.large_binary())
-        wm_row = pa.table({
-            "mq_partition": pa.array([part], pa.int32()),
-            "offset": pa.array([msgs.num_rows], pa.int64()),
-            "key": pa.array(["__watermark__"]),
-            "payload": pa.array(
-                [wm_payload.encode() if is_bin else wm_payload],
-                msgs["payload"].type),
-        })
-        msgs = pa.concat_tables([msgs, wm_row])
         if broker is not None:
             _produce_partition(broker, topic, part, msgs)
         else:
-            d = os.path.join(out_dir, f"partition={part}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
-            pq.write_table(msgs, tmp, row_group_size=32768)
-            os.replace(tmp, os.path.join(d, "messages.parquet"))
+            _file_emit(out_dir, part, msgs, append=streaming)
         return pa.table({"mq_partition": pa.array([part], pa.int32()),
                          "messages": pa.array([msgs.num_rows], pa.int64())})
 
-    ds = ray.data.read_parquet([s.path for s in segs])
-    counts = (ds.map_batches(
-                  lambda t: dispatch(t, num_partitions, dispatcher),
-                  batch_format="pyarrow")
-                .groupby("mq_partition")
-                .map_groups(emit_partition, batch_format="pyarrow")
-                .take_all())                     # P rows — tiny
+    counts = []
+    if todo:
+        ds = ray.data.read_parquet([s.path for s in todo])
+        counts = (ds.map_batches(
+                      lambda t: dispatch(t, num_partitions, dispatcher),
+                      batch_format="pyarrow")
+                    .groupby("mq_partition")
+                    .map_groups(emit_partition, batch_format="pyarrow")
+                    .take_all())                 # P rows — tiny
 
+    # DDL broadcast: in streaming mode only the not-yet-sent tail goes
+    # out (re-broadcasting would duplicate barrier messages in the
+    # control stream); the file layout always holds the full schedule
     ddl_sink = sink if protocol == "canal_json" else \
         MqSinkStage(database=database, table=table, protocol="canal_json")
     ddl_msgs = ddl_sink.ddl_stream(registry, num_partitions)
+    k_ddl = ddl_msgs.num_rows // max(num_partitions, 1)
     meta = {"protocol": protocol, "columns": sup,
             "database": database, "table": table,
             "num_partitions": num_partitions, "dispatcher": dispatcher,
@@ -162,10 +172,15 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
             "max_message_bytes": max_message_bytes,
             "registry": registry_root}
     if broker is not None:
+        new_ddl = ddl_msgs.filter(
+            pa.compute.greater_equal(ddl_msgs["offset"], ddls_sent))
         for p in range(num_partitions):
-            sub = ddl_msgs.filter(
-                pa.compute.equal(ddl_msgs["mq_partition"], p))
-            _produce_partition(broker, f"{topic}.__ddl", p, sub)
+            sub = new_ddl.filter(
+                pa.compute.equal(new_ddl["mq_partition"], p))
+            if sub.num_rows:
+                _produce_partition(broker, f"{topic}.__ddl", p, sub)
+        # consumers read the LAST meta message, so appending per call is
+        # an idempotent refresh
         _produce_partition(broker, f"{topic}.__meta", 0, pa.table({
             "mq_partition": pa.array([0], pa.int32()),
             "offset": pa.array([0], pa.int64()),
@@ -177,9 +192,60 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
                                               "messages.parquet"))
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
+
+    # resolved-ts broadcast (TIDB_WATERMARK, canal-json control envelope
+    # under every protocol like the DDL stream): EVERY partition — data
+    # or not — ends the call with a watermark message carrying the
+    # stream's resolved ts, so consumers learn progress in-band instead
+    # of inferring it from event maxima (cdc/sink/dmlsink/mq broadcasts
+    # resolved events the same way)
+    wm_payload = encode_canal_watermark(stream_wm, database, table)
+    for p in range(num_partitions):
+        row = pa.table({
+            "mq_partition": pa.array([p], pa.int32()),
+            "offset": pa.array([0], pa.int64()),
+            "key": pa.array(["__watermark__"]),
+            "payload": pa.array(
+                [wm_payload.encode() if protocol == "avro"
+                 else wm_payload], payload_type)})
+        if broker is not None:
+            _produce_partition(broker, topic, p, row)
+        else:
+            _file_emit(out_dir, p, row, append=True)
+
+    if streaming:
+        tmp = f"{producer_state}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"segments": sorted(produced
+                                          | {s.path for s in todo}),
+                       "ddls": k_ddl, "watermark_ts": stream_wm}, f)
+        os.replace(tmp, producer_state)
     return {"partitions": len(counts),
-            "messages": int(sum(r["messages"] for r in counts)),
-            "ddl_messages": ddl_msgs.num_rows // max(num_partitions, 1)}
+            "messages": int(sum(r["messages"] for r in counts))
+            + num_partitions,
+            "watermark_ts": stream_wm,
+            "segments_produced": len(todo),
+            "ddl_messages": k_ddl}
+
+
+def _file_emit(out_dir: str, part: int, msgs: pa.Table,
+               append: bool) -> None:
+    """Write one partition's message rows to the file layout. `append`
+    shifts offsets past the existing stream (dense per partition — the
+    per-key ordering contract) and concatenates; otherwise the file is
+    replaced whole."""
+    d = os.path.join(out_dir, f"partition={part}")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "messages.parquet")
+    if append and os.path.exists(path):
+        prior = pq.read_table(path)
+        idx = msgs.schema.get_field_index("offset")
+        shifted = pa.compute.add(msgs["offset"], prior.num_rows)
+        msgs = msgs.set_column(idx, "offset", shifted.cast(pa.int64()))
+        msgs = pa.concat_tables([prior, msgs], promote_options="default")
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    pq.write_table(msgs, tmp, row_group_size=32768)
+    os.replace(tmp, path)
 
 
 def _produce_partition(broker: str, topic: str, part: int,
@@ -304,34 +370,13 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
             "ddl_messages": len(ddl_recs)}
 
 
-def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
-               num_partitions: int = 16,
-               wal_out: str | None = None,
-               upstream_wal: str | None = None,
-               group: tuple[int, int] | None = None) -> dict:
-    """Message logs → derived WAL → replayed lake (kafka-consumer analog).
+def _make_decoders(msg_dir: str, meta: dict, upstream_wal: str | None):
+    """(resolve_payloads, decode_msgs) for one message stream: undo the
+    producer's large-message option, then protocol-decode. Shared by the
+    batch consumer (consume_mq) and the streaming consumer
+    (consume_mq_stream)."""
+    from ..sources.codecs import decode_canal_lines, decode_open_protocol_lines
 
-    Decode is distributed (one task per message-log partition, idempotent
-    — meta written after data); the DDL stream is tiny and rebuilt on the
-    driver; replay is the standard epoch engine. The derived WAL lives
-    inside the lake (`_mq_wal`) like the optimistic remount dir — the
-    consumer's relay log.
-
-    `group=(member_id, group_size)` runs this call as ONE member of a
-    consumer group (cmd/kafka-consumer's consumer-group shape): the
-    member consumes only partitions with part % group_size == member_id,
-    records per-partition offsets + decode stats in its own checkpoint
-    (`_consumer/member-{id}.json` under the derived WAL — the committed-
-    offset analog), and returns {"pending": [...]} until every partition
-    of the topic has been consumed by SOME member. The member that
-    completes coverage stamps the segment metas and replays — N members
-    splitting the partitions converge to the identical lake a single
-    consumer produces."""
-    from ..sources.codecs import (decode_canal_ddl_lines, decode_canal_lines,
-                                  decode_open_protocol_lines)
-
-    with open(os.path.join(msg_dir, "meta.json")) as f:
-        meta = json.load(f)
     protocol = meta["protocol"]
     sup = list(meta["columns"])
     large = meta.get("large_handle", "none")
@@ -428,6 +473,41 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
             return AvroMessageDecoder(_root, cols).decode(list(payloads))
     else:
         raise ValueError(f"unknown MQ protocol {protocol}")
+
+    return resolve_payloads, decode_msgs
+
+
+def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
+               num_partitions: int = 16,
+               wal_out: str | None = None,
+               upstream_wal: str | None = None,
+               group: tuple[int, int] | None = None) -> dict:
+    """Message logs → derived WAL → replayed lake (kafka-consumer analog).
+
+    Decode is distributed (one task per message-log partition, idempotent
+    — meta written after data); the DDL stream is tiny and rebuilt on the
+    driver; replay is the standard epoch engine. The derived WAL lives
+    inside the lake (`_mq_wal`) like the optimistic remount dir — the
+    consumer's relay log.
+
+    `group=(member_id, group_size)` runs this call as ONE member of a
+    consumer group (cmd/kafka-consumer's consumer-group shape): the
+    member consumes only partitions with part % group_size == member_id,
+    records per-partition offsets + decode stats in its own checkpoint
+    (`_consumer/member-{id}.json` under the derived WAL — the committed-
+    offset analog), and returns {"pending": [...]} until every partition
+    of the topic has been consumed by SOME member. The member that
+    completes coverage stamps the segment metas and replays — N members
+    splitting the partitions converge to the identical lake a single
+    consumer produces."""
+    from ..sources.codecs import decode_canal_ddl_lines
+
+    with open(os.path.join(msg_dir, "meta.json")) as f:
+        meta = json.load(f)
+    protocol = meta["protocol"]
+    sup = list(meta["columns"])
+    resolve_payloads, decode_msgs = _make_decoders(msg_dir, meta,
+                                                   upstream_wal)
 
     # registry from the DDL broadcast stream (partition 0's copy)
     ddl_msgs = pq.read_table(os.path.join(msg_dir, "_ddl",
@@ -589,4 +669,188 @@ def consume_mq(msg_dir: str, lake_dir: str, base_dir: str | None = None,
     res = rp.run_replay(cfg)
     return {"partitions_decoded": len(decoded),
             "epochs": len(res.epochs), "events": res.events,
+            "wal_dir": wal_dir}
+
+
+def consume_mq_stream(msg_dir: str, lake_dir: str,
+                      base_dir: str | None = None,
+                      num_partitions: int = 16,
+                      wal_out: str | None = None,
+                      upstream_wal: str | None = None) -> dict:
+    """ONE round of INCREMENTAL consumption — the reference consumer's
+    tick (cmd/storage-consumer's flush-interval loop / cmd/kafka-consumer
+    applying up to the resolved ts): each partition is consumed up to its
+    LATEST in-band TIDB_WATERMARK message, the consumed events land as a
+    fresh round of derived-WAL segments stamped with the round frontier
+    (min over partitions of their confirmed resolved ts — the A1
+    min-over-spans rule), and the standard epoch engine replays the
+    advance. Events a partition carries past the frontier ride in their
+    segment and apply in a later round's epoch (segments may straddle,
+    the reader range-filters — same contract as barrier-straddling WAL
+    segments).
+
+    Loop produce_mq(producer_state=...) and this against the same topic
+    and the pair is a LIVE MQ changefeed; both ends are checkpointed
+    (producer: segment set; consumer: `_consumer/stream.json` offsets)
+    and idempotent — a crash between segment write and state commit
+    re-decodes the identical bytes. Returns {"pending": True} when a
+    partition has not yet confirmed any resolved ts (frontier unknown —
+    nothing may commit, exactly like a zero-segment shard)."""
+    from ..sources.codecs import decode_canal_ddl_lines, decode_canal_watermark
+
+    with open(os.path.join(msg_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sup = list(meta["columns"])
+    resolve_payloads, decode_msgs = _make_decoders(msg_dir, meta,
+                                                   upstream_wal)
+    ddl_msgs = pq.read_table(os.path.join(msg_dir, "_ddl",
+                                          "messages.parquet"))
+    p0 = ddl_msgs.filter(pa.compute.equal(ddl_msgs["mq_partition"], 0))
+    registry = decode_canal_ddl_lines(
+        p0.sort_by("offset")["payload"].to_pylist())
+
+    wal_dir = wal_out or os.path.join(lake_dir, "_mq_wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    cons_dir = os.path.join(wal_dir, "_consumer")
+    os.makedirs(cons_dir, exist_ok=True)
+    state_path = os.path.join(cons_dir, "stream.json")
+    state = {"round": 0, "offsets": {}, "wm": 0}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+
+    part_dirs = sorted(
+        d for d in os.listdir(msg_dir) if d.startswith("partition="))
+    all_parts = sorted(int(d.split("=", 1)[1]) for d in part_dirs)
+    assert all_parts, f"no partitions in {msg_dir}"
+
+    # plan the frontier on the driver (control plane — watermark rows
+    # only, located by key): each partition's confirmed resolved ts is
+    # the max TIDB_WATERMARK it has EVER delivered; the round frontier is
+    # the min over partitions (A1 min-over-spans). Nothing past the
+    # frontier may be consumed this round — a partition fetched AFTER a
+    # newer producer round carries events beyond it, and consuming them
+    # into frontier-stamped segments would hide them from every later
+    # epoch (the planner skips segments whose watermark is behind the
+    # resume point). They stay in the spool for the next round.
+    confirmed: dict[int, int] = {}
+    starts: dict[int, int] = {}
+    for p in all_parts:
+        path = os.path.join(msg_dir, f"partition={p}", "messages.parquet")
+        starts[p] = int(state["offsets"].get(str(p), 0))
+        wm_tbl = pq.read_table(path, columns=["offset", "key", "payload"],
+                               filters=[("key", "=", "__watermark__"),
+                                        ("offset", ">=", starts[p])])
+        wm = int(state["offsets"].get(f"wm{p}", 0))
+        for pl in wm_tbl["payload"].to_pylist():
+            txt = pl.decode() if isinstance(pl, (bytes, bytearray)) else pl
+            wm = max(wm, decode_canal_watermark(txt))
+        if not wm:
+            return {"pending": True, "partition": p,
+                    "reason": "no resolved ts confirmed yet"}
+        confirmed[p] = wm
+
+    frontier = min(confirmed.values())
+    rnd = int(state["round"]) + 1
+    P = max(all_parts) + 1          # seq stride (partition ids, not count
+                                    # — a sparse id past len() must never
+                                    # collide with the next round's seqs)
+
+    def decode_round(tb: pa.Table) -> pa.Table:
+        """Decode one partition's new rows and keep the PREFIX of events
+        with commit_ts <= frontier (partition streams are commit-ts
+        sorted: each producer round is sorted and round k+1's events all
+        exceed round k's watermark); the consumed offset advances to the
+        first held-back event, so leftovers re-decode next round."""
+        out = []
+        for row in tb.to_pylist():
+            p = int(row["part"])
+            start = starts[p]
+            src = os.path.join(msg_dir, f"partition={p}",
+                               "messages.parquet")
+            msgs = pq.read_table(src, filters=[("offset", ">=", start)]) \
+                .sort_by("offset")
+            keys = msgs["key"].to_pylist()
+            offs = msgs["offset"].to_pylist()
+            ev_pos = [i for i, k_ in enumerate(keys)
+                      if k_ != "__watermark__"]
+            payloads = [msgs["payload"][i].as_py() for i in ev_pos]
+            ev = decode_msgs(resolve_payloads(payloads))
+            cts = ev["commit_ts"].to_numpy(zero_copy_only=False)
+            n_keep = int(np.searchsorted(cts, frontier, side="right"))
+            if n_keep < len(ev_pos):        # held-back tail starts here
+                stop = int(offs[ev_pos[n_keep]])
+            else:
+                stop = int(offs[-1]) + 1 if offs else start
+            ev = ev.slice(0, n_keep)
+            ev = ev.take(pa.compute.sort_indices(
+                ev, sort_keys=[("commit_ts", "ascending"),
+                               ("start_ts", "ascending")]))
+            rec = {"part": p, "rows": ev.num_rows, "stop": stop,
+                   "cols": ev.column_names, "min_ts": 0, "max_ts": 0}
+            if ev.num_rows:
+                kept = ev["commit_ts"].to_numpy(zero_copy_only=False)
+                rec["min_ts"], rec["max_ts"] = int(kept.min()), \
+                    int(kept.max())
+                dst = os.path.join(wal_dir,
+                                   f"seq={rnd * P + p:05d}.parquet")
+                tmp = dst + f".tmp.{os.getpid()}"
+                pq.write_table(ev, tmp, row_group_size=32768)
+                os.replace(tmp, dst)
+            out.append(rec)
+        return pa.Table.from_pylist(out)
+
+    decoded = ray.data.from_items(
+        [{"part": p} for p in all_parts]).map_batches(
+        decode_round, batch_format="pyarrow", batch_size=1).take_all()
+    wrote = [r for r in decoded if r["rows"]]
+    if not wrote:
+        if frontier <= int(state["wm"]):
+            return {"rounds": 0, "watermark_ts": int(state["wm"]),
+                    "wal_dir": wal_dir}
+        # resolved-ts-only advance: one empty heartbeat segment raises
+        # the derived WAL's watermark (the resolved-event heartbeat)
+        dst = os.path.join(wal_dir, f"seq={rnd * P:05d}.parquet")
+        empty = decode_msgs(resolve_payloads([]))
+        tmp = dst + f".tmp.{os.getpid()}"
+        pq.write_table(empty, tmp)
+        os.replace(tmp, dst)
+        wrote = [{"part": 0, "rows": 0, "min_ts": 0,
+                  "max_ts": 0, "cols": empty.column_names}]
+
+    # metas after data (a crash before this point just re-decodes)
+    for r in wrote:
+        seq = rnd * P + int(r["part"])
+        mpath = os.path.join(wal_dir, f"seq={seq:05d}.meta.json")
+        seg_meta = {"seq": seq, "watermark_ts": int(frontier),
+                    "min_ts": int(r["min_ts"]), "max_ts": int(r["max_ts"]),
+                    "rows": int(r["rows"]), "format": "parquet",
+                    "columns": list(r["cols"])}
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(seg_meta, f)
+        os.replace(mpath + ".tmp", mpath)
+    with open(os.path.join(wal_dir, "ddl.json"), "w") as f:
+        f.write(registry.to_json())
+
+    # consumer checkpoint: per-partition consumed offsets + confirmed
+    # resolved ts (the committed-offset analog), after the segments
+    offsets = dict(state["offsets"])
+    for r in decoded:
+        offsets[str(int(r["part"]))] = int(r["stop"])
+    for p, wm in confirmed.items():
+        offsets[f"wm{p}"] = wm
+    new_state = {"round": rnd, "offsets": offsets, "wm": int(frontier)}
+    tmp = f"{state_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new_state, f)
+    os.replace(tmp, state_path)
+
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=lake_dir,
+                       num_partitions=num_partitions)
+    from ..state.checkpoint import LakeState
+    if base_dir is not None and LakeState(lake_dir).latest() is None:
+        rp.bootstrap(cfg, base_dir=base_dir)
+    res = rp.run_replay(cfg)
+    return {"rounds": 1, "watermark_ts": int(frontier),
+            "events": res.events, "epochs": len(res.epochs),
             "wal_dir": wal_dir}

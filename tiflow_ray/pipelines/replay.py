@@ -526,8 +526,29 @@ def _execute_epoch(cfg: ReplayConfig, registry: SchemaRegistry,
             flt = (pads.field("commit_ts") > ep.lo) & (pads.field("commit_ts") <= ep.hi)
             if cfg.shard_key_mapping:
                 read_kwargs["include_paths"] = True
-            ds = ray.data.read_parquet(list(ep.files), columns=read_cols,
-                                       filter=flt, **read_kwargs)
+            # Parquet segments in one epoch may carry DIFFERENT column
+            # sets (a derived WAL whose producer learned a column after
+            # earlier rounds were written, or plain pre/post-DDL
+            # straddles): requesting a column a file lacks is a read
+            # error, so group files by their own available∩wanted
+            # columns and union — Normalize null-fills what a group is
+            # missing (same shape as the codec col_map path).
+            cmap = dict(ep.col_map)
+            by_cols: dict[tuple, list[str]] = {}
+            for f in ep.files:
+                avail = cmap.get(f) or ()
+                want = tuple(c for c in read_cols
+                             if not avail or c in avail)
+                by_cols.setdefault(want, []).append(f)
+            if len(by_cols) == 1:
+                ds = ray.data.read_parquet(
+                    list(ep.files), columns=list(next(iter(by_cols))),
+                    filter=flt, **read_kwargs)
+            else:
+                ds = _union_ds([
+                    ray.data.read_parquet(fs, columns=list(w),
+                                          filter=flt, **read_kwargs)
+                    for w, fs in by_cols.items()])
             if cfg.shard_key_mapping:
                 from ..stages.column_mapping import mapping_stage
                 ds = ds.map_batches(mapping_stage(cfg.shard_key_mapping),
