@@ -290,11 +290,6 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
         meta_msgs = c.fetch_all(f"{topic}.__meta", 0)
         assert meta_msgs, f"no {topic}.__meta on broker {broker}"
         meta = json.loads(meta_msgs[-1][2].decode())
-        mtmp = os.path.join(out_dir, f"meta.json.tmp.{os.getpid()}."
-                                     f"{threading.get_ident()}")
-        with open(mtmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(mtmp, os.path.join(out_dir, "meta.json"))
         is_text = meta["protocol"] != "avro"
 
         def spool(t: str, part: int, d: str) -> int:
@@ -365,6 +360,20 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
                      f"{threading.get_ident()}")
         pq.write_table(ddl_tbl, tmp)
         os.replace(tmp, os.path.join(ddl_dir, "messages.parquet"))
+        # the stream descriptor is spooled LAST, re-fetched fresh: a
+        # producer may have refreshed it (new columns after a DDL)
+        # between our first read and the partition fetches — data rows
+        # must never be paired with an OLDER meta than the one the
+        # producer sent before their watermark (the live-race the
+        # streaming tests caught: lang decoded under a pre-DDL column
+        # list came back silently NULL)
+        meta_msgs = c.fetch_all(f"{topic}.__meta", 0)
+        meta = json.loads(meta_msgs[-1][2].decode())
+        mtmp = os.path.join(out_dir, f"meta.json.tmp.{os.getpid()}."
+                                     f"{threading.get_ident()}")
+        with open(mtmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(mtmp, os.path.join(out_dir, "meta.json"))
     return {"partitions": fetched,
             "messages": int(sum(fetched.values())),
             "ddl_messages": len(ddl_recs)}
@@ -700,14 +709,24 @@ def consume_mq_stream(msg_dir: str, lake_dir: str,
 
     with open(os.path.join(msg_dir, "meta.json")) as f:
         meta = json.load(f)
-    sup = list(meta["columns"])
-    resolve_payloads, decode_msgs = _make_decoders(msg_dir, meta,
-                                                   upstream_wal)
     ddl_msgs = pq.read_table(os.path.join(msg_dir, "_ddl",
                                           "messages.parquet"))
     p0 = ddl_msgs.filter(pa.compute.equal(ddl_msgs["mq_partition"], 0))
     registry = decode_canal_ddl_lines(
         p0.sort_by("offset")["payload"].to_pylist())
+    # decode under the union of the descriptor's columns and every
+    # column the DDL stream names: a barrier's column is decodable the
+    # moment its DDL is known, independent of descriptor freshness (the
+    # frontier guarantees a DDL message precedes any consumable event
+    # that carries its column)
+    sup = list(meta["columns"])
+    for v in range(1, registry.max_ver + 1):
+        for f in registry.schema(v):
+            if f.name not in sup:
+                sup.append(f.name)
+    meta = {**meta, "columns": sup}
+    resolve_payloads, decode_msgs = _make_decoders(msg_dir, meta,
+                                                   upstream_wal)
 
     wal_dir = wal_out or os.path.join(lake_dir, "_mq_wal")
     os.makedirs(wal_dir, exist_ok=True)
