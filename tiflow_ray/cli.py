@@ -164,6 +164,10 @@ def main(argv=None):
                     help="avro schema-registry spec: http://host:port "
                          "(REST service) or a shared directory; "
                          "required for --protocol avro with --broker")
+    mp.add_argument("--state", default=None,
+                    help="producer checkpoint json — makes the producer "
+                         "STREAMING: repeat the command as the WAL "
+                         "grows; only unsent segments are produced")
 
     rs = sub.add_parser("registry-serve")   # Confluent-API registry svc
     rs.add_argument("--root", required=True,
@@ -182,6 +186,11 @@ def main(argv=None):
                     help="consumer-group member id (with --group-size): "
                          "consume only partitions p %% size == member")
     mc.add_argument("--group-size", type=int, default=None)
+    mc.add_argument("--stream", action="store_true",
+                    help="ONE incremental round: apply up to the "
+                         "broadcast resolved ts (consume_mq_stream); "
+                         "loop with a fresh mq-fetch per round for a "
+                         "live changefeed")
 
     mt = sub.add_parser("mt-replay")   # multi-table changefeed
     mt.add_argument("--wal", required=True,
@@ -425,15 +434,25 @@ def main(argv=None):
                                     max_message_bytes=a.max_message_bytes,
                                     large_handle=a.large_handle,
                                     broker=a.broker, topic=a.topic,
-                                    schema_registry=a.registry)))
+                                    schema_registry=a.registry,
+                                    producer_state=a.state)))
     elif a.cmd == "mq-consume":
-        from .pipelines.mq import consume_mq
-        grp = (a.group_member, a.group_size) \
-            if a.group_member is not None else None
-        print(json.dumps(consume_mq(a.messages, a.lake, base_dir=a.base,
-                                    num_partitions=a.partitions,
-                                    upstream_wal=a.upstream_wal,
-                                    group=grp)))
+        from .pipelines.mq import consume_mq, consume_mq_stream
+        if a.stream:
+            assert a.group_member is None, \
+                "--stream and consumer groups are separate modes"
+            print(json.dumps(consume_mq_stream(
+                a.messages, a.lake, base_dir=a.base,
+                num_partitions=a.partitions,
+                upstream_wal=a.upstream_wal)))
+        else:
+            grp = (a.group_member, a.group_size) \
+                if a.group_member is not None else None
+            print(json.dumps(consume_mq(a.messages, a.lake,
+                                        base_dir=a.base,
+                                        num_partitions=a.partitions,
+                                        upstream_wal=a.upstream_wal,
+                                        group=grp)))
     elif a.cmd == "export":
         # streaming export: fold tasks write directly, one file per
         # partition-fold block — never materialized on the driver

@@ -613,6 +613,53 @@ def q_cdc_replay_mq_avro_wire(sf_dir: str) -> pa.Table:
         return rp.lake_to_table(lake, res["wal_dir"])
 
 
+def q_cdc_replay_mq_stream(sf_dir: str) -> pa.Table:
+    """The STREAMING MQ changefeed, oracle-checked end to end: the WAL
+    is produced in two incremental rounds (produce_mq with a producer
+    checkpoint — unsent segments only, appended partition streams, a
+    TIDB_WATERMARK broadcast per round) and consumed in rounds
+    (consume_mq_stream applies each round exactly up to the broadcast
+    frontier). The final lake hash-matches the same SQL twin as
+    cdc_replay — proving the incremental path converges to the batch
+    path's state."""
+    import shutil
+
+    from .pipelines import replay as rp
+    from .pipelines.mq import consume_mq_stream, produce_mq
+    from .sources.wal import list_segments
+
+    root, registry = stage_cdc_fixture(sf_dir, False)
+    msg_dir = os.path.join(root, "mq_stream_msgs")
+    lake = os.path.join(root, "lake_mq_stream")
+    state = os.path.join(root, "mq_stream_producer.json")
+    live = os.path.join(root, "mq_stream_wal")
+    done = os.path.join(root, "mq_stream_done")
+    if not os.path.exists(done):
+        shutil.rmtree(msg_dir, ignore_errors=True)
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)
+        if os.path.exists(state):
+            os.remove(state)
+        os.makedirs(live)
+        segs = list_segments(os.path.join(root, "wal"))
+        shutil.copy(os.path.join(root, "wal", "ddl.json"),
+                    os.path.join(live, "ddl.json"))
+        half = max(1, len(segs) // 2)
+        for batch in (segs[:half], segs[half:]):
+            for s in batch:
+                for ext in (".parquet", ".meta.json"):
+                    b = os.path.basename(s.path).replace(".parquet", ext)
+                    shutil.copy(os.path.join(root, "wal", b),
+                                os.path.join(live, b))
+            produce_mq(live, msg_dir, num_partitions=4,
+                       producer_state=state)
+            consume_mq_stream(msg_dir, lake,
+                              base_dir=os.path.join(root, "base"),
+                              num_partitions=CDC_P)
+        os.makedirs(done, exist_ok=True)
+    return rp.lake_to_table(lake, os.path.join(lake, "_mq_wal"))
+
+
 _ONLINE_TABLES = ("documents", "_documents_gho", "_documents_ghc",
                   "_documents_del", "docs_archive")
 
@@ -4111,6 +4158,8 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_mq_kafka": (q_cdc_replay_mq_kafka, _CDC_REPLAY_SQL),  # NEW r5
     "cdc_replay_mq_avro_wire": (q_cdc_replay_mq_avro_wire,
                                 _CDC_REPLAY_SQL),                     # NEW r5
+    "cdc_replay_mq_stream": (q_cdc_replay_mq_stream,
+                             _CDC_REPLAY_SQL),                        # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),
