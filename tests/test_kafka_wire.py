@@ -287,3 +287,22 @@ def test_unsupported_mid_versions_refused(broker):
         assert struct.unpack_from(">h", r, 0)[0] == 35
         vers = c.api_versions()
         assert vers[0] == (0, 3) and vers[1] == (0, 4)
+
+
+def test_gzip_record_batch_roundtrip(broker):
+    """compression=gzip (attributes codec bits = 1): the records section
+    compresses, the CRC32C covers the compressed bytes, and the broker
+    stores/serves the same records to both fetch formats."""
+    from tiflow_ray.sinks.kafka_wire import (decode_record_batches,
+                                             encode_record_batch)
+    recs = [(b"k", b"json " * 400), (None, b"more " * 400)]
+    batch = encode_record_batch(recs, compression="gzip")
+    plain = encode_record_batch(recs)
+    assert len(batch) < len(plain) // 4          # it really compressed
+    assert [(o, k, v) for o, k, v in decode_record_batches(batch)] == \
+        [(i, k, v) for i, (k, v) in enumerate(recs)]
+    with KafkaLiteClient(broker.host, broker.port) as c:
+        c.produce("tz", 0, recs, fmt="v2", compression="gzip")
+        want = [(i, k, v) for i, (k, v) in enumerate(recs)]
+        assert c.fetch_all("tz", 0, fmt="v2") == want
+        assert c.fetch_all("tz", 0, fmt="v0") == want

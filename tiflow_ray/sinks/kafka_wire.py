@@ -203,16 +203,16 @@ def _r_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def encode_record_batch(records: list[tuple[bytes | None, bytes | None]],
-                        base_offset: int = 0) -> bytes:
+                        base_offset: int = 0,
+                        compression: str | None = None) -> bytes:
     """One magic-2 RecordBatch. Deterministic: timestamps are -1 ("no
     timestamp"), producer id/epoch/sequence -1 (no idempotent producer —
-    same honesty note as the v0 path)."""
-    body = bytearray()
-    body += struct.pack(">h", 0)                    # attributes
-    body += struct.pack(">i", max(len(records) - 1, 0))  # lastOffsetDelta
-    body += struct.pack(">qq", -1, -1)              # base/max timestamp
-    body += struct.pack(">qhi", -1, -1, -1)         # pid, epoch, baseSeq
-    body += struct.pack(">i", len(records))
+    same honesty note as the v0 path). `compression="gzip"` sets codec
+    bits 0-2 = 1 and gzip-compresses the records section (header fields
+    stay clear, CRC32C covers the compressed bytes — the published v2
+    layout)."""
+    assert compression in (None, "gzip"), compression
+    recs = bytearray()
     for i, (k, v) in enumerate(records):
         rec = bytearray()
         rec.append(0)                               # record attributes
@@ -229,8 +229,18 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes | None]],
             _w_varint(rec, len(v))
             rec += v
         _w_varint(rec, 0)                           # headers
-        _w_varint(body, len(rec))
-        body += rec
+        _w_varint(recs, len(rec))
+        recs += rec
+    if compression == "gzip":
+        import gzip
+        recs = gzip.compress(bytes(recs), mtime=0)  # deterministic bytes
+    body = bytearray()
+    body += struct.pack(">h", 1 if compression == "gzip" else 0)
+    body += struct.pack(">i", max(len(records) - 1, 0))  # lastOffsetDelta
+    body += struct.pack(">qq", -1, -1)              # base/max timestamp
+    body += struct.pack(">qhi", -1, -1, -1)         # pid, epoch, baseSeq
+    body += struct.pack(">i", len(records))
+    body += recs
     crc = crc32c(bytes(body))
     out = bytearray(struct.pack(">qi", base_offset, 4 + 1 + 4 + len(body)))
     out += struct.pack(">i", 0)                     # partitionLeaderEpoch
@@ -258,7 +268,14 @@ def decode_record_batches(data: bytes) -> list[tuple[int, bytes | None,
         body = data[pos + 21:pos + 12 + batch_len]
         if crc != crc32c(body):
             raise ValueError(f"CRC32C mismatch at base offset {base_offset}")
+        (attrs,) = struct.unpack_from(">h", body, 0)
+        codec = attrs & 0x7
         (count,) = struct.unpack_from(">i", body, 36)
+        if codec == 1:                               # gzip records section
+            import gzip
+            body = body[:40] + gzip.decompress(bytes(body[40:]))
+        elif codec:
+            raise ValueError(f"unsupported compression codec {codec}")
         p = 40
         for _ in range(count):
             rec_len, p = _r_varint(body, p)
@@ -935,19 +952,22 @@ class KafkaLiteClient:
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None]],
-                fmt: str = "v2") -> int:
+                fmt: str = "v2", compression: str | None = None) -> int:
         """Append records; returns the base offset assigned. fmt="v2"
         (default) speaks Produce v3 with magic-2 record batches — what
         every modern client sends; fmt="v0" keeps the legacy message-set
-        path."""
+        path. compression="gzip" (v2 only) compresses the records
+        section, the sarama compression.codec knob."""
         assert fmt in ("v0", "v2"), fmt
+        assert compression is None or fmt == "v2", \
+            "compression is a record-batch (v2) option"
         body = bytearray()
         if fmt == "v2":
             _w_str(body, None)                      # transactional_id
         body += struct.pack(">hii", 1, 30000, 1)    # acks=1
         _w_str(body, topic)
-        mset = encode_record_batch(records) if fmt == "v2" \
-            else encode_message_set(records)
+        mset = encode_record_batch(records, compression=compression) \
+            if fmt == "v2" else encode_message_set(records)
         body += struct.pack(">ii", 1, partition)
         body += struct.pack(">i", len(mset)) + mset
         r = self._call(_API_PRODUCE, 3 if fmt == "v2" else 0, bytes(body))
