@@ -179,3 +179,53 @@ def test_cli_handle_error(t1_fixture, tmp_path, capsys):
     main(["handle-error", "--wal", wal, "--op", "list"])
     listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert listed[0]["at_ts"] == ts
+
+
+def test_table_scoped_operator_in_multitable_changefeed(tmp_path):
+    """A table-scoped skip (dmctl with a table filter) patches ONLY that
+    table's schedule in a multi-table changefeed: the broken table
+    replays under the neutralized barrier, the others are untouched."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_multitable import _expected, _setup
+
+    from tiflow_ray.pipelines import multitable as mt
+
+    root, regs, base_dirs, wal_dir = _setup(tmp_path)
+    # corrupt tb's only DDL (add_column lang) into an unexecutable type
+    p = os.path.join(wal_dir, "tables.json")
+    with open(p) as f:
+        raw = json.load(f)
+    tb_specs = json.loads(raw["tb"])
+    ts = int(tb_specs[0]["barrier_ts"])
+    tb_specs[0]["ddl_type"] = "change_charset"
+    raw["tb"] = json.dumps(tb_specs)
+    with open(p, "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(ValueError, match="unknown ddl_type"):
+        mt.load_multitable_registries(wal_dir)
+
+    handle_error(wal_dir, "skip", at_ts=ts, table="tb")
+    regs2, _ = mt.load_multitable_registries(wal_dir)
+    assert regs2["tb"].ddls[0].ddl_type == OPERATOR_SKIP_DDL
+    assert regs2["ta"].to_json() == regs["ta"].to_json()   # untouched
+    assert regs2["tc"].to_json() == regs["tc"].to_json()
+
+    cfg = ReplayConfig(wal_dir=wal_dir,
+                       lake_dir=os.path.join(root, "lake_he"),
+                       num_partitions=8, max_segments_per_epoch=2)
+    mt.bootstrap_multitable(cfg, regs2, base_dirs)
+    mt.run_replay_multitable(cfg)
+    for t in ("ta", "tc"):
+        got = mt.multitable_lake_to_table(cfg.lake_dir, t)
+        assert got.equals(_expected(root, regs, t)), t
+    got_tb = mt.multitable_lake_to_table(cfg.lake_dir, "tb")
+    from tiflow_ray import oracle as _oracle
+    exp_tb = _oracle.replay_to_table(os.path.join(root, "oracle_tb"),
+                                     regs2["tb"])
+    assert got_tb.equals(exp_tb)
+    assert "lang" not in got_tb.column_names   # the skip really skipped
+    # list shows the table scope; single-table listing doesn't see it
+    ops = handle_error(wal_dir, "list")
+    assert ops == [{"at_ts": ts, "table": "tb", "op": "skip"}]
+    assert handle_error(wal_dir, "list", table="ta") == []

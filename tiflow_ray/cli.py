@@ -227,6 +227,9 @@ def main(argv=None):
     he.add_argument("--lake", default=None,
                     help="lake dir — its checkpoint sweeps/refuses "
                          "outdated operators")
+    he.add_argument("--table", default=None,
+                    help="scope the operator to one table of a "
+                         "multi-table changefeed (tables.json)")
 
     s = sub.add_parser("show")
     s.add_argument("--lake", required=True)
@@ -287,7 +290,7 @@ def main(argv=None):
             ddls.append(d)
         print(json.dumps(handle_error(a.wal, a.op, at_ts=a.ts,
                                       ddls=ddls or None,
-                                      lake_dir=a.lake)))
+                                      lake_dir=a.lake, table=a.table)))
         return 0
 
     if a.cmd == "registry-serve":         # pure http+files, no Ray

@@ -92,19 +92,24 @@ def load_multitable_registries(
         wal_dir: str) -> tuple[dict[str, SchemaRegistry],
                                dict[str, "TableLifecycle"]]:
     """WAL-dir convention: `tables.json` = {table: registry_json} (legacy)
-    or {table: {"registry": rj, "created_ts": int, "dropped_ts": int?}}."""
+    or {table: {"registry": rj, "created_ts": int, "dropped_ts": int?}}.
+    Table-scoped error operators (stages/handle_error.py — dmctl binlog
+    skip/replace/inject with a table) patch that table's raw schedule
+    before validation, same contract as the single-table load_registry."""
+    from ..stages.handle_error import apply_error_ops, load_ops
+    from ..stages.schema_evo import DDL
+
     p = os.path.join(wal_dir, "tables.json")
     with open(p) as f:
         raw = json.load(f)
+    ops = load_ops(wal_dir)
     regs, lcs = {}, {}
     for t, v in raw.items():
-        if isinstance(v, str):
-            regs[t] = SchemaRegistry.from_json(v)
-            lcs[t] = TableLifecycle()
-        else:
-            regs[t] = SchemaRegistry.from_json(v["registry"])
-            lcs[t] = TableLifecycle(v.get("created_ts", 0),
-                                    v.get("dropped_ts"))
+        rj = v if isinstance(v, str) else v["registry"]
+        specs = apply_error_ops(json.loads(rj), ops, table=t)
+        regs[t] = SchemaRegistry([DDL(**d) for d in specs])
+        lcs[t] = TableLifecycle() if isinstance(v, str) else \
+            TableLifecycle(v.get("created_ts", 0), v.get("dropped_ts"))
     return regs, lcs
 
 

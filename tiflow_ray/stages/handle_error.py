@@ -41,6 +41,20 @@ def _ops_path(wal_dir: str) -> str:
     return os.path.join(wal_dir, OPS_FILE)
 
 
+def _key(at_ts: int, table: str | None) -> str:
+    """Operator-store key: positions are per (table, barrier_ts) in a
+    multi-table changefeed, plain barrier_ts in a single-table one."""
+    return f"{table}@{at_ts}" if table else str(at_ts)
+
+
+def _key_ts(k: str) -> int:
+    return int(k.rsplit("@", 1)[-1])
+
+
+def _key_table(k: str) -> str | None:
+    return k.rsplit("@", 1)[0] if "@" in k else None
+
+
 def load_ops(wal_dir: str) -> dict[str, dict]:
     p = _ops_path(wal_dir)
     if not os.path.exists(p):
@@ -59,13 +73,17 @@ def _write_ops(wal_dir: str, ops: dict[str, dict]) -> None:
 
 def handle_error(wal_dir: str, op: str, at_ts: int | None = None,
                  ddls: list[dict] | None = None,
-                 lake_dir: str | None = None):
+                 lake_dir: str | None = None,
+                 table: str | None = None):
     """Register / inspect / remove an error operator (the dmctl verbs).
 
     op: "skip" | "replace" | "inject" | "list" | "revert".
     `ddls`: replacement/injection specs, each
     {"ddl_type": ..., "column": ..., "default": ...} (schema_ver is
     assigned by renumbering — positions own versions, operators don't).
+    `table`: scopes the operator to one table of a multi-table
+    changefeed (tables.json schedules); None targets the single-table
+    ddl.json schedule.
     `lake_dir`: when given, the lake's committed watermark is the
     flushed checkpoint — operators at/behind it are outdated: existing
     ones are swept, and registering a new one there is refused
@@ -79,42 +97,51 @@ def handle_error(wal_dir: str, op: str, at_ts: int | None = None,
         if m is not None:
             watermark = m.watermark_ts
     if watermark:
-        ops = {ts: v for ts, v in ops.items() if int(ts) > watermark}
+        ops = {k: v for k, v in ops.items() if _key_ts(k) > watermark}
 
     if op == "list":
-        out = [{"at_ts": int(ts), **v} for ts, v in sorted(
-            ops.items(), key=lambda kv: int(kv[0]))]
-        return [o for o in out if at_ts is None or o["at_ts"] >= at_ts]
+        out = [{"at_ts": _key_ts(k),
+                **({"table": _key_table(k)} if _key_table(k) else {}),
+                **v}
+               for k, v in sorted(ops.items(),
+                                  key=lambda kv: (_key_ts(kv[0]), kv[0]))]
+        return [o for o in out
+                if (at_ts is None or o["at_ts"] >= at_ts)
+                and (table is None or o.get("table") == table)]
 
     assert at_ts is not None, f"{op} needs at_ts (the DDL barrier_ts)"
+    key = _key(at_ts, table)
     if watermark and at_ts <= watermark:
         raise ValueError(
             f"position {at_ts} is at/behind the lake checkpoint "
             f"{watermark} — already-applied history cannot be patched")
     if op == "revert":
-        if str(at_ts) not in ops:
-            raise ValueError(f"no operator registered at {at_ts}")
-        del ops[str(at_ts)]
+        if key not in ops:
+            raise ValueError(f"no operator registered at {key}")
+        del ops[key]
     elif op == "skip":
-        ops[str(at_ts)] = {"op": "skip"}
+        ops[key] = {"op": "skip"}
     else:                                   # replace | inject
         assert ddls, f"{op} needs at least one DDL spec"
         for d in ddls:
             assert "ddl_type" in d and "column" in d, d
-        ops[str(at_ts)] = {"op": op,
-                           "ddls": [{"ddl_type": d["ddl_type"],
-                                     "column": d["column"],
-                                     "default": d.get("default")}
-                                    for d in ddls]}
+        ops[key] = {"op": op,
+                    "ddls": [{"ddl_type": d["ddl_type"],
+                              "column": d["column"],
+                              "default": d.get("default")}
+                             for d in ddls]}
     _write_ops(wal_dir, ops)
-    return {"at_ts": at_ts, "op": op, "pending": len(ops)}
+    return {"at_ts": at_ts, "op": op, "pending": len(ops),
+            **({"table": table} if table else {})}
 
 
-def apply_error_ops(raw_ddls: list[dict],
-                    ops: dict[str, dict]) -> list[dict]:
+def apply_error_ops(raw_ddls: list[dict], ops: dict[str, dict],
+                    table: str | None = None) -> list[dict]:
     """Patch a raw ddl.json spec list with the registered operators and
     renumber schema versions (2, 3, ... in barrier order). Pure: returns
     the patched spec list; callers build the SchemaRegistry from it.
+    `table` selects which operators apply: table-scoped ones for that
+    table of a multi-table changefeed, plain ones when None.
 
     - skip: every DDL at the position becomes a `skipped_by_operator`
       no-op barrier (schema unchanged, version++ preserved).
@@ -122,13 +149,14 @@ def apply_error_ops(raw_ddls: list[dict],
       specs (the position must exist — replacing nothing is an error).
     - inject: the operator's specs are added at the position (which may
       be barrier-free before the injection)."""
+    ops = {k: v for k, v in ops.items() if _key_table(k) == table}
     if not ops:
         return raw_ddls
     by_ts: dict[int, list[dict]] = {}
     for d in raw_ddls:
         by_ts.setdefault(int(d["barrier_ts"]), []).append(dict(d))
-    for ts_s, o in ops.items():
-        ts = int(ts_s)
+    for k_s, o in ops.items():
+        ts = _key_ts(k_s)
         if o["op"] == "skip":
             if ts not in by_ts:
                 raise ValueError(f"skip at {ts}: no DDL at that position")
