@@ -147,3 +147,34 @@ def test_streaming_live_over_the_wire(t1_fixture, tmp_path):
     wal_dir = os.path.join(lake, "_mq_wal")
     got = rp.lake_to_table(lake, wal_dir)
     assert got.equals(oracle.replay_to_table(root, reg))
+
+
+def test_gc_spool_between_rounds(t1_fixture, tmp_path):
+    """Retention: trimming consumed spool rows between rounds changes
+    nothing — later rounds fetch by offset value and converge to the
+    same oracle lake."""
+    from tiflow_ray.pipelines.mq import gc_spool
+
+    root, reg, _metas, _info = t1_fixture
+    live, rest = _staged_wal(root, tmp_path, 2)
+    msg_dir = str(tmp_path / "msgs")
+    state = str(tmp_path / "producer.json")
+    lake = str(tmp_path / "lake")
+
+    produce_mq(live, msg_dir, num_partitions=4, producer_state=state)
+    c1 = consume_mq_stream(msg_dir, lake,
+                           base_dir=os.path.join(root, "base"),
+                           num_partitions=8)
+    g = gc_spool(msg_dir, c1["wal_dir"])
+    assert g["rows_removed"] > 0
+    for seg in rest:
+        _grow(live, seg)
+    produce_mq(live, msg_dir, num_partitions=4, producer_state=state)
+    c2 = consume_mq_stream(msg_dir, lake, num_partitions=8)
+    assert c2["rounds"] == 1
+    got = rp.lake_to_table(lake, c2["wal_dir"])
+    assert got.equals(oracle.replay_to_table(root, reg))
+    # a second gc after full consumption trims the rest except leftovers
+    gc_spool(msg_dir, c2["wal_dir"])
+    c3 = consume_mq_stream(msg_dir, lake, num_partitions=8)
+    assert c3["rounds"] == 0

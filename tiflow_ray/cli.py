@@ -192,6 +192,11 @@ def main(argv=None):
                          "loop with a fresh mq-fetch per round for a "
                          "live changefeed")
 
+    mg = sub.add_parser("mq-gc")       # spool retention (streaming mode)
+    mg.add_argument("--messages", required=True)
+    mg.add_argument("--wal", required=True,
+                    help="derived WAL dir holding _consumer/stream.json")
+
     mt = sub.add_parser("mt-replay")   # multi-table changefeed
     mt.add_argument("--wal", required=True,
                     help="shared WAL dir with tables.json declaration; "
@@ -291,6 +296,11 @@ def main(argv=None):
         print(json.dumps(handle_error(a.wal, a.op, at_ts=a.ts,
                                       ddls=ddls or None,
                                       lake_dir=a.lake, table=a.table)))
+        return 0
+
+    if a.cmd == "mq-gc":                  # pure files, no Ray
+        from .pipelines.mq import gc_spool
+        print(json.dumps(gc_spool(a.messages, a.wal)))
         return 0
 
     if a.cmd == "registry-serve":         # pure http+files, no Ray

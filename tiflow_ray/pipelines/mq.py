@@ -128,12 +128,15 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
     # ending with a resolved-ts broadcast
     produced: set[str] = set()
     ddls_sent = 0
+    next_offsets: dict[str, int] = {}
     streaming = producer_state is not None
     if streaming and os.path.exists(producer_state):
         with open(producer_state) as f:
             st = json.load(f)
         produced = set(st["segments"])
         ddls_sent = int(st.get("ddls", 0))
+        next_offsets = {str(k): int(v)
+                        for k, v in st.get("offsets", {}).items()}
     todo = [s for s in segs if s.path not in produced]
     stream_wm = max(s.watermark_ts for s in segs)
     payload_type = pa.binary() if protocol == "avro" else pa.string()
@@ -144,7 +147,8 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
         if broker is not None:
             _produce_partition(broker, topic, part, msgs)
         else:
-            _file_emit(out_dir, part, msgs, append=streaming)
+            _file_emit(out_dir, part, msgs, append=streaming,
+                       base_floor=next_offsets.get(str(part), 0))
         return pa.table({"mq_partition": pa.array([part], pa.int32()),
                          "messages": pa.array([msgs.num_rows], pa.int64())})
 
@@ -211,14 +215,28 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
         if broker is not None:
             _produce_partition(broker, topic, p, row)
         else:
-            _file_emit(out_dir, p, row, append=True)
+            _file_emit(out_dir, p, row, append=True,
+                       base_floor=next_offsets.get(str(p), 0))
 
     if streaming:
+        if broker is None:
+            # the producer owns the offset counter (a broker's log-end
+            # offset) — re-read each partition's tail so retention can
+            # trim the files without offsets ever regressing
+            for p in range(num_partitions):
+                path = os.path.join(out_dir, f"partition={p}",
+                                    "messages.parquet")
+                if os.path.exists(path):
+                    t = pq.read_table(path, columns=["offset"])
+                    if t.num_rows:
+                        next_offsets[str(p)] = int(
+                            pa.compute.max(t["offset"]).as_py()) + 1
         tmp = f"{producer_state}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"segments": sorted(produced
                                           | {s.path for s in todo}),
-                       "ddls": k_ddl, "watermark_ts": stream_wm}, f)
+                       "ddls": k_ddl, "watermark_ts": stream_wm,
+                       "offsets": next_offsets}, f)
         os.replace(tmp, producer_state)
     return {"partitions": len(counts),
             "messages": int(sum(r["messages"] for r in counts))
@@ -229,20 +247,34 @@ def produce_mq(wal_dir: str, out_dir: str, num_partitions: int,
 
 
 def _file_emit(out_dir: str, part: int, msgs: pa.Table,
-               append: bool) -> None:
+               append: bool, base_floor: int = 0) -> None:
     """Write one partition's message rows to the file layout. `append`
     shifts offsets past the existing stream (dense per partition — the
     per-key ordering contract) and concatenates; otherwise the file is
-    replaced whole."""
+    replaced whole. `base_floor` is the producer checkpoint's
+    next-offset for this partition: retention (gc_spool) may have
+    trimmed — or emptied — the file, and offsets must never regress
+    below what consumers committed (the producer, not the file, owns
+    the counter, like a broker's log-end offset)."""
     d = os.path.join(out_dir, f"partition={part}")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "messages.parquet")
-    if append and os.path.exists(path):
-        prior = pq.read_table(path)
-        idx = msgs.schema.get_field_index("offset")
-        shifted = pa.compute.add(msgs["offset"], prior.num_rows)
-        msgs = msgs.set_column(idx, "offset", shifted.cast(pa.int64()))
-        msgs = pa.concat_tables([prior, msgs], promote_options="default")
+    if append:
+        prior = None
+        base = base_floor
+        if os.path.exists(path):
+            prior = pq.read_table(path)
+            if prior.num_rows:
+                base = max(base, int(pa.compute.max(
+                    prior["offset"]).as_py()) + 1)
+        if base:
+            idx = msgs.schema.get_field_index("offset")
+            shifted = pa.compute.add(msgs["offset"], base)
+            msgs = msgs.set_column(idx, "offset",
+                                   shifted.cast(pa.int64()))
+        if prior is not None:
+            msgs = pa.concat_tables([prior, msgs],
+                                    promote_options="default")
     tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     pq.write_table(msgs, tmp, row_group_size=32768)
     os.replace(tmp, path)
@@ -298,7 +330,11 @@ def fetch_mq(broker: str, topic: str, out_dir: str,
             prior, start = None, 0
             if os.path.exists(path):
                 prior = pq.read_table(path)
-                start = prior.num_rows
+                if prior.num_rows:
+                    # resume from the last spooled OFFSET, not the row
+                    # count — gc_spool may have trimmed consumed rows
+                    start = int(pa.compute.max(
+                        prior["offset"]).as_py()) + 1
             recs = c.fetch_all(t, part, start)
             if not recs and prior is not None:
                 return 0
@@ -873,3 +909,38 @@ def consume_mq_stream(msg_dir: str, lake_dir: str,
     return {"rounds": 1, "watermark_ts": int(frontier),
             "events": res.events, "epochs": len(res.epochs),
             "wal_dir": wal_dir}
+
+
+def gc_spool(msg_dir: str, wal_dir: str) -> dict:
+    """Retention for the streaming consumer's spool (the Kafka
+    log-retention analog, bounded by committed progress instead of
+    time): rows below each partition's committed consume offset
+    (`_consumer/stream.json`) are dropped. Absolute offsets are
+    preserved — reads filter by offset value and fetch_mq resumes from
+    the max spooled offset, so a trimmed spool behaves identically.
+    Streaming-mode companion only: the batch consume_mq requires the
+    complete log."""
+    state_path = os.path.join(wal_dir, "_consumer", "stream.json")
+    assert os.path.exists(state_path), \
+        "no streaming-consumer checkpoint; gc_spool bounds the spool by " \
+        "consume_mq_stream progress"
+    with open(state_path) as f:
+        offsets = json.load(f)["offsets"]
+    removed = {}
+    for d in sorted(os.listdir(msg_dir)):
+        if not d.startswith("partition="):
+            continue
+        p = int(d.split("=", 1)[1])
+        keep_from = int(offsets.get(str(p), 0))
+        path = os.path.join(msg_dir, d, "messages.parquet")
+        t = pq.read_table(path)
+        kept = t.filter(pa.compute.greater_equal(t["offset"], keep_from))
+        if kept.num_rows == t.num_rows:
+            removed[p] = 0
+            continue
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        pq.write_table(kept, tmp, row_group_size=32768)
+        os.replace(tmp, path)
+        removed[p] = t.num_rows - kept.num_rows
+    return {"rows_removed": int(sum(removed.values())),
+            "partitions": removed}
