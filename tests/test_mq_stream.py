@@ -126,23 +126,16 @@ def test_streaming_live_over_the_wire(t1_fixture, tmp_path):
 
         th = threading.Thread(target=producer)
         th.start()
-        applied = 0
-        deadline = time.monotonic() + 120
-        while applied < final_wm and time.monotonic() < deadline:
-            try:
-                fetch_mq(addr, "cf", spool)
-                out = consume_mq_stream(
-                    spool, lake, base_dir=os.path.join(root, "base"),
-                    num_partitions=8)
-            except (RuntimeError, AssertionError):
-                # topic/meta not on the broker yet — the consumer simply
-                # polls again, like any consumer started before its topic
-                time.sleep(0.2)
-                continue
-            applied = out.get("watermark_ts", applied) or applied
-            if out.get("rounds", 1) == 0 or out.get("pending"):
-                time.sleep(0.2)
+        # the consumer DAEMON loop (tail_consume_mq = cmd/kafka-consumer's
+        # run loop): started before the producer's topic even exists,
+        # polls, applies every round, stops once idle
+        from tiflow_ray.pipelines.mq import tail_consume_mq
+        out = tail_consume_mq(addr, "cf", spool, lake,
+                              base_dir=os.path.join(root, "base"),
+                              num_partitions=8, poll_secs=0.2,
+                              idle_timeout=6.0)
         th.join(timeout=30)
+        applied = out["watermark_ts"]
     assert applied == final_wm, "consumer never reached the final wm"
     wal_dir = os.path.join(lake, "_mq_wal")
     got = rp.lake_to_table(lake, wal_dir)

@@ -191,6 +191,14 @@ def main(argv=None):
                          "broadcast resolved ts (consume_mq_stream); "
                          "loop with a fresh mq-fetch per round for a "
                          "live changefeed")
+    mc.add_argument("--follow", action="store_true",
+                    help="consumer DAEMON: loop fetch+round against "
+                         "--broker/--topic until --stop-file or "
+                         "--idle-timeout (--messages is the spool dir)")
+    mc.add_argument("--broker", default=None, help="host:port (--follow)")
+    mc.add_argument("--topic", default="changefeed")
+    mc.add_argument("--idle-timeout", type=float, default=None)
+    mc.add_argument("--stop-file", default=None)
 
     mg = sub.add_parser("mq-gc")       # spool retention (streaming mode)
     mg.add_argument("--messages", required=True)
@@ -450,8 +458,16 @@ def main(argv=None):
                                     schema_registry=a.registry,
                                     producer_state=a.state)))
     elif a.cmd == "mq-consume":
-        from .pipelines.mq import consume_mq, consume_mq_stream
-        if a.stream:
+        from .pipelines.mq import (consume_mq, consume_mq_stream,
+                                   tail_consume_mq)
+        if a.follow:
+            assert a.broker, "--follow needs --broker host:port"
+            print(json.dumps(tail_consume_mq(
+                a.broker, a.topic, a.messages, a.lake, base_dir=a.base,
+                num_partitions=a.partitions,
+                upstream_wal=a.upstream_wal,
+                idle_timeout=a.idle_timeout, stop_file=a.stop_file)))
+        elif a.stream:
             assert a.group_member is None, \
                 "--stream and consumer groups are separate modes"
             print(json.dumps(consume_mq_stream(

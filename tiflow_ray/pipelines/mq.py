@@ -944,3 +944,53 @@ def gc_spool(msg_dir: str, wal_dir: str) -> dict:
         removed[p] = t.num_rows - kept.num_rows
     return {"rows_removed": int(sum(removed.values())),
             "partitions": removed}
+
+
+def tail_consume_mq(broker: str, topic: str, spool_dir: str,
+                    lake_dir: str, base_dir: str | None = None,
+                    num_partitions: int = 16,
+                    upstream_wal: str | None = None,
+                    poll_secs: float = 0.5,
+                    idle_timeout: float | None = None,
+                    stop_file: str | None = None,
+                    max_rounds: int | None = None) -> dict:
+    """The consumer DAEMON (cmd/kafka-consumer's run loop): fetch the
+    topic, apply one incremental round up to the broadcast frontier,
+    repeat. Stops on `stop_file`, after `idle_timeout` seconds without
+    progress, or after `max_rounds` applied rounds. Restart-safe: both
+    the spool fetch and the round consume are checkpointed, so a new
+    daemon continues where the last one stopped."""
+    import time
+
+    rounds, applied_wm = 0, 0
+    idle_since = time.monotonic()
+    while True:
+        if stop_file and os.path.exists(stop_file):
+            break
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        try:
+            fetch_mq(broker, topic, spool_dir)
+            out = consume_mq_stream(spool_dir, lake_dir,
+                                    base_dir=base_dir,
+                                    num_partitions=num_partitions,
+                                    upstream_wal=upstream_wal)
+        except (RuntimeError, AssertionError):
+            # topic / descriptor not on the broker yet — poll again,
+            # like any consumer started before its producer
+            time.sleep(poll_secs)
+            if idle_timeout is not None and \
+                    time.monotonic() - idle_since >= idle_timeout:
+                break
+            continue
+        if out.get("rounds"):
+            rounds += out["rounds"]
+            applied_wm = out.get("watermark_ts", applied_wm)
+            idle_since = time.monotonic()
+        else:
+            if idle_timeout is not None and \
+                    time.monotonic() - idle_since >= idle_timeout:
+                break
+            time.sleep(poll_secs)
+    return {"rounds": rounds, "watermark_ts": applied_wm,
+            "spool": spool_dir, "lake": lake_dir}
