@@ -1412,6 +1412,78 @@ def q_sql_apply(sf_dir: str) -> pa.Table:
                        "ORDER BY doc_id").arrow()
 
 
+def q_sql_apply_wire(sf_dir: str) -> pa.Table:
+    """K3 closed at the WIRE layer: the same compaction front-end and
+    batched-SQL generator as sql_apply, but the statement streams execute
+    over REAL MySQL-protocol connections (sinks/mysql_wire.py — handshake
+    v10 + scramble auth + COM_QUERY against a loopback DuckDB-backed
+    endpoint, the mysql.go connection-pool slot). One connection per
+    partition stream from a concurrent worker pool (dmlWorkers); the
+    final table is read BACK over the wire as a text resultset and
+    re-typed. Oracle = the same SQL twin as cdc_replay."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .sinks.mysql_wire import (MySqlLiteServer, MySqlWireClient,
+                                   apply_statement_stream)
+    from .sinks.sqlgen import SqlSinkStage
+    from .sources.wal import list_segments
+    from .stages.compact import compact_batch
+    from .stages.normalize import Normalize, epoch_event_columns
+    from .stages.update_split import split_updates
+
+    root, registry = stage_cdc_fixture(sf_dir, with_ddl=False)
+    image_cols = ["tokens", "n_tok", "source"]
+    image_fields = [pa.field("tokens", pa.list_(pa.int32())),
+                    pa.field("n_tok", pa.int32()),
+                    pa.field("source", pa.string())]
+    segs = list_segments(os.path.join(root, "wal"))
+    ds = ray.data.read_parquet([s.path for s in segs],
+                               columns=epoch_event_columns(image_cols))
+    ds = ds.map_batches(Normalize(image_fields, 0, 1 << 62),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(split_updates, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: compact_batch(t, CDC_P),
+                        batch_format="pyarrow")
+    sink = SqlSinkStage("target", image_cols)
+
+    def gen_stmts(t: pa.Table) -> pa.Table:
+        return sink(t)
+
+    stmts = ds.groupby("part") \
+        .map_groups(gen_stmts, batch_format="pyarrow").to_pandas()
+    stmts = stmts.sort_values(["part", "seq"])
+
+    with MySqlLiteServer() as srv:
+        with MySqlWireClient(srv.host, srv.port) as admin:
+            admin.query(
+                "CREATE TABLE target (doc_id VARCHAR PRIMARY KEY, "
+                "tokens INTEGER[], n_tok INTEGER, source VARCHAR)")
+            admin.query(
+                "INSERT INTO target SELECT doc_id, tokens, n_tok, source "
+                f"FROM read_parquet('{os.path.join(root, 'base')}"
+                "/part=*/*.parquet', hive_partitioning=false)")
+        groups = [list(grp["stmt"])
+                  for _, grp in stmts.groupby("part", sort=True)]
+        with ThreadPoolExecutor(max_workers=min(8, max(1,
+                                                       len(groups)))) as p:
+            list(p.map(lambda g: apply_statement_stream(
+                srv.host, srv.port, g), groups))
+        with MySqlWireClient(srv.host, srv.port) as reader:
+            cols, rows = reader.query(
+                "SELECT doc_id, tokens, n_tok, source FROM target "
+                "ORDER BY doc_id")
+    # text resultset → typed table (tokens travel as their bracketed
+    # list text, valid JSON)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "tokens": pa.array([None if r[1] is None else json.loads(r[1])
+                            for r in rows], pa.list_(pa.int32())),
+        "n_tok": pa.array([None if r[2] is None else int(r[2])
+                           for r in rows], pa.int32()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # CDC operator singles (each = one SURVEY §2 row, SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -4160,6 +4232,7 @@ REGISTRY: dict[str, tuple] = {
                                 _CDC_REPLAY_SQL),                     # NEW r5
     "cdc_replay_mq_stream": (q_cdc_replay_mq_stream,
                              _CDC_REPLAY_SQL),                        # NEW r5
+    "sql_apply_wire": (q_sql_apply_wire, _CDC_REPLAY_SQL),            # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),

@@ -155,6 +155,79 @@ def _heartbeat_event(fname: str) -> bytes:
     return hdr + body + struct.pack("<I", zlib.crc32(hdr + body) & 0xFFFFFFFF)
 
 
+def server_handshake(conn: socket.socket, user: str, password: str,
+                     stop_event: "threading.Event | None" = None) -> bool:
+    """Server side of handshake v10 + mysql_native_password — shared by
+    the replication master (BinlogDumpServer) and the SQL-sink endpoint
+    (sinks/mysql_wire.MySqlLiteServer): real scramble auth, genuine ERR
+    1045 on bad credentials."""
+    scramble = os.urandom(20).replace(b"\x00", b"\x01")
+    hs = bytearray(b"\x0a") + _SERVER_VERSION + b"\x00"
+    hs += struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
+    hs += scramble[:8] + b"\x00"
+    hs += struct.pack("<H", _CAPS & 0xFFFF)
+    hs += bytes([255])                       # charset utf8mb4
+    hs += struct.pack("<H", 2)               # status: autocommit
+    hs += struct.pack("<H", (_CAPS >> 16) & 0xFFFF)
+    hs += bytes([21])                        # auth data len
+    hs += b"\x00" * 10
+    hs += scramble[8:] + b"\x00"
+    hs += b"mysql_native_password\x00"
+    _send_packet(conn, 0, bytes(hs))
+    while True:
+        try:
+            _seq, resp = _recv_packet(conn)
+            break
+        except socket.timeout:
+            if stop_event is not None and stop_event.is_set():
+                return False
+    caps = struct.unpack_from("<I", resp, 0)[0]
+    assert caps & _CAP_PROTOCOL_41, "client must speak protocol 4.1"
+    p = 4 + 4 + 1 + 23
+    nul = resp.index(b"\x00", p)
+    got_user = resp[p:nul].decode()
+    p = nul + 1
+    alen = resp[p]
+    token = resp[p + 1:p + 1 + alen]
+    expect = native_password_token(password, scramble)
+    if got_user != user or token != expect:
+        _send_packet(conn, 2, _err_packet(
+            1045, f"Access denied for user '{got_user}'"))
+        return False
+    _send_packet(conn, 2, _ok_packet())
+    return True
+
+
+def client_handshake(host: str, port: int, user: str,
+                     password: str) -> socket.socket:
+    """Client side: connect, read handshake v10, answer the scramble.
+    Returns the authenticated socket (raises PermissionError on ERR)."""
+    sock = socket.create_connection((host, port), timeout=30)
+    _seq, hs = _recv_packet(sock)
+    assert hs[0] == 0x0A, "expected handshake v10"
+    p = hs.index(b"\x00", 1) + 1                 # server version
+    p += 4                                       # thread id
+    part1 = hs[p:p + 8]
+    p += 8 + 1 + 2 + 1 + 2 + 2 + 1 + 10          # filler..reserved
+    part2 = hs[p:p + 12]
+    scramble = part1 + part2
+    token = native_password_token(password, scramble)
+    resp = bytearray(struct.pack("<I", _CAPS))
+    resp += struct.pack("<I", 1 << 24)           # max packet
+    resp += bytes([255]) + b"\x00" * 23
+    resp += user.encode() + b"\x00"
+    resp += bytes([len(token)]) + token
+    resp += b"mysql_native_password\x00"
+    _send_packet(sock, 1, bytes(resp))
+    _seq, ack = _recv_packet(sock)
+    if ack[:1] == b"\xff":
+        code = struct.unpack_from("<H", ack, 1)[0]
+        sock.close()
+        raise PermissionError(f"auth failed ({code}): "
+                              f"{ack[9:].decode(errors='replace')}")
+    return sock
+
+
 class BinlogDumpServer:
     """Replication master over a directory of binlog v4 files.
 
@@ -259,41 +332,7 @@ class BinlogDumpServer:
             conn.close()
 
     def _handshake(self, conn: socket.socket) -> bool:
-        scramble = os.urandom(20).replace(b"\x00", b"\x01")
-        hs = bytearray(b"\x0a") + _SERVER_VERSION + b"\x00"
-        hs += struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
-        hs += scramble[:8] + b"\x00"
-        hs += struct.pack("<H", _CAPS & 0xFFFF)
-        hs += bytes([255])                       # charset utf8mb4
-        hs += struct.pack("<H", 2)               # status: autocommit
-        hs += struct.pack("<H", (_CAPS >> 16) & 0xFFFF)
-        hs += bytes([21])                        # auth data len
-        hs += b"\x00" * 10
-        hs += scramble[8:] + b"\x00"
-        hs += b"mysql_native_password\x00"
-        _send_packet(conn, 0, bytes(hs))
-        while True:
-            try:
-                _seq, resp = _recv_packet(conn)
-                break
-            except socket.timeout:
-                if self._stop.is_set():
-                    return False
-        caps = struct.unpack_from("<I", resp, 0)[0]
-        assert caps & _CAP_PROTOCOL_41, "client must speak protocol 4.1"
-        p = 4 + 4 + 1 + 23
-        nul = resp.index(b"\x00", p)
-        user = resp[p:nul].decode()
-        p = nul + 1
-        alen = resp[p]
-        token = resp[p + 1:p + 1 + alen]
-        expect = native_password_token(self.password, scramble)
-        if user != self.user or token != expect:
-            _send_packet(conn, 2, _err_packet(
-                1045, f"Access denied for user '{user}'"))
-            return False
-        _send_packet(conn, 2, _ok_packet())
-        return True
+        return server_handshake(conn, self.user, self.password, self._stop)
 
     def _stream_gtid(self, conn: socket.socket, client_set: dict,
                      flags: int) -> None:
@@ -386,29 +425,7 @@ class BinlogDumpServer:
 
 def _connect(host: str, port: int, user: str, password: str,
              server_id: int) -> socket.socket:
-    sock = socket.create_connection((host, port), timeout=30)
-    _seq, hs = _recv_packet(sock)
-    assert hs[0] == 0x0A, "expected handshake v10"
-    p = hs.index(b"\x00", 1) + 1                 # server version
-    p += 4                                       # thread id
-    part1 = hs[p:p + 8]
-    p += 8 + 1 + 2 + 1 + 2 + 2 + 1 + 10          # filler..reserved
-    part2 = hs[p:p + 12]
-    scramble = part1 + part2
-    token = native_password_token(password, scramble)
-    resp = bytearray(struct.pack("<I", _CAPS))
-    resp += struct.pack("<I", 1 << 24)           # max packet
-    resp += bytes([255]) + b"\x00" * 23
-    resp += user.encode() + b"\x00"
-    resp += bytes([len(token)]) + token
-    resp += b"mysql_native_password\x00"
-    _send_packet(sock, 1, bytes(resp))
-    _seq, ack = _recv_packet(sock)
-    if ack[:1] == b"\xff":
-        code = struct.unpack_from("<H", ack, 1)[0]
-        sock.close()
-        raise PermissionError(f"auth failed ({code}): "
-                              f"{ack[9:].decode(errors='replace')}")
+    sock = client_handshake(host, port, user, password)
     # register as a replica (COM_REGISTER_SLAVE: server-id + empty
     # hostname/user/password + port + rank + master-id)
     reg = bytes([_COM_REGISTER_SLAVE]) + struct.pack("<I", server_id) \
