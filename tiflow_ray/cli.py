@@ -169,6 +169,14 @@ def main(argv=None):
                          "STREAMING: repeat the command as the WAL "
                          "grows; only unsent segments are produced")
 
+    ms = sub.add_parser("mysql-serve")   # MySQL-wire SQL endpoint
+    ms.add_argument("--db", default=None,
+                    help="DuckDB file backing the endpoint (default "
+                         "in-memory)")
+    ms.add_argument("--user", default="sink")
+    ms.add_argument("--password", default="sink")
+    ms.add_argument("--port-file", help="write host:port here once bound")
+
     rs = sub.add_parser("registry-serve")   # Confluent-API registry svc
     rs.add_argument("--root", required=True,
                     help="shared directory backing the registry store")
@@ -309,6 +317,23 @@ def main(argv=None):
     if a.cmd == "mq-gc":                  # pure files, no Ray
         from .pipelines.mq import gc_spool
         print(json.dumps(gc_spool(a.messages, a.wal)))
+        return 0
+
+    if a.cmd == "mysql-serve":            # pure sockets+duckdb, no Ray
+        import time
+
+        from .sinks.mysql_wire import MySqlLiteServer
+        srv = MySqlLiteServer(a.db, user=a.user, password=a.password)
+        host, port = srv.start()
+        if a.port_file:
+            with open(a.port_file, "w") as f:
+                f.write(f"{host}:{port}")
+        print(json.dumps({"host": host, "port": port}), flush=True)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            srv.stop()
         return 0
 
     if a.cmd == "registry-serve":         # pure http+files, no Ray
