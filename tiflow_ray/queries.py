@@ -1484,6 +1484,141 @@ def q_sql_apply_wire(sf_dir: str) -> pa.Table:
     })
 
 
+#: engine DDL type specs → the wire endpoint's SQL types (the dialect
+#: translation a DDL sink performs for its downstream; K5 mysql analog)
+_ENDPOINT_TYPES = {"string": "VARCHAR", "int32": "INTEGER",
+                   "int64": "BIGINT", "float64": "DOUBLE",
+                   "bool": "BOOLEAN", "list<int32>": "INTEGER[]",
+                   "json": "VARCHAR", "set<string>": "VARCHAR[]",
+                   "binary": "BLOB", "timestamp_us": "TIMESTAMP",
+                   "timestamp_us_tz": "TIMESTAMPTZ",
+                   "decimal(18,6)": "DECIMAL(18,6)",
+                   "decimal(38,10)": "DECIMAL(38,10)"}
+
+
+def _endpoint_ddl(d, table: str = "target") -> str:
+    """One barrier's DDL in the endpoint's dialect (the MySQL DDL sink
+    executes the translated statement downstream,
+    cdc/sink/ddlsink/mysql)."""
+    from .sinks.sqlgen import render_literal
+    spec = d.type_spec if ":" in d.column or d.ddl_type == "modify_column" \
+        else None
+    if d.ddl_type == "add_column":
+        t = ("VARCHAR" if spec.startswith("enum(")
+             else "VARCHAR[]" if spec.startswith("set(")
+             else "FLOAT[]" if spec.startswith("vector(")
+             else _ENDPOINT_TYPES[spec])
+        sql = f"ALTER TABLE {table} ADD COLUMN {d.col_name} {t}"
+        if d.default is not None:
+            sql += " DEFAULT " + render_literal(d.typed_default())
+        return sql
+    if d.ddl_type == "drop_column":
+        return f"ALTER TABLE {table} DROP COLUMN {d.column}"
+    if d.ddl_type == "rename_column":
+        old, new = d.rename_pair
+        return f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}"
+    if d.ddl_type == "modify_column":
+        return f"ALTER TABLE {table} ALTER COLUMN {d.col_name} " \
+               f"SET DATA TYPE {_ENDPOINT_TYPES[d.type_spec]}"
+    if d.ddl_type == "truncate":
+        return f"TRUNCATE {table}"
+    raise ValueError(f"no endpoint translation for {d.ddl_type}")
+
+
+def q_cdc_replay_sql_wire(sf_dir: str) -> pa.Table:
+    """The MySQL sink as a full REPLICATION TARGET with schema evolution,
+    everything over the wire: epochs cut at DDL barriers apply batched
+    safe-mode DML through concurrent MySQL-protocol connections (K3), and
+    at each barrier the DDL SINK executes the translated ALTER TABLE
+    downstream (K5 mysql — default backfill happens IN the target
+    database, not in the engine). Final table read back over the wire.
+    Oracle = the same SQL twin as cdc_replay_ddl."""
+    import pyarrow.dataset as pads
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .sinks.mysql_wire import (MySqlLiteServer, MySqlWireClient,
+                                   apply_statement_stream)
+    from .sinks.sqlgen import SqlSinkStage
+    from .sources.wal import list_segments, plan_epochs
+    from .stages.compact import compact_batch
+    from .stages.normalize import Normalize, epoch_event_columns
+    from .stages.update_split import split_updates
+
+    root, registry = stage_cdc_fixture(sf_dir, with_ddl=True)
+    segs = list_segments(os.path.join(root, "wal"))
+    epochs = plan_epochs(segs, registry, from_ts=0,
+                         max_segments_per_epoch=4)
+    with MySqlLiteServer() as srv:
+        with MySqlWireClient(srv.host, srv.port) as admin:
+            admin.query(
+                "CREATE TABLE target (doc_id VARCHAR PRIMARY KEY, "
+                "tokens INTEGER[], n_tok INTEGER, source VARCHAR)")
+            admin.query(
+                "INSERT INTO target SELECT doc_id, tokens, n_tok, source "
+                f"FROM read_parquet('{os.path.join(root, 'base')}"
+                "/part=*/*.parquet', hive_partitioning=false)")
+            applied_ddl_ts = 0
+            for ep in epochs:
+                # DDL sink: barriers reached by the checkpoint execute
+                # BEFORE the epoch whose events decode under the new
+                # schema (epochs are cut at barriers; events AT the
+                # barrier used the old schema in the prior epoch)
+                for d in registry.ddls:
+                    if applied_ddl_ts < d.barrier_ts <= ep.lo:
+                        admin.query(_endpoint_ddl(d))
+                        applied_ddl_ts = d.barrier_ts
+                ver = registry.version_at(ep.hi)
+                fields = [f for f in registry.schema(ver)
+                          if f.name != "doc_id"]
+                image_cols = [f.name for f in fields]
+                flt = (pads.field("commit_ts") > ep.lo) \
+                    & (pads.field("commit_ts") <= ep.hi)
+                ds = ray.data.read_parquet(
+                    list(ep.files), filter=flt,
+                    columns=epoch_event_columns(image_cols))
+                ds = ds.map_batches(Normalize(fields, ep.lo, ep.hi),
+                                    batch_format="pyarrow")
+                ds = ds.map_batches(split_updates, batch_format="pyarrow")
+                ds = ds.map_batches(lambda t: compact_batch(t, CDC_P),
+                                    batch_format="pyarrow")
+                sink = SqlSinkStage("target", image_cols)
+
+                def gen_stmts(t: pa.Table) -> pa.Table:
+                    return sink(t)
+
+                stmts = ds.groupby("part").map_groups(
+                    gen_stmts, batch_format="pyarrow").to_pandas()
+                stmts = stmts.sort_values(["part", "seq"])
+                groups = [list(g["stmt"])
+                          for _, g in stmts.groupby("part", sort=True)]
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    list(pool.map(lambda g: apply_statement_stream(
+                        srv.host, srv.port, g), groups))
+            for d in registry.ddls:      # barriers at/past the last epoch
+                if applied_ddl_ts < d.barrier_ts <= epochs[-1].hi:
+                    admin.query(_endpoint_ddl(d))
+                    applied_ddl_ts = d.barrier_ts
+            final_cols = [f.name for f in
+                          registry.schema(registry.max_ver)]
+            _cols, rows = admin.query(
+                f"SELECT {', '.join(final_cols)} FROM target "
+                "ORDER BY doc_id")
+    out: dict[str, pa.Array] = {}
+    fields = {f.name: f.type for f in registry.schema(registry.max_ver)}
+    for i, c in enumerate(final_cols):
+        vals = [r[i] for r in rows]
+        t = fields[c]
+        if t == pa.list_(pa.int32()):
+            out[c] = pa.array([None if v is None else json.loads(v)
+                               for v in vals], t)
+        elif pa.types.is_integer(t):
+            out[c] = pa.array([None if v is None else int(v)
+                               for v in vals], t)
+        else:
+            out[c] = pa.array(vals, pa.string())
+    return pa.table(out)
+
+
 # ---------------------------------------------------------------------------
 # CDC operator singles (each = one SURVEY §2 row, SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -4233,6 +4368,8 @@ REGISTRY: dict[str, tuple] = {
     "cdc_replay_mq_stream": (q_cdc_replay_mq_stream,
                              _CDC_REPLAY_SQL),                        # NEW r5
     "sql_apply_wire": (q_sql_apply_wire, _CDC_REPLAY_SQL),            # NEW r5
+    "cdc_replay_sql_wire": (q_cdc_replay_sql_wire,
+                            _CDC_REPLAY_DDL_SQL),                     # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),
