@@ -26,7 +26,6 @@ detector) guarantees the workers touch disjoint keys.
 
 from __future__ import annotations
 
-import os
 import socket
 import struct
 import threading
