@@ -994,3 +994,195 @@ def tail_consume_mq(broker: str, topic: str, spool_dir: str,
             time.sleep(poll_secs)
     return {"rounds": rounds, "watermark_ts": applied_wm,
             "spool": spool_dir, "lake": lake_dir}
+
+
+def produce_mq_multitable(wal_dir: str, out_dir: str,
+                          num_partitions: int,
+                          database: str = "tiflow",
+                          topic_template: str = "cf.{table}") -> dict:
+    """The multi-table changefeed's MQ sink: ONE read of the shared WAL,
+    the EventRouter assigns each row its table's topic (the reference's
+    dispatch rules — default topic templates with {schema}/{table}
+    substitution, cdc/sink/dmlsink/mq/dispatcher/event_router.go) and a
+    key-hash partition; each (topic, partition) stream is encoded by one
+    task with dense offsets; every table's DDL schedule broadcasts on its
+    OWN topic's control stream. Layout: out_dir/topic=T/partition=p/ +
+    out_dir/topic=T/_ddl/ + meta.json — consume_mq_multitable replays it
+    into a multi-table lake."""
+    from ..sinks.mq import DispatchRule, EventRouter, MqSinkStage
+    from ..sources.codecs import encode_canal_ddl
+    from ..sources.wal import list_segments
+    from .multitable import load_multitable_registries
+
+    segs = list_segments(wal_dir)
+    assert segs, f"no WAL segments in {wal_dir}"
+    regs, _lcs = load_multitable_registries(wal_dir)
+    # per-table topics, key-hash partitioning within each (the per-key
+    # ordering contract; the bare default rule would collapse a table
+    # to one partition via the table dispatcher)
+    router = EventRouter([DispatchRule(("*.*",), "key", topic_template)],
+                         default_topic=topic_template)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.append_column("schema_name",
+                            pa.array([database] * t.num_rows))
+        t = router.route_batch(t, num_partitions,
+                               table_col="table_name")
+        return t.drop_columns(["schema_name"])
+
+    def emit_group(t: pa.Table) -> pa.Table:
+        topic = str(t["mq_topic"][0].as_py())
+        t_name = str(t["table_name"][0].as_py())
+        part = int(t["mq_partition"][0].as_py())
+        ev = t.drop_columns(["mq_topic", "table_name"])
+        # the table's own column set: drop all-null union columns that
+        # belong to OTHER tables' schemas (the shared WAL is a union)
+        own = {f.name for v in range(1, regs[t_name].max_ver + 1)
+               for f in regs[t_name].schema(v)}
+        keep = [c for c in ev.column_names
+                if c in ("op", "commit_ts", "start_ts", "doc_id",
+                         "new_doc_id", "pre_tokens", "schema_ver",
+                         "mq_partition") or c in own]
+        sink = MqSinkStage(database=database, table=t_name,
+                           protocol="canal_json")
+        msgs = sink(ev.select(keep))
+        d = os.path.join(out_dir, f"topic={topic}", f"partition={part}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
+        pq.write_table(msgs, tmp, row_group_size=32768)
+        os.replace(tmp, os.path.join(d, "messages.parquet"))
+        return pa.table({"topic": pa.array([topic]),
+                         "messages": pa.array([msgs.num_rows],
+                                              pa.int64())})
+
+    counts = (ray.data.read_parquet([s.path for s in segs])
+              .map_batches(route, batch_format="pyarrow")
+              .groupby(["mq_topic", "mq_partition"])
+              .map_groups(emit_group, batch_format="pyarrow")
+              .take_all())
+
+    meta_tables = {}
+    for t_name, reg in regs.items():
+        topic = router.route(database, t_name)[0]
+        ddl_dir = os.path.join(out_dir, f"topic={topic}", "_ddl")
+        os.makedirs(ddl_dir, exist_ok=True)
+        lines = encode_canal_ddl(reg, database, t_name).splitlines()
+        pq.write_table(pa.table({
+            "mq_partition": pa.array([0] * len(lines), pa.int32()),
+            "offset": pa.array(np.arange(len(lines), dtype=np.int64)),
+            "key": pa.array(["__ddl__"] * len(lines)),
+            "payload": pa.array(lines, pa.string()),
+        }), os.path.join(ddl_dir, "messages.parquet"))
+        cols = sorted({f.name for v in range(1, reg.max_ver + 1)
+                       for f in reg.schema(v)} - {"doc_id"})
+        meta_tables[t_name] = {
+            "topic": topic,
+            "columns": ["op", "commit_ts", "start_ts", "doc_id",
+                        "new_doc_id", "pre_tokens"] + cols
+                       + ["schema_ver"]}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"protocol": "canal_json", "database": database,
+                   "num_partitions": num_partitions,
+                   "tables": meta_tables}, f)
+    return {"groups": len(counts),
+            "messages": int(sum(r["messages"] for r in counts)),
+            "tables": sorted(regs)}
+
+
+def consume_mq_multitable(msg_dir: str, lake_dir: str,
+                          base_dirs: dict[str, str] | None = None,
+                          num_partitions: int = 16) -> dict:
+    """Per-table topics → ONE derived multi-table WAL → the standard
+    multi-table replay. Each (topic, partition) decodes in its own task
+    under ITS table's column set (from the stream meta), the table's DDL
+    stream rebuilds its registry, and the union becomes tables.json +
+    table_name-carrying segments for run_replay_multitable — the
+    kafka-consumer loop generalized to N tables."""
+    from ..config import ReplayConfig
+    from ..sources.codecs import decode_canal_ddl_lines, decode_canal_lines
+    from ..state.checkpoint import LakeState
+    from . import multitable as mtp
+
+    with open(os.path.join(msg_dir, "meta.json")) as f:
+        meta = json.load(f)
+    tables = meta["tables"]
+    wal_dir = os.path.join(lake_dir, "_mq_wal")
+    os.makedirs(wal_dir, exist_ok=True)
+
+    items = []
+    for i, (t_name, tm) in enumerate(sorted(tables.items())):
+        tdir = os.path.join(msg_dir, f"topic={tm['topic']}")
+        for d in sorted(os.listdir(tdir)):
+            if d.startswith("partition="):
+                items.append({"table": t_name, "tindex": i,
+                              "cols": json.dumps(tm["columns"]),
+                              "part": int(d.split("=", 1)[1]),
+                              "src": os.path.join(tdir, d,
+                                                  "messages.parquet")})
+    P = meta["num_partitions"]
+
+    def decode_group(tb: pa.Table) -> pa.Table:
+        out = []
+        for row in tb.to_pylist():
+            seq = int(row["tindex"]) * P + int(row["part"])
+            dst = os.path.join(wal_dir, f"seq={seq:05d}.parquet")
+            mpath = dst.replace(".parquet", ".meta.json")
+            if os.path.exists(mpath):          # idempotent resume
+                with open(mpath) as f:
+                    m = json.load(f)
+                out.append({"seq": seq, "rows": m["rows"],
+                            "min_ts": m["min_ts"], "max_ts": m["max_ts"],
+                            "cols": list(m["columns"])})
+                continue
+            msgs = pq.read_table(row["src"]).sort_by("offset")
+            ev = decode_canal_lines(msgs["payload"].to_pylist(),
+                                    json.loads(row["cols"]))
+            ev = ev.append_column(
+                "table_name", pa.array([row["table"]] * ev.num_rows))
+            ev = ev.take(pa.compute.sort_indices(
+                ev, sort_keys=[("commit_ts", "ascending"),
+                               ("start_ts", "ascending")]))
+            tmp = dst + f".tmp.{os.getpid()}"
+            pq.write_table(ev, tmp, row_group_size=32768)
+            os.replace(tmp, dst)
+            cts = ev["commit_ts"].to_numpy(zero_copy_only=False)
+            out.append({"seq": seq, "rows": ev.num_rows,
+                        "min_ts": int(cts.min()) if len(cts) else 0,
+                        "max_ts": int(cts.max()) if len(cts) else 0,
+                        "cols": ev.column_names})
+        return pa.Table.from_pylist(out)
+
+    decoded = ray.data.from_items(items).map_batches(
+        decode_group, batch_format="pyarrow", batch_size=1).take_all()
+
+    # batch consume of a complete log: the honest watermark is the
+    # global max (same contract as consume_mq); metas after data
+    global_max = max((r["max_ts"] for r in decoded), default=0)
+    for r in decoded:
+        mpath = os.path.join(wal_dir, f"seq={int(r['seq']):05d}.meta.json")
+        if os.path.exists(mpath):
+            continue
+        with open(mpath + ".tmp", "w") as f:
+            json.dump({"seq": int(r["seq"]),
+                       "watermark_ts": int(global_max),
+                       "min_ts": int(r["min_ts"]),
+                       "max_ts": int(r["max_ts"]),
+                       "rows": int(r["rows"]), "format": "parquet",
+                       "columns": list(r["cols"])}, f)
+        os.replace(mpath + ".tmp", mpath)
+
+    regs = {}
+    for t_name, tm in tables.items():
+        ddl_tbl = pq.read_table(os.path.join(
+            msg_dir, f"topic={tm['topic']}", "_ddl", "messages.parquet"))
+        regs[t_name] = decode_canal_ddl_lines(
+            ddl_tbl.sort_by("offset")["payload"].to_pylist())
+    mtp.write_multitable_registries(wal_dir, regs)
+
+    cfg = ReplayConfig(wal_dir=wal_dir, lake_dir=lake_dir,
+                       num_partitions=num_partitions)
+    if base_dirs is not None and LakeState(lake_dir).latest() is None:
+        mtp.bootstrap_multitable(cfg, regs, base_dirs)
+    res = mtp.run_replay_multitable(cfg)
+    return {"groups_decoded": len(decoded), "epochs": len(res.epochs),
+            "tables": sorted(regs), "wal_dir": wal_dir}

@@ -579,8 +579,28 @@ def _execute_epoch_mt(cfg, tables, table_names, table_ids, registries_json,
         if ep.fmt == "parquet":
             flt = (pads.field("commit_ts") > ep.lo) \
                 & (pads.field("commit_ts") <= ep.hi)
-            ds = ray.data.read_parquet(list(ep.files), columns=read_cols,
-                                       filter=flt, **read_kwargs)
+            # segments may carry DIFFERENT column sets (per-table topic
+            # consumers write each table's segments under its own
+            # schema): group files by their available∩wanted columns and
+            # union — _MultiNormalize null-fills per group (same
+            # treatment as the single-table reader)
+            cmap = dict(ep.col_map)
+            by_cols: dict[tuple, list[str]] = {}
+            for fpath in ep.files:
+                avail = cmap.get(fpath) or ()
+                want = tuple(c for c in read_cols
+                             if not avail or c in avail)
+                by_cols.setdefault(want, []).append(fpath)
+            if len(by_cols) == 1:
+                ds = ray.data.read_parquet(
+                    list(ep.files), columns=list(next(iter(by_cols))),
+                    filter=flt, **read_kwargs)
+            else:
+                from .replay import _union_ds
+                ds = _union_ds([
+                    ray.data.read_parquet(fs, columns=list(w),
+                                          filter=flt, **read_kwargs)
+                    for w, fs in by_cols.items()])
             enforce_range = False
         else:   # codec WAL segments (jsonl/csv/canal-json/avro/craft/…):
             # distributed decode shared with the single-table path; the

@@ -897,6 +897,43 @@ def q_cdc_replay_multitable(sf_dir: str) -> pa.Table:
     return pa.concat_tables(pieces)
 
 
+def q_cdc_replay_multitable_mq(sf_dir: str) -> pa.Table:
+    """The multi-table changefeed OVER MQ: one WAL read routes every row
+    to its table's topic (EventRouter dispatch rules, key-hash partitions
+    within each), each table's DDL schedule broadcasts on its own control
+    stream, and the consumer rebuilds per-table registries + a
+    table_name-carrying derived WAL that the standard multi-table replay
+    drives into per-table lake states. Output and oracle identical to
+    cdc_replay_multitable — the message streams alone carry the N-table
+    replicated state."""
+    from .pipelines.mq import consume_mq_multitable, produce_mq_multitable
+    from .pipelines import multitable as mtp
+
+    mt_root, regs = stage_cdc_multitable_fixture(sf_dir)
+    root = os.path.dirname(mt_root)
+    msg_dir = os.path.join(mt_root, "mq_msgs")
+    lake = os.path.join(mt_root, "lake_mq")
+    if not os.path.exists(os.path.join(msg_dir, "meta.json")):
+        produce_mq_multitable(os.path.join(mt_root, "wal"), msg_dir,
+                              num_partitions=4)
+    base = os.path.join(root, "base")
+    consume_mq_multitable(msg_dir, lake,
+                          base_dirs={t: base for t in regs},
+                          num_partitions=CDC_P)
+    sup = ["doc_id", "tokens", "n_tok", "source", "lang", "score"]
+    types = {"source": pa.string(), "lang": pa.string(),
+             "score": pa.int32()}
+    pieces = []
+    for t_name in sorted(regs):
+        t = mtp.multitable_lake_to_table(lake, t_name)
+        cols = {"table_name": pa.array([t_name] * t.num_rows)}
+        for c in sup:
+            cols[c] = t[c] if c in t.column_names else \
+                pa.nulls(t.num_rows, types[c])
+        pieces.append(pa.table(cols))
+    return pa.concat_tables(pieces)
+
+
 _CDC_MULTITABLE_SQL = f"""
 WITH base AS ({_BASE_SQL}),
 wal AS ({_WAL_SQL}),
@@ -4370,6 +4407,8 @@ REGISTRY: dict[str, tuple] = {
     "sql_apply_wire": (q_sql_apply_wire, _CDC_REPLAY_SQL),            # NEW r5
     "cdc_replay_sql_wire": (q_cdc_replay_sql_wire,
                             _CDC_REPLAY_DDL_SQL),                     # NEW r5
+    "cdc_replay_multitable_mq": (q_cdc_replay_multitable_mq,
+                                 _CDC_MULTITABLE_SQL),                # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
     "knn_lsh": (q_knn_lsh, None),
