@@ -999,7 +999,8 @@ def tail_consume_mq(broker: str, topic: str, spool_dir: str,
 def produce_mq_multitable(wal_dir: str, out_dir: str,
                           num_partitions: int,
                           database: str = "tiflow",
-                          topic_template: str = "cf.{table}") -> dict:
+                          topic_template: str = "cf.{table}",
+                          broker: str | None = None) -> dict:
     """The multi-table changefeed's MQ sink: ONE read of the shared WAL,
     the EventRouter assigns each row its table's topic (the reference's
     dispatch rules — default topic templates with {schema}/{table}
@@ -1008,7 +1009,10 @@ def produce_mq_multitable(wal_dir: str, out_dir: str,
     task with dense offsets; every table's DDL schedule broadcasts on its
     OWN topic's control stream. Layout: out_dir/topic=T/partition=p/ +
     out_dir/topic=T/_ddl/ + meta.json — consume_mq_multitable replays it
-    into a multi-table lake."""
+    into a multi-table lake. `broker="host:port"` sends every stream
+    over the Kafka wire instead (topics named by the template, DDLs on
+    {topic}.__ddl, the descriptor on __mt_meta) — fetch_mq_multitable
+    spools them back into this exact layout."""
     from ..sinks.mq import DispatchRule, EventRouter, MqSinkStage
     from ..sources.codecs import encode_canal_ddl
     from ..sources.wal import list_segments
@@ -1046,11 +1050,15 @@ def produce_mq_multitable(wal_dir: str, out_dir: str,
         sink = MqSinkStage(database=database, table=t_name,
                            protocol="canal_json")
         msgs = sink(ev.select(keep))
-        d = os.path.join(out_dir, f"topic={topic}", f"partition={part}")
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
-        pq.write_table(msgs, tmp, row_group_size=32768)
-        os.replace(tmp, os.path.join(d, "messages.parquet"))
+        if broker is not None:
+            _produce_partition(broker, topic, part, msgs)
+        else:
+            d = os.path.join(out_dir, f"topic={topic}",
+                             f"partition={part}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f"messages.parquet.tmp.{os.getpid()}")
+            pq.write_table(msgs, tmp, row_group_size=32768)
+            os.replace(tmp, os.path.join(d, "messages.parquet"))
         return pa.table({"topic": pa.array([topic]),
                          "messages": pa.array([msgs.num_rows],
                                               pa.int64())})
@@ -1064,15 +1072,20 @@ def produce_mq_multitable(wal_dir: str, out_dir: str,
     meta_tables = {}
     for t_name, reg in regs.items():
         topic = router.route(database, t_name)[0]
-        ddl_dir = os.path.join(out_dir, f"topic={topic}", "_ddl")
-        os.makedirs(ddl_dir, exist_ok=True)
         lines = encode_canal_ddl(reg, database, t_name).splitlines()
-        pq.write_table(pa.table({
+        ddl_tbl = pa.table({
             "mq_partition": pa.array([0] * len(lines), pa.int32()),
             "offset": pa.array(np.arange(len(lines), dtype=np.int64)),
             "key": pa.array(["__ddl__"] * len(lines)),
             "payload": pa.array(lines, pa.string()),
-        }), os.path.join(ddl_dir, "messages.parquet"))
+        })
+        if broker is not None:
+            _produce_partition(broker, f"{topic}.__ddl", 0, ddl_tbl)
+        else:
+            ddl_dir = os.path.join(out_dir, f"topic={topic}", "_ddl")
+            os.makedirs(ddl_dir, exist_ok=True)
+            pq.write_table(ddl_tbl,
+                           os.path.join(ddl_dir, "messages.parquet"))
         cols = sorted({f.name for v in range(1, reg.max_ver + 1)
                        for f in reg.schema(v)} - {"doc_id"})
         meta_tables[t_name] = {
@@ -1080,10 +1093,17 @@ def produce_mq_multitable(wal_dir: str, out_dir: str,
             "columns": ["op", "commit_ts", "start_ts", "doc_id",
                         "new_doc_id", "pre_tokens"] + cols
                        + ["schema_ver"]}
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"protocol": "canal_json", "database": database,
-                   "num_partitions": num_partitions,
-                   "tables": meta_tables}, f)
+    meta = {"protocol": "canal_json", "database": database,
+            "num_partitions": num_partitions, "tables": meta_tables}
+    if broker is not None:
+        _produce_partition(broker, "__mt_meta", 0, pa.table({
+            "mq_partition": pa.array([0], pa.int32()),
+            "offset": pa.array([0], pa.int64()),
+            "key": pa.array(["__meta__"]),
+            "payload": pa.array([json.dumps(meta)], pa.string())}))
+    else:
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
     return {"groups": len(counts),
             "messages": int(sum(r["messages"] for r in counts)),
             "tables": sorted(regs)}
@@ -1186,3 +1206,72 @@ def consume_mq_multitable(msg_dir: str, lake_dir: str,
     res = mtp.run_replay_multitable(cfg)
     return {"groups_decoded": len(decoded), "epochs": len(res.epochs),
             "tables": sorted(regs), "wal_dir": wal_dir}
+
+
+def fetch_mq_multitable(broker: str, out_dir: str) -> dict:
+    """Spool a multi-table changefeed's topics back into the
+    produce_mq_multitable file layout: the descriptor from __mt_meta
+    names every table's topic; each topic's partitions and its __ddl
+    control stream spool like fetch_mq (offset-resumable, atomic)."""
+    from ..sinks.kafka_wire import KafkaLiteClient
+
+    host, port = broker.rsplit(":", 1)
+    os.makedirs(out_dir, exist_ok=True)
+    with KafkaLiteClient(host, int(port)) as c:
+        meta_msgs = c.fetch_all("__mt_meta", 0)
+        assert meta_msgs, f"no __mt_meta on broker {broker}"
+        meta = json.loads(meta_msgs[-1][2].decode())
+
+        def spool(topic: str, part: int, d: str) -> int:
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "messages.parquet")
+            prior, start = None, 0
+            if os.path.exists(path):
+                prior = pq.read_table(path)
+                if prior.num_rows:
+                    start = int(pa.compute.max(
+                        prior["offset"]).as_py()) + 1
+            recs = c.fetch_all(topic, part, start)
+            if not recs and prior is not None:
+                return 0
+            tbl = pa.table({
+                "mq_partition": pa.array([part] * len(recs), pa.int32()),
+                "offset": pa.array([o for o, _k, _v in recs], pa.int64()),
+                "key": pa.array([None if k is None else k.decode()
+                                 for _o, k, _v in recs], pa.string()),
+                "payload": pa.array([v.decode() for _o, _k, v in recs],
+                                    pa.string()),
+            })
+            if prior is not None:
+                tbl = pa.concat_tables([prior, tbl])
+            tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+            pq.write_table(tbl, tmp, row_group_size=32768)
+            os.replace(tmp, path)
+            return len(recs)
+
+        fetched = 0
+        for t_name, tm in sorted(meta["tables"].items()):
+            topic = tm["topic"]
+            tdir = os.path.join(out_dir, f"topic={topic}")
+            for p in c.metadata([topic]).get(topic, []):
+                fetched += spool(topic, p,
+                                 os.path.join(tdir, f"partition={p}"))
+            if c.metadata([f"{topic}.__ddl"]).get(f"{topic}.__ddl"):
+                fetched += spool(f"{topic}.__ddl", 0,
+                                 os.path.join(tdir, "_ddl"))
+            else:
+                # a table with an empty DDL schedule never produced its
+                # control topic — spool an empty stream
+                d = os.path.join(tdir, "_ddl")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(pa.table({
+                    "mq_partition": pa.array([], pa.int32()),
+                    "offset": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.string()),
+                    "payload": pa.array([], pa.string())}),
+                    os.path.join(d, "messages.parquet"))
+    mtmp = os.path.join(out_dir, f"meta.json.tmp.{os.getpid()}")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(mtmp, os.path.join(out_dir, "meta.json"))
+    return {"messages": fetched, "tables": sorted(meta["tables"])}
