@@ -140,6 +140,9 @@ def main(argv=None):
     kf.add_argument("--out", required=True)
     kf.add_argument("--group-member", type=int, default=None)
     kf.add_argument("--group-size", type=int, default=None)
+    kf.add_argument("--multitable", action="store_true",
+                    help="spool a multi-table changefeed (topics from "
+                         "the __mt_meta descriptor)")
 
     mp = sub.add_parser("mq-produce")   # WAL → partitioned message logs
     mp.add_argument("--wal", required=True)
@@ -168,6 +171,10 @@ def main(argv=None):
                     help="producer checkpoint json — makes the producer "
                          "STREAMING: repeat the command as the WAL "
                          "grows; only unsent segments are produced")
+    mp.add_argument("--multitable", action="store_true",
+                    help="the WAL is a multi-table changefeed "
+                         "(tables.json): route rows to per-table topics "
+                         "with per-table DDL control streams")
 
     ms = sub.add_parser("mysql-serve")   # MySQL-wire SQL endpoint
     ms.add_argument("--db", default=None,
@@ -207,6 +214,12 @@ def main(argv=None):
     mc.add_argument("--topic", default="changefeed")
     mc.add_argument("--idle-timeout", type=float, default=None)
     mc.add_argument("--stop-file", default=None)
+    mc.add_argument("--multitable", action="store_true",
+                    help="the spool is a multi-table changefeed; --base "
+                         "takes TABLE=DIR (repeatable)")
+    mc.add_argument("--base-table", action="append", default=[],
+                    metavar="TABLE=DIR",
+                    help="per-table bootstrap base (with --multitable)")
 
     mg = sub.add_parser("mq-gc")       # spool retention (streaming mode)
     mg.add_argument("--messages", required=True)
@@ -354,7 +367,10 @@ def main(argv=None):
         return 0
 
     if a.cmd == "mq-fetch":               # pure sockets+files, no Ray
-        from .pipelines.mq import fetch_mq
+        from .pipelines.mq import fetch_mq, fetch_mq_multitable
+        if a.multitable:
+            print(json.dumps(fetch_mq_multitable(a.broker, a.out)))
+            return 0
         grp = (a.group_member, a.group_size) \
             if a.group_member is not None else None
         print(json.dumps(fetch_mq(a.broker, a.topic, a.out, group=grp)))
@@ -472,20 +488,29 @@ def main(argv=None):
         from .state.checkpoint import LakeState
         print(json.dumps(LakeState(a.lake).rewind(a.epoch, wal_dir=a.wal)))
     elif a.cmd == "mq-produce":
-        from .pipelines.mq import produce_mq
+        from .pipelines.mq import produce_mq, produce_mq_multitable
         assert a.out or a.broker, "need --out or --broker"
-        print(json.dumps(produce_mq(a.wal, a.out or "", a.partitions,
-                                    dispatcher=a.dispatcher,
-                                    protocol=a.protocol,
-                                    max_message_bytes=a.max_message_bytes,
-                                    large_handle=a.large_handle,
-                                    broker=a.broker, topic=a.topic,
-                                    schema_registry=a.registry,
-                                    producer_state=a.state)))
+        if a.multitable:
+            print(json.dumps(produce_mq_multitable(
+                a.wal, a.out or "", a.partitions, broker=a.broker)))
+        else:
+            print(json.dumps(produce_mq(
+                a.wal, a.out or "", a.partitions,
+                dispatcher=a.dispatcher, protocol=a.protocol,
+                max_message_bytes=a.max_message_bytes,
+                large_handle=a.large_handle,
+                broker=a.broker, topic=a.topic,
+                schema_registry=a.registry,
+                producer_state=a.state)))
     elif a.cmd == "mq-consume":
-        from .pipelines.mq import (consume_mq, consume_mq_stream,
-                                   tail_consume_mq)
-        if a.follow:
+        from .pipelines.mq import (consume_mq, consume_mq_multitable,
+                                   consume_mq_stream, tail_consume_mq)
+        if a.multitable:
+            bd = dict(kv.split("=", 1) for kv in a.base_table) or None
+            print(json.dumps(consume_mq_multitable(
+                a.messages, a.lake, base_dirs=bd,
+                num_partitions=a.partitions)))
+        elif a.follow:
             assert a.broker, "--follow needs --broker host:port"
             print(json.dumps(tail_consume_mq(
                 a.broker, a.topic, a.messages, a.lake, base_dir=a.base,
