@@ -4411,14 +4411,14 @@ REGISTRY: dict[str, tuple] = {
                                  _CDC_MULTITABLE_SQL),                # NEW r5
     "mq_dispatch": (q_mq_dispatch, _MQ_DISPATCH_SQL),
     "mq_dispatch_avro": (q_mq_dispatch_avro, _MQ_DISPATCH_SQL),
+    "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
+    "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
     "knn_lsh": (q_knn_lsh, None),
     "knn_ivf": (q_knn_ivf, None),
     "knn_pq": (q_knn_pq, None),
     "corpus_kmeans": (q_corpus_kmeans, None),
     "sync_diff": (q_sync_diff, None),
     "doc_fingerprint_fast": (q_doc_fingerprint_fast, None),
-    "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_SQL),
-    "chunk_checksum": (q_chunk_checksum, _CHECKSUM_SQL),
     "lww_compact": (q_lww_compact, _LWW_COMPACT_SQL),
     "update_split": (q_update_split, _UPDATE_SPLIT_SQL),
     "quality_model": (q_quality_model, _QUALITY_MODEL_SQL),
